@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Aggregate stage — per-sink turn counts + per-conversation rollups with
+  * explicit skew handling (SURVEY.md §2.7; north rule "salted repartitioning
+  * to defuse hot-conversation skew").
+  *
+  * Skew story: conversation sizes are Zipf — a handful of conv_ids own a
+  * large share of rows. Plain `groupBy(conv_id)` puts each hot key on ONE
+  * reduce task. For count/min/max/sum Spark's map-side partial aggregation
+  * already collapses most of that, but `collect_set`/`count_distinct` force
+  * full rows to the reducer. The salted two-phase plan bounds any single
+  * task's share of a hot key to 1/SALT:
+  *
+  *   phase 1: groupBy(conv_id, salt = pmod(xxhash64(conv_id, turn_idx), SALT))
+  *            → partial count/min/max/sum + collect_set(tool)  (set ≤ 13)
+  *   phase 2: groupBy(conv_id) → merge partials; distinct tools =
+  *            size(array_distinct(flatten(collect_list(partial sets))))
+  *
+  * The salt is DETERMINISTIC (xxhash64 of row keys, never rand()) so retries
+  * and recomputations route rows identically (SURVEY.md §7.4). AQE skew
+  * handling stays on as the safety net.
+  */
+object Aggregate {
+
+  val DefaultSalt = 16
+
+  /** Per-sink turn counts (batchprocessor-style counters, §2.5). */
+  def sinkCounts(routed: DataFrame): DataFrame =
+    routed.groupBy(col(Route.SinkCol)).agg(count(lit(1)).as("n_turns"))
+
+  /** Per-conversation rollup, salted two-phase. Output:
+    * (conv_id, n_turns, n_errors, n_tools_distinct, first_ts, last_ts,
+    *  sum_latency_ms)
+    */
+  def convRollup(parsed: DataFrame, salt: Int = DefaultSalt): DataFrame = {
+    val partial = parsed
+      .withColumn("_salt", pmod(xxhash64(col("conv_id"), col("turn_idx")), lit(salt.toLong)))
+      .groupBy(col("conv_id"), col("_salt"))
+      .agg(
+        count(lit(1)).as("p_turns"),
+        sum(when(col("err_code").isNotNull, 1L).otherwise(0L)).as("p_errors"),
+        min(col("ts")).as("p_first"),
+        max(col("ts")).as("p_last"),
+        sum(col("latency_ms")).as("p_lat"),
+        collect_set(when(col("tool_invoked") =!= "none", col("tool_invoked"))).as("p_tools"))
+    partial
+      .groupBy(col("conv_id"))
+      .agg(
+        sum(col("p_turns")).as("n_turns"),
+        sum(col("p_errors")).as("n_errors"),
+        size(array_distinct(flatten(collect_list(col("p_tools"))))).as("n_tools_distinct"),
+        min(col("p_first")).as("first_ts"),
+        max(col("p_last")).as("last_ts"),
+        sum(col("p_lat")).as("sum_latency_ms"))
+  }
+
+  /** Unsalted single-phase rollup — correctness oracle for the salted plan
+    * (results must be identical; asserted in AggregateSpec).
+    */
+  def convRollupUnsalted(parsed: DataFrame): DataFrame =
+    parsed.groupBy(col("conv_id")).agg(
+      count(lit(1)).as("n_turns"),
+      sum(when(col("err_code").isNotNull, 1L).otherwise(0L)).as("n_errors"),
+      count_distinct(when(col("tool_invoked") =!= "none", col("tool_invoked"))).cast("int").as("n_tools_distinct"),
+      min(col("ts")).as("first_ts"),
+      max(col("ts")).as("last_ts"),
+      sum(col("latency_ms")).as("sum_latency_ms"))
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** attributesprocessor action engine over a dynamic attribute map column
+  * (SURVEY.md §2.3; ref `internal/processor/attraction/attraction.go:
+  * NewAttrProc / AttrProc.Process`).
+  *
+  * The reference mutates an ordered AttributeMap in place; here each action
+  * is a pure `Column→Column` map transform (map_concat / map_filter /
+  * transform_values — all codegen'd higher-order functions, no UDF). Actions
+  * compose left-to-right like the reference's config list.
+  */
+sealed trait AttrAction { def apply(attrs: Column): Column }
+
+object AttrActions {
+
+  private def without(attrs: Column, key: String): Column =
+    map_filter(attrs, (k, _) => k =!= lit(key))
+
+  private def set(attrs: Column, key: String, value: Column): Column =
+    map_concat(without(attrs, key), map(lit(key), value))
+
+  /** set key only if absent (ref attraction.go INSERT). */
+  final case class Insert(key: String, value: String) extends AttrAction {
+    def apply(attrs: Column): Column =
+      when(element_at(attrs, key).isNotNull, attrs)
+        .otherwise(map_concat(attrs, map(lit(key), lit(value))))
+  }
+
+  /** set only if present (UPDATE). */
+  final case class Update(key: String, value: String) extends AttrAction {
+    def apply(attrs: Column): Column =
+      when(element_at(attrs, key).isNull, attrs)
+        .otherwise(set(attrs, key, lit(value)))
+  }
+
+  /** unconditional set (UPSERT). */
+  final case class Upsert(key: String, value: String) extends AttrAction {
+    def apply(attrs: Column): Column = set(attrs, key, lit(value))
+  }
+
+  /** remove key (DELETE). */
+  final case class Delete(key: String) extends AttrAction {
+    def apply(attrs: Column): Column = without(attrs, key)
+  }
+
+  /** SHA-1 the value in place (HASH; ref attraction.go sha1Hasher). */
+  final case class Hash(key: String) extends AttrAction {
+    def apply(attrs: Column): Column =
+      transform_values(attrs, (k, v) =>
+        when(k === lit(key), sha1(encode(v, "UTF-8"))).otherwise(v))
+  }
+
+  /** regex named groups over attrs[key]; each group becomes an attribute
+    * (EXTRACT; ref attraction.go extractAttributes). Uses the one-pass
+    * [[graft.expr.GrokExtract]] expression.
+    */
+  final case class Extract(key: String, pattern: String) extends AttrAction {
+    def apply(attrs: Column): Column = {
+      val g = graft.expr.GrokExtract.grok_extract(element_at(attrs, key), pattern)
+      val names = groupNames(pattern)
+      val pairs = names.flatMap(n => Seq(lit(n), g.getField(n)))
+      val extracted = map_filter(map(pairs: _*), (_, v) => v.isNotNull)
+      when(element_at(attrs, key).isNull, attrs)
+        .otherwise(map_concat(
+          map_filter(attrs, (k, _) => !k.isin(names.map(lit): _*)),
+          coalesce(extracted, map())))
+    }
+  }
+
+  private[graft] def groupNames(pattern: String): Seq[String] =
+    "\\(\\?<([A-Za-z][A-Za-z0-9_]*)>".r
+      .findAllMatchIn(pattern).map(_.group(1)).toSeq
+
+  /** Apply an ordered action list to `col`, like the reference's
+    * `actions:` config block.
+    */
+  def process(df: DataFrame, attrsCol: String, actions: Seq[AttrAction]): DataFrame =
+    df.withColumn(attrsCol,
+      actions.foldLeft(col(attrsCol))((c, a) => a(c)))
+}

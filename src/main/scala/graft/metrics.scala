@@ -1,0 +1,64 @@
+package graft
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
+
+/** obsreport-style pipeline observability (SURVEY.md §2.12; ref
+  * `obsreport/obsreport.go`). Counter taxonomy copied verbatim:
+  * accepted / refused / dropped / sent / failed, tagged by stage name.
+  *
+  * Two mechanisms, matching the reference's metrics vs spans split:
+  *  - [[ObsMetrics]]: named `LongAccumulator`s (cluster-wide, cheap, survive
+  *    into the driver) — the counters.
+  *  - [[Obs.observed]]: `Dataset.observe` row counts per stage — exact
+  *    per-action numbers without a second pass over the data.
+  *  - [[Obs.lineage]]: per-partition row counts, written as a small lineage
+  *    table per batch (north rule: "per-partition lineage").
+  */
+final class ObsMetrics(spark: SparkSession) extends Serializable {
+  private val accs = TrieMap.empty[String, LongAccumulator]
+
+  def counter(stage: String, kind: String): LongAccumulator =
+    accs.getOrElseUpdate(s"$stage/$kind",
+      spark.sparkContext.longAccumulator(s"graft.$stage.$kind"))
+
+  def accepted(stage: String): LongAccumulator = counter(stage, "accepted")
+  def refused(stage: String): LongAccumulator  = counter(stage, "refused")
+  def dropped(stage: String): LongAccumulator  = counter(stage, "dropped")
+  def sent(stage: String): LongAccumulator     = counter(stage, "sent")
+  def failed(stage: String): LongAccumulator   = counter(stage, "failed")
+
+  def snapshot: Map[String, Long] =
+    accs.iterator.map { case (k, a) => (k, a.value.longValue()) }.toMap
+}
+
+object Obs {
+
+  /** Tag a frame with an `observe` aggregate; harvest with a
+    * QueryExecutionListener or `observedMetrics` on streaming progress.
+    */
+  def observed(df: DataFrame, stage: String): DataFrame =
+    df.observe(s"graft_$stage",
+      count(lit(1)).as("rows"),
+      count_if(col("conv_id").isNull).as("null_keys"))
+
+  /** Per-partition lineage frame for one batch:
+    * (batch_id, partition_id, stage, rows). A `groupBy(spark_partition_id())`
+    * — no mapPartitions, stays declarative.
+    */
+  def lineage(df: DataFrame, batchId: Long, stage: String): DataFrame =
+    df.groupBy(spark_partition_id().as("partition_id"))
+      .agg(count(lit(1)).as("rows"))
+      .withColumn("batch_id", lit(batchId))
+      .withColumn("stage", lit(stage))
+      .select("batch_id", "partition_id", "stage", "rows")
+
+  def writeLineage(df: DataFrame, batchId: Long, stage: String, outDir: String): Unit =
+    lineage(df, batchId, stage)
+      .coalesce(1)
+      .write.mode("overwrite")
+      .parquet(s"$outDir/_lineage/stage=$stage/batch_id=$batchId")
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured-Streaming runner — checkpoint-resumable parse→enrich→route
+  * with idempotent per-batch sink commits (SURVEY.md §2.2 exporterhelper
+  * mapping; north rule "resumable from checkpoint").
+  *
+  * Idempotence: each micro-batch writes to a deterministic
+  * `batch_id=<id>` directory with mode("overwrite"). If the query dies
+  * after writing but before the checkpoint commit, the replayed batch
+  * overwrites the same directory with identical bytes (every expression in
+  * the pipeline is deterministic) — exactly-once effective semantics, the
+  * Spark analog of queued_retry's at-least-once + dedup-by-idempotence.
+  *
+  * The batchprocessor analog (§2.5): `Trigger.ProcessingTime` is the timeout
+  * flush; `maxFilesPerTrigger` is the size flush.
+  */
+object StreamingPipeline {
+
+  def start(spark: SparkSession, inputDir: String, outDir: String,
+            checkpointDir: String,
+            sinks: Seq[SinkSpec] = Route.defaultSinks,
+            triggerMs: Long = 200L,
+            maxFilesPerTrigger: Int = 8,
+            obs: Option[ObsMetrics] = None): StreamingQuery = {
+    val roleDim = TranscriptGen.roleDim(spark).toDF()
+    val toolDim = TranscriptGen.toolDim(spark).toDF()
+
+    val stream = spark.readStream
+      .schema(Schemas.turn)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inputDir)
+      .withWatermark("ts", "10 minutes")
+
+    val routed = Pipeline.transform(stream, roleDim, toolDim, sinks)
+
+    routed.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val cached = batch.persist()
+        try {
+          // idempotent: deterministic dir per (sink, batchId), overwrite
+          cached
+            .sortWithinPartitions(col("conv_id"), col("turn_idx"))
+            .write.mode("overwrite")
+            .partitionBy(Route.SinkCol, "tool_invoked", "role")
+            .parquet(s"$outDir/routed/batch_id=$batchId")
+          Aggregate.sinkCounts(cached)
+            .withColumn("batch_id", lit(batchId))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(s"$outDir/sink_counts/batch_id=$batchId")
+          Obs.writeLineage(cached, batchId, "route", outDir)
+          obs.foreach(_.sent("route").add(cached.count()))
+        } finally { cached.unpersist() }
+        ()
+      }
+      .start()
+  }
+
+  /** Read back everything the streaming run routed (all batches). */
+  def readRouted(spark: SparkSession, outDir: String): DataFrame =
+    spark.read
+      .option("basePath", s"$outDir/routed")
+      .parquet(s"$outDir/routed/batch_id=*")
+}
