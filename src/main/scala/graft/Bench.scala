@@ -1,24 +1,73 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: headline queries on SPARK_GRAFT_SF_DIR + the
+  * end-to-end transcript pipeline. Prints exactly ONE JSON line.
+  */
 object Bench {
+
+  /** Headline subset: the shapes that dominate 100 TB cost. */
+  val headline: Seq[String] = Seq(
+    "q_agg_groupby", "q_join_3way", "q_window_lag", "q_json_extract",
+    "q_regex_extract", "q_grok_extract", "q_dedup_normalized",
+    "q_text_profile", "q_minhash_neardups", "q_ann_bruteforce",
+    "q_case_route", "q_agg_countdistinct")
+
+  def time[A](f: => A): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Transcript pipeline throughput: nConvs conversations (~3.45 turns/conv
+    * at the Zipf default) through parse→enrich→route→aggregate, both
+    * aggregates materialized. Returns (seconds, turns).
+    */
+  def pipelineRun(spark: SparkSession, nConvs: Long): (Double, Long) = {
+    val turns = TranscriptGen.turnsDs(spark, nConvs).toDF()
+    val routed = Pipeline.transform(turns,
+      TranscriptGen.roleDim(spark).toDF(), TranscriptGen.toolDim(spark).toDF())
+      .persist()
+    var n = 0L
+    val sec = time {
+      n = routed.count()
+      Aggregate.sinkCounts(routed).collect()
+      Aggregate.convRollup(routed).count()
+    }
+    routed.unpersist()
+    (sec, n)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    // JVM/codegen warmup outside the timed region
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+
+    val results = headline.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        name -> (try time(fn(spark, sfDir).count())
+                 catch { case _: Throwable => -1.0 })
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // pipeline throughput at bench scale (~500k turns)
+    val (pipeSec, pipeTurns) = pipelineRun(spark, 145000L)
+    val turnsPerSec = pipeTurns / pipeSec
+
+    val all = results :+ ("pipeline_e2e" -> pipeSec)
+    val qs = all.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = all.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_turns":$pipeTurns,"pipeline_turns_per_sec":$turnsPerSec%.0f}""")
     spark.stop()
   }
 }

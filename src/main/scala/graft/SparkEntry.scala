@@ -1,13 +1,381 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Driver contract — one `queries` entry per implemented operator
+  * (SURVEY.md §2.13 checklist + training-data ops), with DuckDB-runnable
+  * `oracleSql` where the operator is ANSI-SQL-expressible. Oracle SQL may
+  * use DuckDB dialect (it only runs there) but must produce identical
+  * rows/values on the same parquet tables.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: full transcript pipeline (parse→enrich→route→aggregate) on a
+    * deterministic synthetic corpus; driver smoke-checks rows>0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val turns = TranscriptGen.turnsDs(spark, 500).toDF()
+    val routed = Pipeline.transform(turns,
+      TranscriptGen.roleDim(spark).toDF(), TranscriptGen.toolDim(spark).toDF())
+    Aggregate.convRollup(routed)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---------------- scans / filter / projection (§2.1, §2.4, §2.11)
+    "q_filter_project" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .where(col("l_shipdate") < lit(java.sql.Date.valueOf("1996-01-01")) &&
+               col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+          col("l_returnflag"))),
+
+    // ---------------- aggregations (§2.7)
+    "q_agg_groupby" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).cast("double").as("sum_qty"),
+          count(lit(1)).as("n_rows"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"))),
+
+    "q_agg_having" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).cast("double").as("sum_qty"))
+        .where(col("sum_qty") > 150)),
+
+    "q_agg_countdistinct" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))),
+
+    // ---------------- joins (§2.13)
+    "q_join_broadcast" -> ((s, d) =>
+      t(s, d, "orders").join(broadcast(t(s, d, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))),
+
+    "q_join_3way" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderstatus"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity")).cast("double").as("sum_qty"))),
+
+    "q_semi_join" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment"))),
+
+    "q_anti_join" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))),
+
+    "q_join_nation_region" -> ((s, d) =>
+      t(s, d, "nation").join(broadcast(t(s, d, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name")).agg(count(lit(1)).as("n_nations"))),
+
+    // ---------------- set ops (§2.10 fanout/union)
+    "q_union" -> ((s, d) => {
+      val hi = t(s, d, "orders").where(col("o_totalprice") > 400000)
+        .select(col("o_custkey").as("custkey"))
+      val lo = t(s, d, "orders").where(col("o_totalprice") < 1000)
+        .select(col("o_custkey").as("custkey"))
+      hi.unionByName(lo).distinct()
+    }),
+
+    "q_distinct" -> ((s, d) =>
+      t(s, d, "events").select(col("event_type")).distinct()),
+
+    // ---------------- sort / top-k (§2.13)
+    "q_sort_topk" -> ((s, d) =>
+      t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_totalprice"))),
+
+    // ---------------- window functions (§2.7 cumulative→delta)
+    "q_window_lag" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .withColumn("delta", round(col("value") - coalesce(col("prev_value"), lit(0.0)), 4))
+        .select(col("event_id"), col("user_id"), col("delta"))
+    }),
+
+    "q_window_rownum" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id"))
+      t(s, d, "events")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("user_id"), col("event_id"), col("value"), col("rn"))
+    }),
+
+    "q_window_running" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .withColumn("running_value", round(sum(col("value")).over(w), 4))
+        .select(col("event_id"), col("user_id"), col("running_value"))
+    }),
+
+    // ---------------- scalar functions: json / regex / time (§2.13)
+    "q_json_extract" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))),
+
+    "q_regex_extract" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("first_word", regexp_extract(col("text"), "^(\\w+)", 1))
+        .groupBy(col("first_word")).agg(count(lit(1)).as("n_docs"))),
+
+    "q_grok_extract" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("kval",
+          graft.expr.GrokExtract.grok_extract(col("props"), "\"k\": (?<kval>\\d+)")
+            .getField("kval").cast("long"))
+        .groupBy(col("kval") % 10).agg(count(lit(1)).as("n"))
+        .withColumnRenamed("(kval % 10)", "k_mod")
+        .toDF("k_mod", "n")),
+
+    "q_date_trunc" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("sum_value"))),
+
+    // ---------------- routing CASE (filterprocessor semantics §2.4)
+    "q_case_route" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("sink",
+          when(col("event_type") === "error", "errors")
+          .when(col("value") > 150, "big")
+          .otherwise("rest"))
+        .groupBy(col("sink")).agg(count(lit(1)).as("n_rows"))),
+
+    // ---------------- deterministic sampling (§2.9; SQL-expressible variant)
+    "q_mod_sample" -> ((s, d) =>
+      t(s, d, "events")
+        .where(col("event_id") % 100 < 10)
+        .select(col("event_id"), col("user_id"), col("event_type"))),
+
+    // ---------------- dedup ops (training-data; FIXTURES §5 documents)
+    "q_dedup_exact" -> ((s, d) =>
+      graft.ops.Dedup.exact(t(s, d, "documents"), "doc_id", Seq("text"))
+        .select(col("text"), col("doc_id"), col("n_dupes"))),
+
+    "q_dedup_normalized" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("norm",
+          array_join(filter(
+            split(regexp_replace(lower(col("text")), "[^a-z0-9\\s]", " "), "\\s+"),
+            w => w =!= ""), " "))
+        .groupBy(col("norm"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dupes"))
+        .select(col("doc_id"), col("n_dupes"))),
+
+    // ---------------- text analysis ops
+    "q_token_count" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.ops.TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens_ws"))),
+
+    "q_lang_stats" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))),
+
+    "q_text_profile" -> ((s, d) =>
+      graft.ops.TextAnalysis.profile(t(s, d, "documents"), "text")
+        .groupBy(col("lang_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens_bpe").cast("long")).as("sum_tokens"))),
+
+    // ---------------- near-dup / similarity (no ANSI oracle — rows-only)
+    "q_minhash_neardups" -> ((s, d) =>
+      graft.ops.Dedup.minhashNearDups(
+        t(s, d, "documents").limit(200), "doc_id", "text", threshold = 0.5)),
+
+    "q_simhash_sigs" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), graft.ops.Dedup.simhash(col("text")).as("sig"))),
+
+    "q_ann_bruteforce" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      graft.ops.Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        emb.where(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+        .withColumn("cosine", round(col("cosine"), 6))
+    }),
+
+    "q_ann_lsh" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      graft.ops.Similarity.lshTopK(emb, "vec_id", "embedding",
+        emb.where(col("vec_id") < 5), "vec_id", "embedding", k = 5, planes = 6)
+        .withColumn("cosine", round(col("cosine"), 6))
+    }),
+
+    // ---------------- transcript pipeline stages (synthetic input — rows-only)
+    "q_pipeline_rollup" -> ((s, _) => entry(s)),
+
+    "q_pipeline_sinkcounts" -> ((s, _) => {
+      val turns = TranscriptGen.turnsDs(s, 500).toDF()
+      Aggregate.sinkCounts(Pipeline.transform(turns,
+        TranscriptGen.roleDim(s).toDF(), TranscriptGen.toolDim(s).toDF()))
+    }),
+
+    "q_conv_sample" -> ((s, _) => {
+      val turns = TranscriptGen.turnsDs(s, 500).toDF()
+      Sampler.sampleConversations(turns, 10.0)
+        .groupBy(col("conv_id")).agg(count(lit(1)).as("n_turns"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_filter_project" ->
+      """SELECT l_orderkey, l_partkey, l_quantity, l_returnflag
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_quantity > 45""".stripMargin,
+
+    "q_agg_groupby" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_agg_having" ->
+      """SELECT l_orderkey, CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_orderkey
+        |HAVING CAST(SUM(l_quantity) AS DOUBLE) > 150""".stripMargin,
+
+    "q_agg_countdistinct" ->
+      """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_join_broadcast" ->
+      """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q_join_3way" ->
+      """SELECT o_orderstatus, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY o_orderstatus, c_mktsegment""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders)""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin,
+
+    "q_join_nation_region" ->
+      """SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+
+    "q_union" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+        |UNION
+        |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice < 1000""".stripMargin,
+
+    "q_distinct" -> "SELECT DISTINCT event_type FROM events",
+
+    "q_sort_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_window_lag" ->
+      """SELECT event_id, user_id,
+        |  ROUND(value - COALESCE(LAG(value, 1) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id), 0.0), 4) AS delta
+        |FROM events""".stripMargin,
+
+    "q_window_rownum" ->
+      """SELECT user_id, event_id, value, rn FROM (
+        |  SELECT user_id, event_id, value,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY value DESC, event_id) AS INT) AS rn
+        |  FROM events) WHERE rn <= 3""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT event_id, user_id,
+        |  ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+        |FROM events""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_type,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_regex_extract" ->
+      """SELECT regexp_extract(text, '^(\w+)', 1) AS first_word,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_grok_extract" ->
+      """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) % 10 AS k_mod,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_date_trunc" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(value), 2) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_case_route" ->
+      """SELECT CASE WHEN event_type = 'error' THEN 'errors'
+        |            WHEN value > 150 THEN 'big' ELSE 'rest' END AS sink,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_mod_sample" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE event_id % 100 < 10""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT text, CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_dupes
+        |FROM documents GROUP BY text""".stripMargin,
+
+    "q_dedup_normalized" ->
+      """SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_dupes
+        |FROM documents
+        |GROUP BY trim(regexp_replace(regexp_replace(lower(text),
+        |  '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens_ws
+        |FROM documents""".stripMargin,
+
+    "q_lang_stats" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang""".stripMargin
+  )
 }

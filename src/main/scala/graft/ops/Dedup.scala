@@ -1,0 +1,195 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale deduplication for training-data pipelines.
+  *
+  * All variants are pure DataFrame/Column compositions — deterministic
+  * (hash-derived "randomness", no rand()), shuffle-aware:
+  *
+  *  - exact: one hash-groupBy shuffle on the content key.
+  *  - MinHash+LSH: shingle → per-row minhash signature (narrow) → explode
+  *    bands → bucket self-join (shuffle on band key only; never all-pairs)
+  *    → exact Jaccard verify on candidates.
+  *  - SimHash: 64-bit signature (narrow) → 4×16-bit band join (Hamming ≤ 3
+  *    guarantee via pigeonhole) → exact Hamming verify.
+  *  - n-gram Jaccard: exact verify path shared with MinHash candidates.
+  *  - embedding cosine: random-hyperplane LSH buckets → in-bucket verify,
+  *    plus a brute-force baseline in [[Similarity]].
+  *
+  * At 100 TB the only all-to-all operations are bucket joins whose key
+  * cardinality is tuned by (numHashes, bands) / planes — the classic
+  * LSH trade; candidate verification touches only colliding pairs.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup on a content key: keep the smallest id per key. */
+  def exact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dupes"))
+
+  /** Rows to KEEP after exact dedup (first id wins). */
+  def exactKeep(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(idCol))
+    df.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
+  }
+
+  // ------------------------------------------------------------- shingles
+
+  /** Word k-shingles of a text column (lowercased), distinct. */
+  def wordShingles(text: Column, k: Int = 3): Column = {
+    val words = split(lower(text), "\\s+")
+    array_distinct(
+      filter(
+        transform(sequence(lit(0), greatest(size(words) - k, lit(0))),
+          i => when(i + k <= size(words),
+            array_join(slice(words, i + 1, lit(k)), " "))),
+        s => s.isNotNull))
+  }
+
+  // ------------------------------------------------------------- minhash
+
+  /** MinHash signature: array of `numHashes` min-over-shingles hashes.
+    * hash_j(s) = xxhash64(s, j) — deterministic family.
+    */
+  def minhashSignature(shingles: Column, numHashes: Int = 64): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      j => coalesce(
+        array_min(transform(shingles, s => xxhash64(s, j))),
+        lit(Long.MaxValue)))
+
+  /** Candidate pairs via banded LSH over minhash signatures.
+    * Output: (id_a, id_b, jaccard_est) with id_a < id_b, distinct.
+    */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 64, bands: Int = 16,
+                        shingleK: Int = 3): DataFrame = {
+    val rows = numHashes / bands
+    val sig = df.select(col(idCol).as("id"),
+        minhashSignature(wordShingles(col(textCol), shingleK), numHashes).as("sig"))
+      .withColumn("band",
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band_idx"),
+            xxhash64(concat_ws(",",
+              slice(col("sig"), b * rows + 1, lit(rows)).cast("array<string>")).cast("string")).as("band_hash")))))
+      .select(col("id"), col("sig"), col("band.band_idx"), col("band.band_hash"))
+    val a = sig.select(col("id").as("id_a"), col("sig").as("sig_a"),
+      col("band_idx"), col("band_hash"))
+    val b = sig.select(col("id").as("id_b"), col("sig").as("sig_b"),
+      col("band_idx"), col("band_hash"))
+    a.join(b, Seq("band_idx", "band_hash"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / numHashes).as("jaccard_est"))
+      .distinct()
+  }
+
+  /** Near-dup pairs: LSH candidates verified with EXACT n-gram Jaccard. */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      threshold: Double = 0.8, numHashes: Int = 64,
+                      bands: Int = 16, shingleK: Int = 3): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, numHashes, bands, shingleK)
+    val sh = df.select(col(idCol).as("id"),
+      wordShingles(col(textCol), shingleK).as("sh"))
+    cands
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard", ngramJaccardCol(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard_est", "jaccard")
+  }
+
+  // ------------------------------------------------------- n-gram jaccard
+
+  /** Exact Jaccard between two shingle arrays. */
+  def ngramJaccardCol(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_union(a, b)).cast("double")
+    when(union === 0, lit(1.0)).otherwise(inter / union)
+  }
+
+  /** Exact all-pairs n-gram Jaccard above a threshold — O(n²) verify path;
+    * only for tests/small frames (the scale path is [[minhashNearDups]]).
+    */
+  def ngramJaccardAllPairs(df: DataFrame, idCol: String, textCol: String,
+                           threshold: Double, k: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), wordShingles(col(textCol), k).as("sh"))
+    val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .withColumn("jaccard", ngramJaccardCol(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash of the word multiset: bit i = sign of Σ_words ±1
+    * depending on bit i of xxhash64(word). Narrow, codegen'd higher-order
+    * functions only.
+    */
+  def simhash(text: Column): Column = {
+    val words = split(lower(text), "\\s+")
+    val hashes = transform(words, w => xxhash64(w))
+    val acc = aggregate(
+      hashes,
+      array_repeat(lit(0), 64),
+      (a, h) => zip_with(a, sequence(lit(0), lit(63)),
+        (cnt, i) => cnt + when(call_function("shiftright", h, i.cast("int")).bitwiseAND(1) === 1, 1).otherwise(-1)))
+    aggregate(
+      zip_with(acc, sequence(lit(0), lit(63)),
+        (cnt, i) => when(cnt > 0, call_function("shiftleft", lit(1L), i.cast("int"))).otherwise(lit(0L))),
+      lit(0L), (s, v) => s.bitwiseOR(v))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs with Hamming ≤ maxDist, via 4×16-bit band join
+    * (pigeonhole: any pair with ≤3 differing bits shares ≥1 exact band).
+    */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      maxDist: Int = 3): DataFrame = {
+    val sig = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+      .withColumn("band", explode(transform(sequence(lit(0), lit(3)),
+        b => struct(b.as("band_idx"),
+          call_function("shiftright", col("sig"), (b * 16).cast("int")).bitwiseAND(0xFFFFL).as("band_key")))))
+      .select(col("id"), col("sig"), col("band.band_idx"), col("band.band_key"))
+    val a = sig.select(col("id").as("id_a"), col("sig").as("sig_a"),
+      col("band_idx"), col("band_key"))
+    val b = sig.select(col("id").as("id_b"), col("sig").as("sig_b"),
+      col("band_idx"), col("band_key"))
+    a.join(b, Seq("band_idx", "band_key"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming(col("sig_a"), col("sig_b")).as("dist"))
+      .distinct()
+      .where(col("dist") <= maxDist)
+  }
+
+  // --------------------------------------------- embedding cosine near-dup
+
+  /** Near-duplicate pairs by embedding cosine ≥ threshold, using
+    * random-hyperplane LSH buckets (deterministic planes) to avoid the
+    * all-pairs join; exact cosine verify inside buckets.
+    */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double = 0.95, planes: Int = 12,
+                        seed: Long = 7L): DataFrame = {
+    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", Similarity.hyperplaneBucket(col("v"), planes, seed))
+    val a = bucketed.select(col("id").as("id_a"), col("v").as("v_a"), col("bucket"))
+    val b = bucketed.select(col("id").as("id_b"), col("v").as("v_b"), col("bucket"))
+    a.join(b, "bucket")
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
+      .where(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+      .distinct()
+  }
+}

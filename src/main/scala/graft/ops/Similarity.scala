@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor similarity search over an embedding column
+  * (`array<float>`).
+  *
+  *  - [[bruteForceTopK]]: exact baseline — broadcast the (small) query set,
+  *    score every row, per-query top-k via window. One pass over the corpus,
+  *    no corpus shuffle; correct at any scale where queries are broadcastable.
+  *  - [[lshTopK]]: scale path — deterministic random-hyperplane buckets
+  *    (sign-bit LSH) computed narrowly per row; candidates are only rows in
+  *    the query's bucket (+ optional multiprobe 1-bit neighbors), so the
+  *    scored fraction is ~2^-planes (× (1+planes) with multiprobe).
+  *
+  * All vector math is `zip_with`/`aggregate` higher-order functions —
+  * codegen'd, no UDF.
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0, lit(0.0d)).otherwise(dot(a, b) / d)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * uniform in [-1, 1) from xxhash64 — same on every executor/retry.
+    */
+  private def planeComponent(plane: Column, dim: Column, seed: Long): Column =
+    (pmod(xxhash64(plane, dim, lit(seed)), lit(2000000L)).cast("double") / 1000000.0) - 1.0
+
+  /** Sign-bit LSH bucket id from `planes` hyperplanes. */
+  def hyperplaneBucket(v: Column, planes: Int, seed: Long = 7L): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(planes - 1)), p => {
+        val proj = aggregate(
+          zip_with(v, sequence(lit(0), size(v) - 1),
+            (x, i) => x * planeComponent(p, i, seed)),
+          lit(0.0d), (acc, x) => acc + x)
+        when(proj >= 0, call_function("shiftleft", lit(1L), p.cast("int"))).otherwise(lit(0L))
+      }),
+      lit(0L), (acc, b) => acc.bitwiseOR(b))
+
+  /** Exact top-k cosine neighbors for each query row. `queries` must be
+    * small (it is broadcast). Output: (query_id, id, cosine, rank).
+    */
+  def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                     queries: DataFrame, qIdCol: String, qVecCol: String,
+                     k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(
+        queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"))))
+      .where(col("id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("v"), col("qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "id", "cosine", "rank")
+  }
+
+  /** LSH-bucketed ANN top-k: score only candidates sharing the query's
+    * bucket (multiprobe: also buckets at Hamming distance 1).
+    */
+  def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              queries: DataFrame, qIdCol: String, qVecCol: String,
+              k: Int = 10, planes: Int = 8, seed: Long = 7L,
+              multiprobe: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", hyperplaneBucket(col("v"), planes, seed))
+    val qb = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"))
+      .withColumn("qbucket", hyperplaneBucket(col("qv"), planes, seed))
+    val probes =
+      if (!multiprobe) qb.withColumn("bucket", col("qbucket"))
+      else qb.withColumn("bucket",
+        explode(array_union(
+          array(col("qbucket")),
+          transform(sequence(lit(0), lit(planes - 1)),
+            p => col("qbucket").bitwiseXOR(call_function("shiftleft", lit(1L), p.cast("int")))))))
+    val scored = c.join(broadcast(probes), "bucket")
+      .where(col("id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("v"), col("qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "id", "cosine", "rank")
+  }
+}

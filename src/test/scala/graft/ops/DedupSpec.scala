@@ -1,0 +1,85 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy dog near the river shore"), // near dup of 0
+    (3L, "completely different content about spark query engines and shuffles"),
+    (4L, "spark query engines shuffle data between executors for aggregation"),
+    (5L, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG NEAR THE RIVER BANK") // case dup of 0
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps first id per key") {
+    val kept = Dedup.exactKeep(docs, "doc_id", Seq("text"))
+    assert(kept.count() === 5) // only 0/1 identical byte-for-byte
+    assert(!kept.select("doc_id").as[Long].collect().contains(1L))
+    val groups = Dedup.exact(docs, "doc_id", Seq("text"))
+    assert(groups.where(col("n_dupes") === 2).count() === 1)
+  }
+
+  test("word shingles") {
+    val sh = docs.where($"doc_id" === 0)
+      .select(Dedup.wordShingles($"text", 3).as("sh"))
+      .head().getSeq[String](0)
+    assert(sh.contains("the quick brown"))
+    assert(sh.forall(_.split(" ").length == 3))
+  }
+
+  test("minhash LSH finds exact+case+near dups, not unrelated docs") {
+    val dups = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(dups.contains((0L, 1L)), s"exact dup must collide: $dups")
+    assert(dups.contains((0L, 5L)), s"case-only dup must collide: $dups")
+    assert(dups.contains((0L, 2L)), s"one-word-change near dup: $dups")
+    assert(!dups.exists { case (a, b) => Set(a, b).intersect(Set(3L, 4L)).nonEmpty &&
+      Set(a, b).intersect(Set(0L, 1L, 2L, 5L)).nonEmpty },
+      s"unrelated docs must not pair with fox docs: $dups")
+  }
+
+  test("minhash jaccard estimate tracks exact jaccard") {
+    val cands = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.0)
+    val bad = cands.where(abs(col("jaccard_est") - col("jaccard")) > 0.35).count()
+    assert(bad === 0)
+  }
+
+  test("simhash: identical→0 distance, near→small, far→large") {
+    val sigs = docs.select($"doc_id", Dedup.simhash($"text").as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(0L) === sigs(1L))
+    assert(sigs(0L) === sigs(5L)) // lowercased
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(0L), sigs(2L)) < ham(sigs(0L), sigs(3L)))
+    val nd = Dedup.simhashNearDups(docs, "doc_id", "text", maxDist = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(nd.contains((0L, 1L)) && nd.contains((0L, 5L)))
+  }
+
+  test("ngram jaccard all-pairs matches LSH-verified jaccard on hits") {
+    val ap = Dedup.ngramJaccardAllPairs(docs, "doc_id", "text", 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // LSH may miss pairs (probabilistic) but must never invent pairs
+    assert(lsh.subsetOf(ap))
+    assert(ap.contains((0L, 2L)))
+  }
+
+  test("embedding cosine near-dups via hyperplane LSH") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.999f, 0.01f, 0.0f, 0.0f)),  // ~same direction as 0
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),     // orthogonal
+      (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f))     // opposite
+    ).toDF("vec_id", "embedding")
+    val nd = Dedup.embeddingNearDups(vecs, "vec_id", "embedding",
+      threshold = 0.99, planes = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(nd === Set((0L, 1L)))
+  }
+}

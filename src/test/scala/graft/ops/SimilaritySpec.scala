@@ -1,0 +1,68 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def embeddings = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("cosine math: orthogonal=0, identical=1, opposite=-1") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f), 0.0),
+      (Array(1.0f, 2.0f), Array(1.0f, 2.0f), 1.0),
+      (Array(1.0f, 0.0f), Array(-1.0f, 0.0f), -1.0),
+      (Array(0.0f, 0.0f), Array(1.0f, 0.0f), 0.0) // zero vector guarded
+    ).toDF("a", "b", "expected")
+    val bad = df.where(abs(Similarity.cosine($"a", $"b") - $"expected") > 1e-6).count()
+    assert(bad === 0)
+  }
+
+  test("brute-force top-k on real embeddings table: ranks ordered, k respected") {
+    val queries = embeddings.where($"vec_id" < 3)
+    val topk = Similarity.bruteForceTopK(embeddings, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5).cache()
+    assert(topk.groupBy("query_id").count().where($"count" =!= 5).count() === 0)
+    // ranks are 1..5 with non-increasing cosine
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id").orderBy("rank")
+    val bad = topk.withColumn("prev", lag($"cosine", 1).over(w))
+      .where($"prev".isNotNull && $"cosine" > $"prev" + 1e-9).count()
+    assert(bad === 0)
+  }
+
+  test("LSH top-k recalls brute-force top-k on clustered vectors") {
+    // 20 clusters × 10 members: center + deterministic small noise. Real
+    // near-neighbor structure (cosine ≈ .95 within a cluster) — the regime
+    // LSH is for; raw random 64-dim vectors have no neighbors to find.
+    def rng(seed: Long): Double = {
+      val x = seed * 6364136223846793005L + 1442695040888963407L
+      ((math.abs(x >>> 11) % 2000000) / 1000000.0) - 1.0
+    }
+    val vecs = (0 until 200).map { i =>
+      val c = i / 10
+      val v = Array.tabulate(16)(d =>
+        (rng(c * 31 + d) + 0.15 * rng(i * 97 + d + 7)).toFloat)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.where($"vec_id" % 10 === 0).limit(10)
+    val bf = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, planes = 8)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val recall = (bf intersect lsh).size.toDouble / bf.size
+    assert(recall >= 0.7, s"LSH recall too low on clustered data: $recall")
+  }
+
+  test("LSH top-k smoke on the real embeddings table") {
+    val queries = embeddings.where($"vec_id" < 5)
+    val lsh = Similarity.lshTopK(embeddings, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, planes = 6)
+    assert(lsh.count() > 0)
+    assert(lsh.where($"rank" > 5).count() === 0)
+  }
+}
