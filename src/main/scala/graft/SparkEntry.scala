@@ -155,7 +155,7 @@ object SparkEntry {
 
     "q_date_trunc" -> ((s, d) =>
       t(s, d, "events")
-        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
         .agg(count(lit(1)).as("n"),
           round(sum(col("value")), 2).as("sum_value"))),
 
@@ -174,7 +174,65 @@ object SparkEntry {
         .where(col("event_id") % 100 < 10)
         .select(col("event_id"), col("user_id"), col("event_type"))),
 
+    // ---------------- attributesprocessor actions over a dynamic map (§2.3)
+    "q_attrs_actions" -> ((s, d) => {
+      val attrs = from_json(col("props"),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType))
+      AttrActions.process(
+        t(s, d, "events").withColumn("attrs", attrs),
+        "attrs",
+        Seq(AttrActions.Upsert("env", "prod"),          // unconditional set
+            AttrActions.Insert("k", "must_not_clobber"), // k exists → no-op
+            AttrActions.Delete("gone")))                 // absent → no-op
+        .select(col("event_id"),
+          element_at(col("attrs"), "k").as("k_val"),
+          element_at(col("attrs"), "env").as("env"))
+    }),
+
+    // ---------------- hash action (§2.3) — sha2 so DuckDB can oracle it
+    "q_hash_attr" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), sha2(col("text"), 256).as("text_sha"))),
+
+    // ---------------- spanprocessor rename: concat_ws (§2.8)
+    "q_concat_rename" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("span_name",
+          concat_ws("/", col("event_type"), col("user_id").cast("string")))
+        .groupBy(col("span_name")).agg(count(lit(1)).as("n"))),
+
+    // ---------------- event-time tumbling window (batchprocessor §2.5)
+    "q_window_tumbling" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+          col("n"), col("sum_value"))),
+
+    // ---------------- gap-based sessionization (tail-sampling analog §2.13)
+    "q_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .withColumn("gap_us",
+          unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(lag(col("ts"), 1).over(w).cast("timestamp")))
+        .withColumn("new_sess",
+          when(col("gap_us").isNull || col("gap_us") > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sess_id", sum(col("new_sess")).over(
+          Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(count(lit(1)).as("n_events"))
+    }),
+
     // ---------------- dedup ops (training-data; FIXTURES §5 documents)
+    "q_dedup_keep" -> ((s, d) =>
+      graft.ops.Dedup.exactKeep(t(s, d, "documents"), "doc_id", Seq("text"))
+        .select(col("doc_id"), col("lang"))),
+
     "q_dedup_exact" -> ((s, d) =>
       graft.ops.Dedup.exact(t(s, d, "documents"), "doc_id", Seq("text"))
         .select(col("text"), col("doc_id"), col("n_dupes"))),
@@ -214,6 +272,37 @@ object SparkEntry {
     "q_simhash_sigs" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), graft.ops.Dedup.simhash(col("text")).as("sig"))),
+
+    "q_simhash_neardups" -> ((s, d) =>
+      graft.ops.Dedup.simhashNearDups(
+        t(s, d, "documents").limit(300), "doc_id", "text", maxDist = 3)),
+
+    // synthetic embeddings are near-orthogonal (max pairwise cosine ≈0.51),
+    // so exercise the LSH-bucket + verify path at a threshold that yields rows
+    "q_embedding_neardups" -> ((s, d) =>
+      graft.ops.Dedup.embeddingNearDups(
+        t(s, d, "embeddings"), "vec_id", "embedding",
+        threshold = 0.3, planes = 4)
+        .withColumn("cosine", round(col("cosine"), 6))),
+
+    "q_quality_fingerprint" -> ((s, d) =>
+      graft.ops.TextAnalysis.profile(t(s, d, "documents"), "text")
+        .select(col("doc_id"), col("quality"), col("fingerprint"))),
+
+    // ---------------- multimodal plumbing (stubbed codec; rows-only)
+    "q_media_decode" -> ((s, _) => {
+      val media = graft.ops.Multimodal.syntheticMedia(s, 300)
+      graft.ops.Multimodal.decodeAndFeaturize(media).toDF()
+        .select(col("media_id"), col("kind"), col("width"), col("height"),
+          col("n_frames"))
+    }),
+
+    "q_media_framesample" -> ((s, _) => {
+      val media = graft.ops.Multimodal.syntheticMedia(s, 300)
+      val dec = graft.ops.Multimodal.decodeAndFeaturize(media)
+      graft.ops.Multimodal.frameSamplePlan(dec)
+        .select(col("media_id"), col("n_frames"), size(col("sampled_frames")).as("n_sampled"))
+    }),
 
     "q_ann_bruteforce" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -342,7 +431,7 @@ object SparkEntry {
         |FROM events GROUP BY 1""".stripMargin,
 
     "q_date_trunc" ->
-      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, CAST(COUNT(*) AS BIGINT) AS n,
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(COUNT(*) AS BIGINT) AS n,
         |  ROUND(SUM(value), 2) AS sum_value
         |FROM events GROUP BY 1""".stripMargin,
 
@@ -355,6 +444,46 @@ object SparkEntry {
     "q_mod_sample" ->
       """SELECT event_id, user_id, event_type FROM events
         |WHERE event_id % 100 < 10""".stripMargin,
+
+    "q_attrs_actions" ->
+      """SELECT event_id, json_extract_string(props, '$.k') AS k_val,
+        |  'prod' AS env
+        |FROM events""".stripMargin,
+
+    "q_hash_attr" ->
+      """SELECT doc_id, sha256(text) AS text_sha FROM documents""".stripMargin,
+
+    "q_concat_rename" ->
+      """SELECT event_type || '/' || CAST(user_id AS VARCHAR) AS span_name,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_window_tumbling" ->
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,
+        |  CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH gaps AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT user_id,
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+        |  FROM gaps
+        |)
+        |SELECT user_id, sess_id, CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM sess GROUP BY user_id, sess_id""".stripMargin,
+
+    "q_dedup_keep" ->
+      """SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+        |  arg_min(lang, doc_id) AS lang
+        |FROM documents GROUP BY text""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT text, CAST(MIN(doc_id) AS BIGINT) AS doc_id,

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Checkpoint-resume test (SURVEY.md §5.4; north rule "resumable from
+  * checkpoint"): run the streaming pipeline over part of the corpus, stop
+  * the query (the crash stand-in — Structured Streaming recovers from the
+  * last committed offset in the checkpoint either way), add the rest of the
+  * corpus, restart with the SAME checkpoint, and assert the final routed
+  * state equals the single-shot batch run.
+  */
+class StreamingSpec extends SparkTestBase {
+
+  test("streaming resume: two-session run ≡ single batch run") {
+    val inputDir = tmpDir("stream-in")
+    val outDir = tmpDir("stream-out")
+    val ckptDir = tmpDir("stream-ckpt")
+
+    val all = TranscriptGen.turns(spark, 300, seed = 42).drop("_truth").cache()
+    val firstHalf = all.where(xxhash64(col("conv_id")) % 2 === 0)
+    val secondHalf = all.where(xxhash64(col("conv_id")) % 2 =!= 0)
+
+    // session 1: only half the files exist; process everything, then stop
+    firstHalf.repartition(4).write.mode("append").parquet(inputDir)
+    val q1 = StreamingPipeline.start(spark, inputDir, outDir, ckptDir,
+      maxFilesPerTrigger = 2)
+    q1.processAllAvailable()
+    q1.stop()
+
+    // session 2: more files arrive; restart from the SAME checkpoint
+    secondHalf.repartition(4).write.mode("append").parquet(inputDir)
+    val q2 = StreamingPipeline.start(spark, inputDir, outDir, ckptDir,
+      maxFilesPerTrigger = 2)
+    q2.processAllAvailable()
+    q2.stop()
+
+    val streamed = StreamingPipeline.readRouted(spark, outDir)
+      .select("conv_id", "turn_idx", "text", Route.SinkCol)
+    val batch = Pipeline.transform(all,
+        TranscriptGen.roleDim(spark).toDF(), TranscriptGen.toolDim(spark).toDF())
+      .select("conv_id", "turn_idx", "text", Route.SinkCol)
+
+    // sent == received, field equality AND identical routing decisions
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+
+    // per-batch sink counts sum to the batch-mode sink counts
+    val streamCounts = spark.read
+      .option("basePath", s"$outDir/sink_counts")
+      .parquet(s"$outDir/sink_counts/batch_id=*")
+      .groupBy(Route.SinkCol).agg(sum("n_turns").as("n_turns"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batchCounts = Aggregate.sinkCounts(batch.toDF())
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamCounts === batchCounts)
+    all.unpersist()
+  }
+
+  test("restart with no new data is a no-op (idempotent resume)") {
+    val inputDir = tmpDir("stream-in2")
+    val outDir = tmpDir("stream-out2")
+    val ckptDir = tmpDir("stream-ckpt2")
+
+    val turns = TranscriptGen.turns(spark, 80, seed = 7).drop("_truth")
+    turns.repartition(3).write.mode("append").parquet(inputDir)
+
+    val q1 = StreamingPipeline.start(spark, inputDir, outDir, ckptDir)
+    q1.processAllAvailable(); q1.stop()
+    val n1 = StreamingPipeline.readRouted(spark, outDir).count()
+
+    val q2 = StreamingPipeline.start(spark, inputDir, outDir, ckptDir)
+    q2.processAllAvailable(); q2.stop()
+    val n2 = StreamingPipeline.readRouted(spark, outDir).count()
+
+    assert(n1 === turns.count() && n2 === n1)
+  }
+}
