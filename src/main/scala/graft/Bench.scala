@@ -20,20 +20,24 @@ object Bench {
 
   /** Transcript pipeline throughput: nConvs conversations (~3.45 turns/conv
     * at the Zipf default) through parse→enrich→route→aggregate, both
-    * aggregates materialized. Returns (seconds, turns).
+    * aggregates materialized. One full-data pass: the salted partial
+    * aggregation is the only shuffle; per-sink counts, per-conversation
+    * rollups, and the turn count all derive from the (small) partials frame
+    * — no full-size persist (which would bottleneck on cache write, not
+    * pipeline compute). Returns (seconds, turns).
     */
   def pipelineRun(spark: SparkSession, nConvs: Long): (Double, Long) = {
     val turns = TranscriptGen.turnsDs(spark, nConvs).toDF()
     val routed = Pipeline.transform(turns,
       TranscriptGen.roleDim(spark).toDF(), TranscriptGen.toolDim(spark).toDF())
-      .persist()
+    val partials = Aggregate.partials(routed).persist()
     var n = 0L
     val sec = time {
-      n = routed.count()
-      Aggregate.sinkCounts(routed).collect()
-      Aggregate.convRollup(routed).count()
+      n = Aggregate.sinkCountsFromPartials(partials)
+        .collect().map(_.getLong(1)).sum
+      Aggregate.convRollupFromPartials(partials).count()
     }
-    routed.unpersist()
+    partials.unpersist(blocking = true)
     (sec, n)
   }
 
@@ -44,6 +48,8 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/graft-spark-local"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -59,7 +65,8 @@ object Bench {
       }
     }
 
-    // pipeline throughput at bench scale (~500k turns)
+    // pipeline throughput at bench scale (~500k turns); warm codegen first
+    pipelineRun(spark, 2000L)
     val (pipeSec, pipeTurns) = pipelineRun(spark, 145000L)
     val turnsPerSec = pipeTurns / pipeSec
 

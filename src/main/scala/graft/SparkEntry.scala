@@ -265,9 +265,12 @@ object SparkEntry {
           sum(col("n_tokens_bpe").cast("long")).as("sum_tokens"))),
 
     // ---------------- near-dup / similarity (no ANSI oracle — rows-only)
+    // doc_id < 200 (not .limit) so the predicate pushes into the scan instead
+    // of forcing a single-partition GlobalLimit shuffle
     "q_minhash_neardups" -> ((s, d) =>
       graft.ops.Dedup.minhashNearDups(
-        t(s, d, "documents").limit(200), "doc_id", "text", threshold = 0.5)),
+        t(s, d, "documents").where(col("doc_id") < 200), "doc_id", "text",
+        threshold = 0.5)),
 
     "q_simhash_sigs" -> ((s, d) =>
       t(s, d, "documents")
@@ -275,7 +278,8 @@ object SparkEntry {
 
     "q_simhash_neardups" -> ((s, d) =>
       graft.ops.Dedup.simhashNearDups(
-        t(s, d, "documents").limit(300), "doc_id", "text", maxDist = 3)),
+        t(s, d, "documents").where(col("doc_id") < 300), "doc_id", "text",
+        maxDist = 3)),
 
     // synthetic embeddings are near-orthogonal (max pairwise cosine ≈0.51),
     // so exercise the LSH-bucket + verify path at a threshold that yields rows
@@ -308,6 +312,14 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       graft.ops.Similarity.bruteForceTopK(emb, "vec_id", "embedding",
         emb.where(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+        .withColumn("cosine", round(col("cosine"), 6))
+    }),
+
+    "q_ann_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      graft.ops.Ivf.ivfTopK(emb, "vec_id", "embedding",
+        emb.where(col("vec_id") < 5), "vec_id", "embedding",
+        k = 5, nCells = 16, nProbe = 16)
         .withColumn("cosine", round(col("cosine"), 6))
     }),
 

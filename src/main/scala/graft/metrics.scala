@@ -35,6 +35,34 @@ final class ObsMetrics(spark: SparkSession) extends Serializable {
     accs.iterator.map { case (k, a) => (k, a.value.longValue()) }.toMap
 }
 
+/** Harvests `Dataset.observe` metrics into [[ObsMetrics]] counters after
+  * each batch query — the obsreport listener glue (SURVEY.md §2.12): an
+  * `observe("graft_<stage>", count(*) as rows, ...)` tag on a frame becomes
+  * `<stage>/accepted` (and `<stage>/dropped` for null keys) without a second
+  * pass over the data. Register with
+  * `spark.listenerManager.register(new ObsQueryListener(metrics))`.
+  */
+final class ObsQueryListener(metrics: ObsMetrics)
+    extends org.apache.spark.sql.util.QueryExecutionListener {
+
+  override def onSuccess(funcName: String,
+      qe: org.apache.spark.sql.execution.QueryExecution,
+      durationNs: Long): Unit =
+    qe.observedMetrics.foreach { case (name, row) =>
+      if (name.startsWith("graft_")) {
+        val stage = name.stripPrefix("graft_")
+        metrics.accepted(stage).add(row.getAs[Long]("rows"))
+        val i = row.schema.fieldNames.indexOf("null_keys")
+        if (i >= 0 && !row.isNullAt(i)) metrics.dropped(stage).add(row.getLong(i))
+      }
+    }
+
+  override def onFailure(funcName: String,
+      qe: org.apache.spark.sql.execution.QueryExecution,
+      exception: Exception): Unit =
+    metrics.failed("query").add(1L)
+}
+
 object Obs {
 
   /** Tag a frame with an `observe` aggregate; harvest with a

@@ -69,8 +69,13 @@ object Dedup {
                         numHashes: Int = 64, bands: Int = 16,
                         shingleK: Int = 3): DataFrame = {
     val rows = numHashes / bands
+    // Persist the signatures: whole-stage codegen would otherwise re-inline
+    // (and re-evaluate) the shingle+minhash expression once per band lambda
+    // AND once per join side — at scale this frame is also the natural
+    // checkpoint artifact (signatures are reused across dedup runs).
     val sig = df.select(col(idCol).as("id"),
         minhashSignature(wordShingles(col(textCol), shingleK), numHashes).as("sig"))
+      .persist()
       .withColumn("band",
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band_idx"),
@@ -96,7 +101,7 @@ object Dedup {
                       bands: Int = 16, shingleK: Int = 3): DataFrame = {
     val cands = minhashCandidates(df, idCol, textCol, numHashes, bands, shingleK)
     val sh = df.select(col(idCol).as("id"),
-      wordShingles(col(textCol), shingleK).as("sh"))
+      wordShingles(col(textCol), shingleK).as("sh")).persist()
     cands
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -157,6 +162,7 @@ object Dedup {
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxDist: Int = 3): DataFrame = {
     val sig = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+      .persist() // signature is read by both join sides — compute once
       .withColumn("band", explode(transform(sequence(lit(0), lit(3)),
         b => struct(b.as("band_idx"),
           call_function("shiftright", col("sig"), (b * 16).cast("int")).bitwiseAND(0xFFFFL).as("band_key")))))
@@ -183,6 +189,7 @@ object Dedup {
                         seed: Long = 7L): DataFrame = {
     val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("bucket", Similarity.hyperplaneBucket(col("v"), planes, seed))
+      .persist() // bucket projection is read by both join sides
     val a = bucketed.select(col("id").as("id_a"), col("v").as("v_a"), col("bucket"))
     val b = bucketed.select(col("id").as("id_b"), col("v").as("v_b"), col("bucket"))
     a.join(b, "bucket")

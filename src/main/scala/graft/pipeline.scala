@@ -50,8 +50,9 @@ object Pipeline {
     val routed = transform(turns, roleDim, toolDim, sinks).persist()
     try {
       Route.writePartitioned(routed, s"$outDir/routed")
-      val counts = Aggregate.sinkCounts(routed)
-      val rollup = Aggregate.convRollup(routed)
+      val partials = Aggregate.partials(routed)
+      val counts = Aggregate.sinkCountsFromPartials(partials)
+      val rollup = Aggregate.convRollupFromPartials(partials)
       counts.write.mode("overwrite").parquet(s"$outDir/sink_counts")
       rollup.write.mode("overwrite").parquet(s"$outDir/conv_rollup")
       Obs.writeLineage(routed, batchId, "route", outDir)

@@ -14,6 +14,23 @@ class AggregateSpec extends SparkTestBase {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("one-pass partials path ≡ direct aggregates") {
+    val turns = TranscriptGen.turns(spark, 400, seed = 42).drop("_truth")
+    val routed = Route.assign(Parse.parse(turns), Route.defaultSinks)
+    val partials = Aggregate.partials(routed).cache()
+    val counts = Aggregate.sinkCountsFromPartials(partials)
+    val rollup = Aggregate.convRollupFromPartials(partials)
+      .withColumn("n_tools_distinct", col("n_tools_distinct").cast("long"))
+    val countsDirect = Aggregate.sinkCounts(routed)
+    val rollupDirect = Aggregate.convRollupUnsalted(routed)
+      .withColumn("n_tools_distinct", col("n_tools_distinct").cast("long"))
+    assert(counts.exceptAll(countsDirect).isEmpty &&
+      countsDirect.exceptAll(counts).isEmpty)
+    assert(rollup.exceptAll(rollupDirect).isEmpty &&
+      rollupDirect.exceptAll(rollup).isEmpty)
+    partials.unpersist()
+  }
+
   test("rollup values match a hand-computed conversation") {
     val turns = TranscriptGen.turns(spark, 50, seed = 42).drop("_truth")
     val parsed = Parse.parse(turns)
