@@ -53,14 +53,24 @@ object Dedup {
 
   // ------------------------------------------------------------- minhash
 
-  /** MinHash signature: array of `numHashes` min-over-shingles hashes.
-    * hash_j(s) = xxhash64(s, j) — deterministic family.
+  /** MinHash signature: array of `numHashes` min-over-shingles hashes,
+    * hash_j(s) = xxhash64(xxhash64(s), j) — deterministic family.
+    *
+    * Loop structure matters: ONE `aggregate` over the shingles maintaining
+    * all `numHashes` minima. The transposed form
+    * `transform(0..n-1, j => array_min(transform(shingles, s => xxhash64(s, j))))`
+    * splices the `shingles` expression (and its string building) into the
+    * outer lambda body, re-evaluating it — and re-hashing every shingle
+    * STRING — once per hash function (measured 64× slowdown). Here each
+    * shingle string is hashed once; the per-j family members are cheap
+    * long-hashes of that value.
     */
   def minhashSignature(shingles: Column, numHashes: Int = 64): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      j => coalesce(
-        array_min(transform(shingles, s => xxhash64(s, j))),
-        lit(Long.MaxValue)))
+    aggregate(
+      transform(shingles, s => xxhash64(s)),
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
+        (m, j) => least(m, xxhash64(h, j))))
 
   /** Candidate pairs via banded LSH over minhash signatures.
     * Output: (id_a, id_b, jaccard_est) with id_a < id_b, distinct.

@@ -67,4 +67,37 @@ object StreamingPipeline {
     spark.read
       .option("basePath", s"$outDir/routed")
       .parquet(s"$outDir/routed/batch_id=*")
+
+  /** Watermarked event-time tumbling-window aggregation in append mode —
+    * the prometheusexporter-style accumulation done properly in streaming
+    * (SURVEY.md §2.7/§2.13): per (window, sink) turn counts + latency sums,
+    * emitted once per window when the watermark passes window end; late
+    * turns past the watermark are dropped by the engine (the §2.12
+    * `dropped` taxonomy, observable on StreamingQueryProgress
+    * `stateOperators.numRowsDroppedByWatermark`).
+    */
+  def startWindowedCounts(spark: SparkSession, inputDir: String,
+                          outDir: String, checkpointDir: String,
+                          watermark: String = "10 minutes",
+                          windowLen: String = "1 hour",
+                          sinks: Seq[SinkSpec] = Route.defaultSinks): StreamingQuery = {
+    val roleDim = TranscriptGen.roleDim(spark).toDF()
+    val toolDim = TranscriptGen.toolDim(spark).toDF()
+    val routed = Pipeline.transform(
+      spark.readStream.schema(Schemas.turn).parquet(inputDir)
+        .withWatermark("ts", watermark),
+      roleDim, toolDim, sinks)
+    routed
+      .groupBy(window(col("ts"), windowLen), col(Route.SinkCol))
+      .agg(count(lit(1)).as("n_turns"),
+        sum(col("latency_ms")).as("sum_latency_ms"))
+      .select(col("window.start").as("window_start"), col(Route.SinkCol),
+        col("n_turns"), col("sum_latency_ms"))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$outDir/windowed_counts")
+      .start()
+  }
 }

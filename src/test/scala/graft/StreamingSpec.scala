@@ -56,6 +56,37 @@ class StreamingSpec extends SparkTestBase {
     all.unpersist()
   }
 
+  test("watermarked tumbling-window counts ≡ batch window aggregation") {
+    val inputDir = tmpDir("wstream-in")
+    val outDir = tmpDir("wstream-out")
+    val ckptDir = tmpDir("wstream-ckpt")
+
+    val turns = TranscriptGen.turns(spark, 150, seed = 42).drop("_truth").cache()
+    turns.repartition(3).write.mode("append").parquet(inputDir)
+
+    val q = StreamingPipeline.startWindowedCounts(spark, inputDir, outDir, ckptDir)
+    q.processAllAvailable()
+    // push the watermark past every real window end so all windows close
+    import spark.implicits._
+    Seq(Turn("conv-flush", 0, "user", "tool=none status=OK latency=1ms", "",
+      java.sql.Timestamp.valueOf("2025-06-01 00:00:00")))
+      .toDS().toDF().write.mode("append").parquet(inputDir)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.read.parquet(s"$outDir/windowed_counts")
+      .where(col("window_start") < "2025-01-01")
+    val batch = Pipeline.transform(turns,
+        TranscriptGen.roleDim(spark).toDF(), TranscriptGen.toolDim(spark).toDF())
+      .groupBy(window(col("ts"), "1 hour"), col(Route.SinkCol))
+      .agg(count(lit(1)).as("n_turns"), sum(col("latency_ms")).as("sum_latency_ms"))
+      .select(col("window.start").as("window_start"), col(Route.SinkCol),
+        col("n_turns"), col("sum_latency_ms"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      s"streamed=${streamed.count()} batch=${batch.count()}")
+    turns.unpersist()
+  }
+
   test("restart with no new data is a no-op (idempotent resume)") {
     val inputDir = tmpDir("stream-in2")
     val outDir = tmpDir("stream-out2")
