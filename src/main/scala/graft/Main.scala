@@ -3,13 +3,19 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** CLI entry: run the full batch pipeline on a synthetic corpus and print
-  * what it did. Usage: runMain graft.Main [nConvs] [outDir]
+  * what it did. Usage: runMain graft.Main [nConvs] [outDir] [configJsonPath]
+  * With a config path, the topology (grok pattern, sinks, sampling) comes
+  * from JSON (PipelineConfig) instead of the coded defaults — the
+  * reference's YAML-driven service startup (SURVEY.md §3.1).
   */
 object Main {
   def main(args: Array[String]): Unit = {
     val nConvs = args.headOption.map(_.toLong).getOrElse(2000L)
     val outDir = args.lift(1).getOrElse(
       java.nio.file.Files.createTempDirectory("graft-out").toString)
+    val cfg = args.lift(2).map(p => PipelineConfig.fromJson(
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
+        "UTF-8")))
     val spark = Pipeline.defaultSession(
       master = sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
     spark.sparkContext.setLogLevel("WARN")
@@ -17,7 +23,8 @@ object Main {
     val obs = new ObsMetrics(spark)
     val turns = TranscriptGen.turnsDs(spark, nConvs).toDF()
     val t0 = System.nanoTime()
-    val res = Pipeline.runBatch(spark, turns, outDir, obs = Some(obs))
+    val res = Pipeline.runBatch(spark, turns, outDir, obs = Some(obs),
+      config = cfg)
     val secs = (System.nanoTime() - t0) / 1e9
 
     val total = res.routed.count()

@@ -44,10 +44,14 @@ object Pipeline {
   def runBatch(spark: SparkSession, turns: DataFrame, outDir: String,
                sinks: Seq[SinkSpec] = Route.defaultSinks,
                obs: Option[ObsMetrics] = None,
-               batchId: Long = 0L): PipelineResult = {
+               batchId: Long = 0L,
+               config: Option[PipelineConfig] = None): PipelineResult = {
     val roleDim = TranscriptGen.roleDim(spark).toDF()
     val toolDim = TranscriptGen.toolDim(spark).toDF()
-    val routed = transform(turns, roleDim, toolDim, sinks).persist()
+    val routed = config
+      .map(c => PipelineConfig.transform(spark, turns, c))
+      .getOrElse(transform(turns, roleDim, toolDim, sinks))
+      .persist()
     try {
       Route.writePartitioned(routed, s"$outDir/routed")
       val partials = Aggregate.partials(routed)
