@@ -26,8 +26,14 @@ object Bench {
     * — no full-size persist (which would bottleneck on cache write, not
     * pipeline compute). Returns (seconds, turns).
     */
-  def pipelineRun(spark: SparkSession, nConvs: Long): (Double, Long) = {
-    val turns = TranscriptGen.turnsDs(spark, nConvs).toDF()
+  def pipelineRun(spark: SparkSession, nConvs: Long): (Double, Long) =
+    pipelineRunFrom(spark, TranscriptGen.turnsDs(spark, nConvs).toDF())
+
+  /** Same pipeline over a caller-supplied turns frame (e.g. a parquet
+    * scan — the production shape; the vectorized reader feeds codegen
+    * directly, unlike the allocation-heavy in-memory generator).
+    */
+  def pipelineRunFrom(spark: SparkSession, turns: org.apache.spark.sql.DataFrame): (Double, Long) = {
     val routed = Pipeline.transform(turns,
       TranscriptGen.roleDim(spark).toDF(), TranscriptGen.toolDim(spark).toDF())
     val partials = Aggregate.partials(routed).persist()
