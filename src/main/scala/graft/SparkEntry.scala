@@ -330,8 +330,16 @@ object SparkEntry {
         .withColumn("cosine", round(col("cosine"), 6))
     }),
 
-    // ---------------- transcript pipeline stages (synthetic input — rows-only)
-    "q_pipeline_rollup" -> ((s, _) => entry(s)),
+    // ---------------- transcript pipeline stages. Input is the seed-42
+    // synthetic corpus, which Verify dumps to __OUT__/_input_turns so the
+    // oracle SQL reproduces parse→route→aggregate over the same rows.
+    // Timestamps string-formatted (oracle convention: dodge pandas ns/us).
+    "q_pipeline_rollup" -> ((s, _) =>
+      entry(s).select(col("conv_id"), col("n_turns"), col("n_errors"),
+        col("n_tools_distinct"),
+        date_format(col("first_ts"), "yyyy-MM-dd HH:mm:ss").as("first_ts"),
+        date_format(col("last_ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+        col("sum_latency_ms"))),
 
     "q_pipeline_sinkcounts" -> ((s, _) => {
       val turns = TranscriptGen.turnsDs(s, 500).toDF()
@@ -517,6 +525,42 @@ object SparkEntry {
     "q_lang_stats" ->
       """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-        |FROM documents GROUP BY lang""".stripMargin
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    // Pipeline oracles replay parse (regexp_extract over text) → route
+    // (first-match CASE) → aggregate over the dumped seed-42 corpus.
+    "q_pipeline_rollup" ->
+      """WITH p AS (
+        |  SELECT conv_id, ts,
+        |    regexp_extract(text, 'tool=([A-Za-z0-9_]+)', 1) AS tool_invoked,
+        |    regexp_extract(text, 'status=([A-Za-z0-9]+)', 1) AS status,
+        |    CAST(regexp_extract(text, 'latency=([0-9]+)ms', 1) AS BIGINT) AS latency_ms
+        |  FROM read_parquet('__OUT__/_input_turns/*.parquet'))
+        |SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+        |  CAST(SUM(CASE WHEN regexp_matches(status, '^E[0-9]{3}$') THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+        |  CAST(COUNT(DISTINCT CASE WHEN tool_invoked <> 'none' THEN tool_invoked END) AS INT) AS n_tools_distinct,
+        |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+        |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
+        |  CAST(SUM(latency_ms) AS BIGINT) AS sum_latency_ms
+        |FROM p GROUP BY conv_id""".stripMargin,
+
+    "q_pipeline_sinkcounts" ->
+      """WITH p AS (
+        |  SELECT CASE
+        |    WHEN regexp_extract(text, 'tool=([A-Za-z0-9_]+)', 1)
+        |         IN ('search','browse','fetch') THEN 'tool_search'
+        |    WHEN regexp_matches(regexp_extract(text, 'status=([A-Za-z0-9]+)', 1),
+        |         '^E5') THEN 'errors'
+        |    ELSE 'rest' END AS sink
+        |  FROM read_parquet('__OUT__/_input_turns/*.parquet'))
+        |SELECT sink, CAST(COUNT(*) AS BIGINT) AS n_turns FROM p GROUP BY sink""".stripMargin,
+
+    // sample_bucket = pmod(xxhash64(conv_id, 22), 16384) precomputed in the
+    // dump (DuckDB lacks xxhash64); 1638 = round(10% of 16384 buckets) —
+    // verifies threshold math + conversation atomicity of the sampler.
+    "q_conv_sample" ->
+      """SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns
+        |FROM read_parquet('__OUT__/_input_turns/*.parquet')
+        |WHERE sample_bucket < 1638 GROUP BY conv_id""".stripMargin
   )
 }

@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
@@ -15,6 +16,17 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // The transcript-pipeline queries (q_pipeline_*, q_conv_sample,
+    // q_translate_*) run on the deterministic seed-42 synthetic corpus,
+    // which DuckDB cannot regenerate — dump it once (with the sampler's
+    // bucket precomputed, since DuckDB has no xxhash64) so their oracle SQL
+    // can read the exact same rows via read_parquet('__OUT__/_input_turns').
+    // Dir name deliberately has NO .parquet suffix so a driver glob over
+    // query outputs never picks it up as a correctness row.
+    TranscriptGen.turnsDs(spark, 500).toDF()
+      .withColumn("sample_bucket",
+        pmod(xxhash64(col("conv_id"), lit(22L)), lit(Sampler.NumBuckets)))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_input_turns")
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name.parquet")
@@ -34,8 +46,15 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Driver convention (round-1 lesson): correctness rows AND the oracle
+    // lookup are keyed by the output DIRECTORY name — "<name>.parquet".
+    // Bare keys made round 1's official correctness 0/45 despite 31/31
+    // passing on re-check. __OUT__ in the SQL is replaced with the absolute
+    // outDir so DuckDB can read the dumped pipeline input.
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k + ".parquet")}: ${q(v.replace("__OUT__", outDir))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
