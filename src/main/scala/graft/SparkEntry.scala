@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -191,6 +191,25 @@ object SparkEntry {
           element_at(col("attrs"), "env").as("env"))
     }),
 
+    // scoped actions (filterspan include/exclude, §2.3): upsert env +
+    // delete k, but ONLY on error rows not excluded by value > 150
+    "q_attrs_scoped" -> ((s, d) => {
+      val attrs = from_json(col("props"),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType))
+      AttrActions.processScoped(
+        t(s, d, "events").withColumn("attrs", attrs),
+        "attrs",
+        Seq(AttrActions.Upsert("env", "prod"), AttrActions.Delete("k")),
+        AttrActions.MatchProps(
+          include = Some(col("event_type") === "error"),
+          exclude = Some(col("value") > 150)))
+        .select(col("event_id"),
+          element_at(col("attrs"), "k").as("k_val"),
+          element_at(col("attrs"), "env").as("env"))
+    }),
+
     // ---------------- hash action (§2.3) — sha2 so DuckDB can oracle it
     "q_hash_attr" -> ((s, d) =>
       t(s, d, "documents")
@@ -202,6 +221,15 @@ object SparkEntry {
         .withColumn("span_name",
           concat_ws("/", col("event_type"), col("user_id").cast("string")))
         .groupBy(col("span_name")).agg(count(lit(1)).as("n"))),
+
+    // count-based batch flush (batchprocessor send_batch_size, §2.5):
+    // stable-ordered rows cut into batches of 100 per type, batch sizes
+    "q_batch_flush" -> ((s, d) =>
+      StreamingPipeline.countBatches(
+        t(s, d, "events"), size = 100,
+        keyCols = Seq("event_type"), orderCols = Seq("event_id"))
+        .groupBy(col("event_type"), col("batch_idx"))
+        .agg(count(lit(1)).as("n_rows"))),
 
     // ---------------- event-time tumbling window (batchprocessor §2.5)
     "q_window_tumbling" -> ((s, d) =>
@@ -236,6 +264,25 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, d) =>
       graft.ops.Dedup.exact(t(s, d, "documents"), "doc_id", Seq("text"))
         .select(col("text"), col("doc_id"), col("n_dupes"))),
+
+    // Near-dup CLUSTER RESOLUTION: pairs → connected components → keep-set.
+    // The pair rule here is deliberately SQL-expressible (same first word OR
+    // same n_chars ⇒ edge) so DuckDB's recursive CTE can independently
+    // compute the transitive closure; the minhash-pair composition is
+    // nearDupClusters (spec-verified on a chained corpus).
+    "q_dedup_clusters" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      def edges(key: Column): DataFrame = {
+        val k = docs.select(col("doc_id"), key.as("k"))
+        k.select(col("doc_id").as("id_a"), col("k"))
+          .join(k.select(col("doc_id").as("id_b"), col("k")), "k")
+          .where(col("id_a") < col("id_b"))
+          .select("id_a", "id_b")
+      }
+      val pairs = edges(regexp_extract(col("text"), "^(\\w+)", 1))
+        .unionByName(edges(col("n_chars").cast("string")))
+      graft.ops.Dedup.clusters(docs, "doc_id", pairs)
+    }),
 
     "q_dedup_normalized" -> ((s, d) =>
       t(s, d, "documents")
@@ -351,7 +398,13 @@ object SparkEntry {
       val turns = TranscriptGen.turnsDs(s, 500).toDF()
       Sampler.sampleConversations(turns, 10.0)
         .groupBy(col("conv_id")).agg(count(lit(1)).as("n_turns"))
-    })
+    }),
+
+    // ---------------- translators (§2.11): jaeger span mapping over the
+    // same dumped corpus (OTLP/zipkin/OC covered by TranslatorsSpec)
+    "q_translate_jaeger" -> ((s, _) =>
+      Translators.toJaegerSpans(
+        Parse.parseGrok(TranscriptGen.turnsDs(s, 500).toDF())))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -561,6 +614,56 @@ object SparkEntry {
     "q_conv_sample" ->
       """SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns
         |FROM read_parquet('__OUT__/_input_turns/*.parquet')
-        |WHERE sample_bucket < 1638 GROUP BY conv_id""".stripMargin
+        |WHERE sample_bucket < 1638 GROUP BY conv_id""".stripMargin,
+
+    // transitive closure via recursive CTE — an INDEPENDENT algorithm for
+    // the same components the iterative min-label propagation computes
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE
+        |k1 AS (SELECT doc_id, regexp_extract(text, '^(\w+)', 1) AS k FROM documents),
+        |e AS (
+        |  SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM k1 a JOIN k1 b ON a.k = b.k AND a.doc_id <> b.doc_id
+        |  UNION
+        |  SELECT a.doc_id, b.doc_id
+        |  FROM documents a JOIN documents b
+        |    ON a.n_chars = b.n_chars AND a.doc_id <> b.doc_id
+        |),
+        |walk(id, comp) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, w.comp FROM walk w JOIN e ON e.src = w.id
+        |)
+        |SELECT CAST(id AS BIGINT) AS doc_id, CAST(MIN(comp) AS BIGINT) AS comp,
+        |  MIN(comp) = id AS keep
+        |FROM walk GROUP BY id""".stripMargin,
+
+    "q_attrs_scoped" ->
+      """SELECT event_id,
+        |  CASE WHEN event_type = 'error' AND NOT (value > 150)
+        |       THEN NULL ELSE json_extract_string(props, '$.k') END AS k_val,
+        |  CASE WHEN event_type = 'error' AND NOT (value > 150)
+        |       THEN 'prod' END AS env
+        |FROM events""".stripMargin,
+
+    "q_batch_flush" ->
+      """SELECT event_type, batch_idx, CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM (
+        |  SELECT event_type,
+        |    CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id)
+        |          - 1) / 100) AS INT) AS batch_idx
+        |  FROM events)
+        |GROUP BY event_type, batch_idx""".stripMargin,
+
+    "q_translate_jaeger" ->
+      """SELECT conv_id AS trace_id,
+        |  conv_id || ':' || CAST(turn_idx AS VARCHAR) AS span_id,
+        |  role || '/' || regexp_extract(text, 'tool=([A-Za-z0-9_]+)', 1) AS operation_name,
+        |  epoch_us(ts) AS start_time_us,
+        |  CAST(regexp_extract(text, 'latency=([0-9]+)ms', 1) AS BIGINT) * 1000 AS duration_us,
+        |  'graft-collector' AS service_name,
+        |  regexp_matches(regexp_extract(text, 'status=([A-Za-z0-9]+)', 1),
+        |    '^E[0-9]{3}$') AS error_tag
+        |FROM read_parquet('__OUT__/_input_turns/*.parquet')""".stripMargin
   )
 }

@@ -81,6 +81,9 @@ object Aggregate {
     */
   def toolMask(toolInvoked: Column,
                vocab: Seq[String] = TranscriptGen.toolNames): Column = {
+    // shiftleft wraps mod 64 — a larger vocab would silently alias bits;
+    // callers with unbounded vocabularies must use the set-based rollup.
+    require(vocab.size <= 64, s"toolMask vocab too large (${vocab.size} > 64)")
     val pos = array_position(typedLit(vocab), toolInvoked)
     when(toolInvoked =!= "none" && pos > 0,
       call_function("shiftleft", lit(1L), (pos - 1).cast("int")))

@@ -80,4 +80,28 @@ object AttrActions {
   def process(df: DataFrame, attrsCol: String, actions: Seq[AttrAction]): DataFrame =
     df.withColumn(attrsCol,
       actions.foldLeft(col(attrsCol))((c, a) => a(c)))
+
+  /** filterspan-style include/exclude scoping (SURVEY.md §2.3, ref
+    * `internal/processor/filterspan/filterspan.go: SkipSpan`): actions
+    * apply only to rows matched by `include` and not by `exclude`; all
+    * other rows pass through UNCHANGED. Row-level conditional apply —
+    * `when(pred, transformed).otherwise(original)` — so the whole thing
+    * stays one narrow codegen'd projection, exactly like the reference's
+    * per-span skip check, with no branch in the plan.
+    */
+  final case class MatchProps(include: Option[Column] = None,
+                              exclude: Option[Column] = None) {
+    def pred: Column = {
+      val inc = include.getOrElse(lit(true))
+      exclude.map(e => inc && !coalesce(e, lit(false))).getOrElse(inc)
+    }
+  }
+
+  def processScoped(df: DataFrame, attrsCol: String,
+                    actions: Seq[AttrAction], scope: MatchProps): DataFrame = {
+    val transformed = actions.foldLeft(col(attrsCol))((c, a) => a(c))
+    df.withColumn(attrsCol,
+      when(coalesce(scope.pred, lit(false)), transformed)
+        .otherwise(col(attrsCol)))
+  }
 }

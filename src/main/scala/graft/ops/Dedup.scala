@@ -72,29 +72,52 @@ object Dedup {
       (acc, h) => zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
         (m, j) => least(m, xxhash64(h, j))))
 
+  /** Default per-(band,bucket) candidate cap. A degenerate bucket (mass-
+    * duplicated boilerplate all hashing to one band value) makes the LSH
+    * self-join quadratic IN-BUCKET; capping bounds any bucket's pair count
+    * to C(cap,2). Run [[exactKeep]] first so the cap only ever drops
+    * genuinely near-identical survivors, and count overflow via `obsTag`.
+    */
+  val DefaultBucketCap = 2048
+
   /** Candidate pairs via banded LSH over minhash signatures.
     * Output: (id_a, id_b, jaccard_est) with id_a < id_b, distinct.
+    *
+    * Cache lifecycle: the signature frame is `localCheckpoint(eager)`ed —
+    * computed once, read by both self-join sides, and its blocks are
+    * released by the ContextCleaner when the result frame is dropped
+    * (plain `persist` would pin blocks in the CacheManager until an
+    * explicit unpersist, leaking across calls in a long-lived session).
+    * At real scale the signature frame is the durable index artifact —
+    * write it to a table and reuse it across dedup runs.
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 64, bands: Int = 16,
-                        shingleK: Int = 3): DataFrame = {
+                        shingleK: Int = 3,
+                        bucketCap: Int = DefaultBucketCap,
+                        obsTag: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val rows = numHashes / bands
-    // Persist the signatures: whole-stage codegen would otherwise re-inline
-    // (and re-evaluate) the shingle+minhash expression once per band lambda
-    // AND once per join side — at scale this frame is also the natural
-    // checkpoint artifact (signatures are reused across dedup runs).
     val sig = df.select(col(idCol).as("id"),
         minhashSignature(wordShingles(col(textCol), shingleK), numHashes).as("sig"))
-      .persist()
+      .localCheckpoint(true)
       .withColumn("band",
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band_idx"),
             xxhash64(concat_ws(",",
               slice(col("sig"), b * rows + 1, lit(rows)).cast("array<string>")).cast("string")).as("band_hash")))))
       .select(col("id"), col("sig"), col("band.band_idx"), col("band.band_hash"))
-    val a = sig.select(col("id").as("id_a"), col("sig").as("sig_a"),
+    // hot-bucket guard: cap per-bucket candidates (deterministic id order);
+    // the window shuffles on the same key as the join, so the join reuses
+    // its partitioning instead of adding an exchange
+    val ranked = sig.withColumn("_bn", row_number().over(
+      Window.partitionBy(col("band_idx"), col("band_hash")).orderBy(col("id"))))
+    val tagged = obsTag.map(t => ranked.observe(t,
+      count_if(col("_bn") > bucketCap).as("dropped"))).getOrElse(ranked)
+    val capped = tagged.where(col("_bn") <= bucketCap).drop("_bn")
+    val a = capped.select(col("id").as("id_a"), col("sig").as("sig_a"),
       col("band_idx"), col("band_hash"))
-    val b = sig.select(col("id").as("id_b"), col("sig").as("sig_b"),
+    val b = capped.select(col("id").as("id_b"), col("sig").as("sig_b"),
       col("band_idx"), col("band_hash"))
     a.join(b, Seq("band_idx", "band_hash"))
       .where(col("id_a") < col("id_b"))
@@ -108,10 +131,12 @@ object Dedup {
   /** Near-dup pairs: LSH candidates verified with EXACT n-gram Jaccard. */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double = 0.8, numHashes: Int = 64,
-                      bands: Int = 16, shingleK: Int = 3): DataFrame = {
-    val cands = minhashCandidates(df, idCol, textCol, numHashes, bands, shingleK)
+                      bands: Int = 16, shingleK: Int = 3,
+                      bucketCap: Int = DefaultBucketCap): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, numHashes, bands,
+      shingleK, bucketCap)
     val sh = df.select(col(idCol).as("id"),
-      wordShingles(col(textCol), shingleK).as("sh")).persist()
+      wordShingles(col(textCol), shingleK).as("sh")).localCheckpoint(true)
     cands
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -171,8 +196,10 @@ object Dedup {
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxDist: Int = 3): DataFrame = {
+    // localCheckpoint: computed once for both join sides, blocks released
+    // on GC of the result (see minhashCandidates)
     val sig = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
-      .persist() // signature is read by both join sides — compute once
+      .localCheckpoint(true)
       .withColumn("band", explode(transform(sequence(lit(0), lit(3)),
         b => struct(b.as("band_idx"),
           call_function("shiftright", col("sig"), (b * 16).cast("int")).bitwiseAND(0xFFFFL).as("band_key")))))
@@ -184,8 +211,10 @@ object Dedup {
     a.join(b, Seq("band_idx", "band_key"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), hamming(col("sig_a"), col("sig_b")).as("dist"))
-      .distinct()
+      // Hamming filter BEFORE distinct: the reject ratio never reaches the
+      // dedup exchange (distance-64 collisions would otherwise shuffle)
       .where(col("dist") <= maxDist)
+      .distinct()
   }
 
   // --------------------------------------------- embedding cosine near-dup
@@ -196,10 +225,16 @@ object Dedup {
     */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double = 0.95, planes: Int = 12,
-                        seed: Long = 7L): DataFrame = {
+                        seed: Long = 7L,
+                        bucketCap: Int = DefaultBucketCap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("bucket", Similarity.hyperplaneBucket(col("v"), planes, seed))
-      .persist() // bucket projection is read by both join sides
+      .localCheckpoint(true) // both join sides; blocks released on GC
+      // hot-bucket guard (same rationale as minhashCandidates)
+      .withColumn("_bn", row_number().over(
+        Window.partitionBy(col("bucket")).orderBy(col("id"))))
+      .where(col("_bn") <= bucketCap).drop("_bn")
     val a = bucketed.select(col("id").as("id_a"), col("v").as("v_a"), col("bucket"))
     val b = bucketed.select(col("id").as("id_b"), col("v").as("v_b"), col("bucket"))
     a.join(b, "bucket")
@@ -208,5 +243,68 @@ object Dedup {
       .where(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
       .distinct()
+  }
+
+  // ------------------------------------------- cluster resolution (CC)
+
+  /** Connected components over an undirected pair list by iterative
+    * min-label propagation: label(x) ← min(label(x), min over neighbors)
+    * to fixpoint. Each round is one join + one aggregate, checkpointed so
+    * the plan does not grow with iterations. Converges in O(component
+    * diameter) rounds — near-dup graphs are shallow (chains of rewrites),
+    * so a handful of rounds; at extreme scale swap in large-star/small-star
+    * (same per-round plan shape, O(log n) rounds).
+    * Output: (id, comp) with comp = min id of the component.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+                          bCol: String = "id_b",
+                          maxIter: Int = 25): DataFrame = {
+    val e = pairs.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst"))
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint(true)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("dst"), col("comp").as("dst_comp")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("dst_comp")).as("nbr_comp"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      changed = next.join(labels.select(col("id"), col("comp").as("old")), "id")
+        .where(col("comp") =!= col("old")).count()
+      labels = next
+      i += 1
+    }
+    require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
+
+  /** Resolve near-dup pairs to keep/drop sets: every row of `df` gets its
+    * component id (singletons form their own) and `keep` = is the
+    * component's minimum id — the canonical representative a training-data
+    * pipeline retains.
+    */
+  def clusters(df: DataFrame, idCol: String, pairs: DataFrame,
+               aCol: String = "id_a", bCol: String = "id_b"): DataFrame =
+    df.select(col(idCol).cast("long").as("id"))
+      .join(connectedComponents(pairs, aCol, bCol), Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("comp"), col("id")).as("comp"),
+        (coalesce(col("comp"), col("id")) === col("id")).as("keep"))
+
+  /** The full dedup story: exact-dedup survivors → minhash near-dup pairs
+    * → connected components → canonical keep set.
+    */
+  def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
+                      threshold: Double = 0.8, numHashes: Int = 64,
+                      bands: Int = 16, shingleK: Int = 3): DataFrame = {
+    val pairs = minhashNearDups(df, idCol, textCol, threshold, numHashes,
+      bands, shingleK)
+    clusters(df, idCol, pairs)
   }
 }

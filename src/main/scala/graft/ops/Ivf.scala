@@ -55,15 +55,47 @@ object Ivf {
     corpus.withColumn("cell",
       bestCells(col(vecCol), centroids, 1).getItem(0).getField("cell"))
 
+  /** Lloyd-iteration refinement of [[pickCentroids]]: assign every row to
+    * its nearest centroid (narrow), then the new centroid is the per-cell
+    * mean — computed as `dim` fixed-width `avg(element_at(v, i))`
+    * aggregates in ONE codegen'd hash aggregate with map-side partials
+    * (no per-cell row collection; one corpus pass per iteration). Empty
+    * cells keep their previous centroid. Deterministic: seeded sample
+    * start, no randomness in iterations.
+    */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      nCells: Int, iters: Int = 2,
+                      seed: Long = 11L): Array[(Int, Array[Float])] = {
+    var cents = pickCentroids(corpus, idCol, vecCol, nCells, seed)
+    if (cents.isEmpty) return cents
+    val dim = cents(0)._2.length
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    (0 until iters).foreach { _ =>
+      val aggs = (1 to dim).map(i => avg(element_at(col("v"), i)).as(s"m$i"))
+      val means = assignCells(c, "id", "v", cents)
+        .groupBy(col("cell"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .map(r => r.getInt(0) -> (1 to dim).map(i => r.getDouble(i).toFloat).toArray)
+        .toMap
+      cents = cents.map { case (cell, old) => (cell, means.getOrElse(cell, old)) }
+    }
+    cents
+  }
+
   /** Top-k ANN via IVF probe. Scans ≈ nProbe/nCells of the corpus per
-    * query set. Queries must be small (broadcast).
+    * query set. Queries must be small (broadcast). Per-query top-k is the
+    * bounded [[Similarity.topKPerQuery]] aggregate — no per-query-reducer
+    * window (see there for the scale argument).
     */
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
               queries: DataFrame, qIdCol: String, qVecCol: String,
               k: Int = 10, nCells: Int = 16, nProbe: Int = 4,
-              seed: Long = 11L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val centroids = pickCentroids(corpus, idCol, vecCol, nCells, seed)
+              seed: Long = 11L, kmeansIters: Int = 1): DataFrame = {
+    val centroids =
+      if (kmeansIters > 0)
+        kmeansCentroids(corpus, idCol, vecCol, nCells, kmeansIters, seed)
+      else pickCentroids(corpus, idCol, vecCol, nCells, seed)
     val cells = assignCells(
       corpus.select(col(idCol).as("id"), col(vecCol).as("v")), "id", "v", centroids)
     val probes = queries
@@ -74,10 +106,6 @@ object Ivf {
       .join(broadcast(probes), cells("cell") === probes("probe"))
       .where(col("id") =!= col("query_id"))
       .withColumn("cosine", Similarity.cosine(col("v"), col("qv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("id"), col("cosine"), col("rank"))
+    Similarity.topKPerQuery(scored, k)
   }
 }

@@ -47,23 +47,36 @@ object Similarity {
       }),
       lit(0L), (acc, b) => acc.bitwiseOR(b))
 
+  /** Per-query top-k over a scored candidate frame
+    * (query_id, id, cosine, …) → (query_id, id, cosine, rank).
+    *
+    * Uses the bounded [[graft.expr.TopKByScore]] aggregate, NOT
+    * `row_number() over (partition by query_id)`: the window plan ships
+    * every scored candidate to ONE reducer per query (5 queries over a
+    * 100 TB corpus = 5 tasks doing all the work); the aggregate's partial
+    * buffers cap at k entries per (query, map task), so the only exchange
+    * carries O(queries × tasks × k) rows.
+    */
+  private[ops] def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(graft.expr.TopKByScore.topk_by_score(
+        col("cosine"), col("id").cast("long"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "e")))
+      .select(col("query_id"), col("e.id").as("id"),
+        col("e.score").as("cosine"), (col("pos") + 1).cast("int").as("rank"))
+
   /** Exact top-k cosine neighbors for each query row. `queries` must be
     * small (it is broadcast). Output: (query_id, id, cosine, rank).
     */
   def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
                      queries: DataFrame, qIdCol: String, qVecCol: String,
                      k: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val scored = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .crossJoin(broadcast(
         queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"))))
       .where(col("id") =!= col("query_id"))
       .withColumn("cosine", cosine(col("v"), col("qv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "id", "cosine", "rank")
+    topKPerQuery(scored, k)
   }
 
   /** LSH-bucketed ANN top-k: score only candidates sharing the query's
@@ -73,7 +86,6 @@ object Similarity {
               queries: DataFrame, qIdCol: String, qVecCol: String,
               k: Int = 10, planes: Int = 8, seed: Long = 7L,
               multiprobe: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("bucket", hyperplaneBucket(col("v"), planes, seed))
     val qb = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"))
@@ -88,10 +100,6 @@ object Similarity {
     val scored = c.join(broadcast(probes), "bucket")
       .where(col("id") =!= col("query_id"))
       .withColumn("cosine", cosine(col("v"), col("qv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "id", "cosine", "rank")
+    topKPerQuery(scored, k)
   }
 }

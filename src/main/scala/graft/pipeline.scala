@@ -52,16 +52,30 @@ object Pipeline {
       .map(c => PipelineConfig.transform(spark, turns, c))
       .getOrElse(transform(turns, roleDim, toolDim, sinks))
       .persist()
+    // The bitmask rollup is bound to the default tool vocabulary; a
+    // config-driven topology can extract tool names outside it (mask 0 →
+    // silent undercount), so config runs take the set-based rollup instead.
+    val maskSafe = config.isEmpty
+    // partials is tiny (one row per (conv_id, salt, sink)) but feeds BOTH
+    // final aggregates — persist it or the full-data salted shuffle over
+    // routed runs twice (Spark does not reuse exchanges across queries).
+    val partials =
+      if (maskSafe) Some(Aggregate.partials(routed).persist()) else None
     try {
       Route.writePartitioned(routed, s"$outDir/routed")
-      val partials = Aggregate.partials(routed)
-      val counts = Aggregate.sinkCountsFromPartials(partials)
-      val rollup = Aggregate.convRollupFromPartials(partials)
+      val counts = partials.map(Aggregate.sinkCountsFromPartials)
+        .getOrElse(Aggregate.sinkCounts(routed))
+      val rollup = partials.map(Aggregate.convRollupFromPartials)
+        .getOrElse(Aggregate.convRollup(routed, salt = config.map(_.salt)
+          .getOrElse(Aggregate.DefaultSalt)))
       counts.write.mode("overwrite").parquet(s"$outDir/sink_counts")
       rollup.write.mode("overwrite").parquet(s"$outDir/conv_rollup")
       Obs.writeLineage(routed, batchId, "route", outDir)
       obs.foreach { m =>
-        val n = spark.read.parquet(s"$outDir/routed").count()
+        // total routed rows from the (tiny) just-written counts table —
+        // never a second full scan of routed
+        val n = spark.read.parquet(s"$outDir/sink_counts")
+          .agg(sum("n_turns")).head.getLong(0)
         m.sent("route").add(n)
         m.accepted("parse").add(n)
       }
@@ -69,6 +83,9 @@ object Pipeline {
         spark.read.parquet(s"$outDir/routed"),
         spark.read.parquet(s"$outDir/sink_counts"),
         spark.read.parquet(s"$outDir/conv_rollup"))
-    } finally { routed.unpersist() }
+    } finally {
+      partials.foreach(_.unpersist())
+      routed.unpersist()
+    }
   }
 }

@@ -25,13 +25,18 @@ object StreamingPipeline {
             sinks: Seq[SinkSpec] = Route.defaultSinks,
             triggerMs: Long = 200L,
             maxFilesPerTrigger: Int = 8,
+            maxBytesPerTrigger: Option[Long] = None,
             obs: Option[ObsMetrics] = None): StreamingQuery = {
     val roleDim = TranscriptGen.roleDim(spark).toDF()
     val toolDim = TranscriptGen.toolDim(spark).toDF()
 
-    val stream = spark.readStream
+    // batchprocessor flush triad (§2.5): ProcessingTime = timeout flush,
+    // maxFilesPerTrigger = count flush, maxBytesPerTrigger = size flush
+    val reader = spark.readStream
       .schema(Schemas.turn)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
+    maxBytesPerTrigger.foreach(b => reader.option("maxBytesPerTrigger", b))
+    val stream = reader
       .parquet(inputDir)
       .withWatermark("ts", "10 minutes")
 
@@ -60,6 +65,25 @@ object StreamingPipeline {
         ()
       }
       .start()
+  }
+
+  /** Batch-mode count-flush analog (batchprocessor `send_batch_size`,
+    * SURVEY.md §2.5): number rows within each key group in a stable order
+    * and cut every `size` rows — batch n = rows [n·size, (n+1)·size).
+    * The per-key window shuffle is the cost of the reference's ORDERED
+    * batch semantics; at scale the key (here: sink) bounds each window
+    * partition, and hot sinks rely on AQE skew split of the sort.
+    */
+  def countBatches(df: DataFrame, size: Int,
+                   keyCols: Seq[String] = Seq(Route.SinkCol),
+                   orderCols: Seq[String] = Seq("conv_id", "turn_idx")): DataFrame = {
+    require(size > 0, s"batch size must be positive: $size")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(orderCols.map(col): _*)
+    // floor, not cast: Column `/` is double division and DuckDB CAST
+    // rounds while Spark truncates — floor agrees everywhere
+    df.withColumn("batch_idx",
+      floor((row_number().over(w) - 1) / size).cast("int"))
   }
 
   /** Read back everything the streaming run routed (all batches). */

@@ -57,16 +57,20 @@ object TailSample {
 
   private def tsUs(t: Timestamp): Long = t.getTime * 1000L
 
-  /** The policy: keep all error conversations; hash-percentage the rest
-    * (deterministic — same bucket math as Sampler.keepPredicate).
+  /** The policy: keep all error conversations; hash-percentage the rest.
+    * Replicates Sampler.keepPredicate's bucket math EXACTLY — Spark's
+    * `xxhash64(conv_id, seed)` chains XXH64 over the arguments starting
+    * from seed 42, so batch sampling and tail-sampling agree on every
+    * conv_id (asserted in TailSampleSpec).
     */
   def decide(convId: String, st: ConvState, pct: Double, seed: Long): Boolean =
     st.nErrors > 0 || {
-      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
-        convId.getBytes("UTF-8"),
-        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
-        convId.length, seed.toInt)
-      math.floorMod(h, Sampler.NumBuckets.toInt) <
+      import org.apache.spark.sql.catalyst.expressions.XXH64
+      val bytes = convId.getBytes("UTF-8")
+      val h1 = XXH64.hashUnsafeBytes(bytes,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
+      val h2 = XXH64.hashLong(seed, h1)
+      math.floorMod(h2, Sampler.NumBuckets) <
         math.round(pct * (Sampler.NumBuckets / 100.0))
     }
 

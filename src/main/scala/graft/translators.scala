@@ -76,4 +76,68 @@ object Translators {
       col("log.body").as("text"),
       element_at(col("log.attributes"), "tool").as("tool"),
       timestamp_micros((col("log.time_unix_nano") / 1000L).cast("long")).as("ts"))
+
+  /** Parsed turns → Jaeger-model spans (the jaegerexporter direction:
+    * `translator/trace/jaeger/traces_to_jaegerproto.go`-style field
+    * mapping, flattened): trace/span ids, operation name, start µs,
+    * duration µs, service, error tag.
+    */
+  def toJaegerSpans(parsed: DataFrame,
+                    serviceName: String = "graft-collector"): DataFrame =
+    parsed.select(
+      col("conv_id").as("trace_id"),
+      concat_ws(":", col("conv_id"), col("turn_idx")).as("span_id"),
+      concat_ws("/", col("role"), col("tool_invoked")).as("operation_name"),
+      unix_micros(col("ts").cast("timestamp")).as("start_time_us"),
+      (col("latency_ms") * 1000L).as("duration_us"),
+      lit(serviceName).as("service_name"),
+      col("err_code").isNotNull.as("error_tag"))
+
+  /** Jaeger-model spans → turn-shaped rows (jaegerreceiver direction);
+    * inverse of [[toJaegerSpans]] up to the text column.
+    */
+  def fromJaegerSpans(spans: DataFrame): DataFrame =
+    spans.select(
+      col("trace_id").as("conv_id"),
+      element_at(split(col("span_id"), ":"), -1).cast("int").as("turn_idx"),
+      element_at(split(col("operation_name"), "/"), 1).as("role"),
+      element_at(split(col("operation_name"), "/"), -1).as("tool_invoked"),
+      timestamp_micros(col("start_time_us")).as("ts"),
+      (col("duration_us") / 1000L).cast("long").as("latency_ms"))
+
+  /** Parsed turns → OpenCensus-model spans (opencensusexporter direction:
+    * `translator/internaldata/oc_to_traces.go` inverse, flattened struct):
+    * OC keeps name in a TruncatableString, times as start/end pair, and a
+    * status {code, message}.
+    */
+  def toOpenCensusSpans(parsed: DataFrame): DataFrame =
+    parsed.select(struct(
+      col("conv_id").as("trace_id"),
+      concat_ws(":", col("conv_id"), col("turn_idx")).as("span_id"),
+      struct(concat_ws("/", col("role"), col("tool_invoked")).as("value"))
+        .as("name"),
+      col("ts").as("start_time"),
+      (col("ts").cast("timestamp") +
+        make_dt_interval(lit(0), lit(0), lit(0),
+          col("latency_ms").cast("double") / 1000.0)).as("end_time"),
+      struct(
+        when(col("err_code").isNotNull, lit(2)).otherwise(lit(0)).as("code"),
+        coalesce(col("err_code"), lit("")).as("message")).as("status"),
+      map(lit("role"), col("role"), lit("tool"), col("tool_invoked"))
+        .as("attributes")
+    ).as("span"))
+
+  /** OC-model spans → turn-shaped rows; inverse of [[toOpenCensusSpans]]. */
+  def fromOpenCensusSpans(spans: DataFrame): DataFrame =
+    spans.select(
+      col("span.trace_id").as("conv_id"),
+      element_at(split(col("span.span_id"), ":"), -1).cast("int").as("turn_idx"),
+      element_at(col("span.attributes"), "role").as("role"),
+      element_at(col("span.attributes"), "tool").as("tool_invoked"),
+      col("span.start_time").as("ts"),
+      ((unix_micros(col("span.end_time").cast("timestamp")) -
+        unix_micros(col("span.start_time").cast("timestamp"))) / 1000L)
+        .cast("long").as("latency_ms"),
+      when(col("span.status.code") =!= 0, col("span.status.message"))
+        .as("err_code"))
 }

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-2 parity additions: scoped attribute actions, count-based batch
+  * flush, jaeger/OC translator round-trips, and batch↔tail-sampling
+  * decision agreement.
+  */
+class Round2Spec extends SparkTestBase {
+  import spark.implicits._
+
+  test("processScoped applies actions only inside include∧¬exclude") {
+    val df = Seq(
+      (1L, "error", 100.0, Map("k" -> "v")),
+      (2L, "error", 200.0, Map("k" -> "v")), // excluded by value > 150
+      (3L, "click", 100.0, Map("k" -> "v"))  // not included
+    ).toDF("id", "event_type", "value", "attrs")
+    val out = AttrActions.processScoped(df, "attrs",
+      Seq(AttrActions.Upsert("env", "prod"), AttrActions.Delete("k")),
+      AttrActions.MatchProps(
+        include = Some($"event_type" === "error"),
+        exclude = Some($"value" > 150)))
+      .select($"id", element_at($"attrs", "k").as("k"),
+        element_at($"attrs", "env").as("env"))
+      .as[(Long, Option[String], Option[String])].collect().toSet
+    assert(out === Set(
+      (1L, None, Some("prod")),      // matched: k deleted, env upserted
+      (2L, Some("v"), None),         // excluded: untouched
+      (3L, Some("v"), None)))        // not included: untouched
+  }
+
+  test("countBatches: full batches except the last, stable assignment") {
+    val df = (0 until 250).map(i => (i % 2, i)).toDF("sink", "seq")
+    val batched = StreamingPipeline.countBatches(df, size = 40,
+      keyCols = Seq("sink"), orderCols = Seq("seq"))
+    val sizes = batched.groupBy($"sink", $"batch_idx").count()
+      .orderBy($"sink", $"batch_idx")
+      .as[(Int, Int, Long)].collect()
+    // 125 rows per sink → 3×40 + 5
+    assert(sizes.filter(_._1 == 0).map(_._3).toSeq === Seq(40L, 40L, 40L, 5L))
+    assert(sizes.filter(_._1 == 1).map(_._3).toSeq === Seq(40L, 40L, 40L, 5L))
+    // deterministic: same batch for the same row on recompute
+    val a = batched.select("sink", "seq", "batch_idx").collect().toSet
+    val b = batched.select("sink", "seq", "batch_idx").collect().toSet
+    assert(a === b)
+  }
+
+  test("jaeger translator round-trips the parse-relevant fields") {
+    val parsed = Parse.parseGrok(TranscriptGen.turnsDs(spark, 30).toDF())
+    val back = Translators.fromJaegerSpans(Translators.toJaegerSpans(parsed))
+    val want = parsed.select($"conv_id", $"turn_idx", $"role",
+      $"tool_invoked", $"ts", $"latency_ms")
+    val got = back.select($"conv_id", $"turn_idx", $"role",
+      $"tool_invoked", $"ts", $"latency_ms")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("opencensus translator round-trips incl. error status") {
+    val parsed = Parse.parseGrok(TranscriptGen.turnsDs(spark, 30).toDF())
+    val back = Translators.fromOpenCensusSpans(Translators.toOpenCensusSpans(parsed))
+    val want = parsed.select($"conv_id", $"turn_idx", $"role",
+      $"tool_invoked", $"ts", $"latency_ms", $"err_code")
+    val got = back.select($"conv_id", $"turn_idx", $"role",
+      $"tool_invoked", $"ts", $"latency_ms", $"err_code")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // error rows carry OC status code 2
+    val oc = Translators.toOpenCensusSpans(parsed)
+    assert(oc.where($"span.status.code" === 2).count() ===
+      parsed.where($"err_code".isNotNull).count())
+  }
+
+  test("tail-sampling decide() ≡ Sampler.keepPredicate for every conv_id") {
+    // includes non-ASCII ids: the hash must run over UTF-8 BYTES
+    val ids = (0 until 200).map(i => s"conv-$i") ++
+      Seq("conv-λ-1", "日本語-42", "émoji-🙂-7")
+    val viaSql = ids.toDF("conv_id")
+      .withColumn("keep", Sampler.keepPredicate($"conv_id", 10.0, seed = 22L))
+      .as[(String, Boolean)].collect().toMap
+    val st = TailSample.ConvState(1L, 0L, Set.empty, 0L, 0L, 0L)
+    ids.foreach { id =>
+      assert(TailSample.decide(id, st, 10.0, 22L) === viaSql(id),
+        s"decision mismatch for $id")
+    }
+  }
+}

@@ -1,0 +1,64 @@
+package graft.expr
+
+import graft.SparkTestBase
+import graft.ops.Similarity
+import org.apache.spark.sql.functions._
+
+/** TopKByScore: the bounded per-group top-k aggregate that replaces the
+  * per-query-reducer window in the ANN paths (round-2 scale fix).
+  */
+class TopKSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // deterministic scores with ties: score = (i*7) % 5, id = i
+  private def scored(n: Int) =
+    (0 until n).map(i => ((i % 3).toLong, ((i * 7) % 5).toDouble, i.toLong))
+      .toDF("query_id", "cosine", "id")
+      .repartition(8) // force multi-partition partial buffers + merge path
+
+  test("topk_by_score ≡ window row_number baseline (ties broken by id)") {
+    import org.apache.spark.sql.expressions.Window
+    val df = scored(500)
+    val viaAgg = df.groupBy($"query_id")
+      .agg(TopKByScore.topk_by_score($"cosine", $"id", 7).as("topk"))
+      .select($"query_id", posexplode($"topk").as(Seq("pos", "e")))
+      .select($"query_id", $"e.id".as("id"), $"e.score".as("cosine"),
+        ($"pos" + 1).cast("int").as("rank"))
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"id")
+    val viaWindow = df.withColumn("rank", row_number().over(w))
+      .where($"rank" <= 7).select("query_id", "id", "cosine", "rank")
+    assert(viaAgg.exceptAll(viaWindow).isEmpty &&
+      viaWindow.exceptAll(viaAgg).isEmpty)
+  }
+
+  test("fewer rows than k returns all, sorted best-first") {
+    val out = Seq((1L, 0.5, 10L), (1L, 0.9, 11L), (1L, 0.5, 9L))
+      .toDF("query_id", "cosine", "id")
+      .groupBy($"query_id")
+      .agg(TopKByScore.topk_by_score($"cosine", $"id", 10).as("topk"))
+      .select(explode($"topk").as("e"))
+      .select($"e.id", $"e.score").as[(Long, Double)].collect().toSeq
+    assert(out === Seq((11L, 0.9), (9L, 0.5), (10L, 0.5)))
+  }
+
+  test("null scores/ids are skipped") {
+    val df = Seq((1L, Some(0.5), Some(10L)), (1L, None, Some(11L)),
+      (1L, Some(0.9), None)).toDF("query_id", "cosine", "id")
+    val out = df.groupBy($"query_id")
+      .agg(TopKByScore.topk_by_score($"cosine", $"id", 5).as("topk"))
+      .select(size($"topk")).as[Int].head()
+    assert(out === 1)
+  }
+
+  test("ANN plans: no Window, no single-partition exchange on candidates") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val topk = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      emb.where($"vec_id" < 3), "vec_id", "embedding", k = 5)
+    topk.count()
+    val plan = topk.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(3000))
+    assert(!plan.contains("SinglePartition"), plan.take(3000))
+    // the only exchange hashes on query_id (tiny partial buffers)
+    assert(plan.contains("hashpartitioning(query_id"), plan.take(3000))
+  }
+}

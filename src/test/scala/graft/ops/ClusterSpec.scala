@@ -1,0 +1,66 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Near-dup cluster resolution (round 2): pairs → connected components →
+  * canonical keep-set, plus the hot-bucket guard on LSH candidate joins.
+  */
+class ClusterSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("connected components: chained pairs resolve transitively") {
+    // A~B~C with A≁C (chain), plus an unrelated pair and a larger chain
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L), (10L, 11L), (11L, 12L),
+      (12L, 13L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comp(0L) === 0L && comp(1L) === 0L && comp(2L) === 0L)
+    assert(comp(5L) === 5L && comp(6L) === 5L)
+    assert(Seq(10L, 11L, 12L, 13L).map(comp) === Seq(10L, 10L, 10L, 10L))
+  }
+
+  test("clusters: singletons keep themselves; component keeps min id only") {
+    val docs = Seq(0L, 1L, 2L, 3L, 7L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.clusters(docs, "doc_id", pairs)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(out === Set((0L, 0L, true), (1L, 1L, true), (2L, 1L, false),
+      (3L, 1L, false), (7L, 7L, true)))
+  }
+
+  test("nearDupClusters: exact+case+near dups collapse to one keep") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river shore"),
+      (3L, "completely different content about spark query engines and shuffles"),
+      (5L, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG NEAR THE RIVER BANK")
+    ).toDF("doc_id", "text")
+    val out = Dedup.nearDupClusters(docs, "doc_id", "text", threshold = 0.6)
+      .as[(Long, Long, Boolean)].collect()
+      .map { case (id, c, k) => id -> ((c, k)) }.toMap
+    assert(out(0L) === ((0L, true)))
+    assert(out(1L) === ((0L, false)) && out(2L) === ((0L, false)) &&
+      out(5L) === ((0L, false)))
+    assert(out(3L) === ((3L, true)))
+  }
+
+  test("hot-bucket cap bounds candidate pairs on a degenerate corpus") {
+    // 400 near-identical docs (mass-duplicated boilerplate): every band
+    // bucket holds all 400 ids → uncapped would emit C(400,2) = 79,800
+    // pairs; cap 50 bounds it to C(50,2) = 1,225.
+    val boiler = (0 until 400)
+      .map(i => (i.toLong, "legal disclaimer all rights reserved contact us at example dot com"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.minhashCandidates(boiler, "doc_id", "text",
+      bucketCap = 50)
+    val n = capped.count()
+    assert(n === 1225L, s"expected C(50,2) candidates, got $n")
+    // pairs among the retained ids are still found and verify at J=1.0
+    val nd = Dedup.minhashNearDups(boiler, "doc_id", "text",
+      threshold = 0.9, bucketCap = 50)
+    assert(nd.count() === 1225L)
+    assert(nd.where($"jaccard" < 1.0).count() === 0L)
+  }
+}
