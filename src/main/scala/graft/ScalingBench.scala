@@ -10,6 +10,27 @@ import org.apache.spark.sql.SparkSession
   */
 object ScalingBench {
 
+  /** Task-metrics accumulator: total bytes scanned vs shuffled during a
+    * timed region — the plan-level evidence that the pipeline's only
+    * shuffle (salted partials) is a small fraction of the scan, i.e. the
+    * job scales on scan parallelism, not on the interconnect.
+    */
+  private final class IoListener extends org.apache.spark.scheduler.SparkListener {
+    import java.util.concurrent.atomic.AtomicLong
+    val input = new AtomicLong; val shufWrite = new AtomicLong
+    val shufRead = new AtomicLong
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        input.addAndGet(m.inputMetrics.bytesRead)
+        shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      }
+    }
+    def reset(): Unit = { input.set(0); shufWrite.set(0); shufRead.set(0) }
+  }
+
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
@@ -50,25 +71,41 @@ object ScalingBench {
     // production shape: the timed job READS the corpus (vectorized parquet
     // scan from tmpfs) rather than generating rows inline — a real
     // 10^12-turn job scans storage. The corpus is written once, untimed.
+    // Default layout is the conv-bucketed table (the Iceberg
+    // bucket(conv_id) stand-in — zero-shuffle aggregation); set
+    // SPARK_GRAFT_LAYOUT=scattered to measure the naive random layout
+    // (salted partial shuffle ≈ 69% of scanned bytes).
+    val bucketed = !sys.env.get("SPARK_GRAFT_LAYOUT").contains("scattered")
     val corpusDir = sys.env.getOrElse("SPARK_GRAFT_CORPUS_DIR",
-      s"/dev/shm/graft-corpus-$nConvs")
+      s"/dev/shm/graft-corpus-$nConvs" + (if (bucketed) "-bkt" else ""))
 
-    def run(cores: Int): (Double, Long) = {
+    def run(cores: Int): (Double, Long, Long, Long, Long) = {
       val spark = session(cores)
       try {
         if (!new java.io.File(s"$corpusDir/_SUCCESS").exists()) {
-          TranscriptGen.turnsDs(spark, nConvs).toDF()
-            .repartition(128) // many small files → split count never caps parallelism
+          val gen = TranscriptGen.turnsDs(spark, nConvs).toDF()
+          if (bucketed) BucketedCorpus.write(gen, corpusDir, "graft_corpus")
+          else gen.repartition(128) // many small files → splits never cap parallelism
             .write.mode("overwrite").parquet(corpusDir)
         }
-        def turns = spark.read.parquet(corpusDir)
+        def turns =
+          if (bucketed) BucketedCorpus.open(spark, corpusDir, "graft_corpus")
+          else spark.read.parquet(corpusDir)
         // full-size warmup: codegen + classloading outside the timed runs
         Bench.pipelineRunFrom(spark, turns)
+        val io = new IoListener
+        spark.sparkContext.addSparkListener(io)
+        io.reset()
         val (s1, n1) = Bench.pipelineRunFrom(spark, turns)
+        org.apache.spark.sql.GraftBridge.waitListenerBusEmpty(spark.sparkContext)
+        val (in, sw, sr) = (io.input.get, io.shufWrite.get, io.shufRead.get)
         val (s2, _) = Bench.pipelineRunFrom(spark, turns)
-        (math.min(s1, s2), n1)           // best-of-2, warm
+        (math.min(s1, s2), n1, in, sw, sr)   // best-of-2, warm
       } finally spark.stop()
     }
+
+    def ioJson(in: Long, sw: Long, sr: Long): String =
+      f""""input_bytes":$in,"shuffle_write_bytes":$sw,"shuffle_read_bytes":$sr,"shuffle_write_pct_of_scan":${100.0 * sw / math.max(in, 1L)}%.2f"""
 
     if (lo == hi) {
       // single-level mode: run ONE parallelism level in this (fresh) JVM.
@@ -76,16 +113,16 @@ object ScalingBench {
       // level's full-size runs pollute the second level's timings
       // (observed ±4× swings); one JVM per level is the honest protocol.
       // Usage: runMain graft.ScalingBench <nConvs> <cores> <cores>
-      val (sec, turns) = run(lo)
+      val (sec, turns, in, sw, sr) = run(lo)
       val tps = turns / sec
-      println(f"""{"metric":"throughput","value":$tps%.0f,"unit":"turns_per_sec","turns":$turns,"cores":$lo,"sec":$sec%.2f}""")
+      println(f"""{"metric":"throughput","value":$tps%.0f,"unit":"turns_per_sec","turns":$turns,"cores":$lo,"sec":$sec%.2f,${ioJson(in, sw, sr)}}""")
     } else {
-      val (secLo, turns) = run(lo)
-      val (secHi, _) = run(hi)
+      val (secLo, turns, inLo, swLo, srLo) = run(lo)
+      val (secHi, _, _, _, _) = run(hi)
       val tpsLo = turns / secLo
       val tpsHi = turns / secHi
       val eff = (tpsHi / tpsLo) / (hi.toDouble / lo)
-      println(f"""{"metric":"scaling_efficiency","value":$eff%.3f,"unit":"ratio","turns":$turns,"cores_lo":$lo,"cores_hi":$hi,"sec_lo":$secLo%.2f,"sec_hi":$secHi%.2f,"tps_lo":$tpsLo%.0f,"tps_hi":$tpsHi%.0f}""")
+      println(f"""{"metric":"scaling_efficiency","value":$eff%.3f,"unit":"ratio","turns":$turns,"cores_lo":$lo,"cores_hi":$hi,"sec_lo":$secLo%.2f,"sec_hi":$secHi%.2f,"tps_lo":$tpsLo%.0f,"tps_hi":$tpsHi%.0f,${ioJson(inLo, swLo, srLo)}}""")
     }
   }
 }

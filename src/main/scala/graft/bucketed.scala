@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Conv-bucketed transcript storage — the explicit-partitioning story of
+  * the north rule ("over Iceberg tables … partitioning / shuffle / skew
+  * handled explicitly"; SURVEY.md §2.1 receivers).
+  *
+  * At 10^12 turns the transcript table must be laid out so a
+  * conversation's turns co-locate: Iceberg expresses this as a
+  * `bucket(N, conv_id)` partition transform; the in-sandbox stand-in is a
+  * Spark bucketed parquet table (`CLUSTERED BY (conv_id) INTO N BUCKETS`,
+  * same murmur3 bucket function family). The payoff is plan-level:
+  * `HashPartitioning(conv_id)` from the scan satisfies
+  * `ClusteredDistribution(conv_id, …)` for every conv-keyed aggregate, so
+  * parse→enrich→route→rollup runs with ZERO data shuffles (broadcast
+  * exchanges only) — measured on the scattered layout the salted partial
+  * shuffle was ~69% of scanned bytes (ScalingBench IoListener), i.e. the
+  * interconnect, the one resource that does not scale with executors, was
+  * carrying most of the job.
+  *
+  * `SORTED BY (conv_id, turn_idx)` additionally gives the stable turn
+  * ordering of the per-turn text-equality invariant for free at read time.
+  */
+object BucketedCorpus {
+
+  val DefaultBuckets = 128
+
+  /** Write `turns` as a bucketed table at `path`. One pass: the
+    * `repartition(buckets, conv_id)` matches the bucket hash exactly, so
+    * every task writes exactly one bucket file (without it each task
+    * writes one file PER bucket → tasks × buckets small files).
+    */
+  def write(turns: DataFrame, path: String, table: String,
+            buckets: Int = DefaultBuckets): Unit =
+    turns.repartition(buckets, col("conv_id"))
+      .write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(buckets, "conv_id")
+      .sortBy("conv_id", "turn_idx")
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Open a bucketed corpus written by [[write]]. The catalog entry is
+    * session-scoped (in-memory catalog), so a fresh JVM re-issues the DDL
+    * over the existing files — bucket ids live in the file names, so the
+    * re-created table scan still reports HashPartitioning(conv_id).
+    */
+  def open(spark: SparkSession, path: String, table: String,
+           buckets: Int = DefaultBuckets): DataFrame = {
+    if (!spark.catalog.tableExists(table)) {
+      spark.sql(
+        s"""CREATE TABLE $table (
+           |  conv_id STRING, turn_idx INT, role STRING,
+           |  text STRING, tool STRING, ts TIMESTAMP)
+           |USING parquet
+           |CLUSTERED BY (conv_id) SORTED BY (conv_id, turn_idx)
+           |INTO $buckets BUCKETS
+           |LOCATION '$path'""".stripMargin)
+    }
+    spark.table(table)
+  }
+}

@@ -53,6 +53,31 @@ class PlanSpec extends SparkTestBase {
     assert(grokLine.trim.stripPrefix("+- ").startsWith("*("), grokLine)
   }
 
+  test("conv-bucketed corpus: whole rollup chain has no data exchange") {
+    val dir = tmpDir("bkt")
+    val turns = TranscriptGen.turnsDs(spark, 200).toDF()
+    BucketedCorpus.write(turns, s"$dir/corpus", "graft_corpus_plan", buckets = 4)
+    try {
+      val opened = BucketedCorpus.open(spark, s"$dir/corpus",
+        "graft_corpus_plan", 4)
+      val routed = Pipeline.transform(opened,
+        TranscriptGen.roleDim(spark).toDF(), TranscriptGen.toolDim(spark).toDF())
+      val rollup = Aggregate.convRollupFromPartials(Aggregate.partials(routed))
+      rollup.count()
+      val plan = rollup.queryExecution.executedPlan.toString
+      // HashPartitioning(conv_id) from the bucketed scan satisfies every
+      // conv-keyed ClusteredDistribution → broadcast exchanges only
+      assert(!plan.contains("Exchange hashpartitioning"), plan.take(4000))
+      assert(!plan.contains("Exchange SinglePartition"), plan.take(4000))
+      // and the zero-shuffle plan computes the same rollup as the scattered one
+      val expected = Aggregate.convRollupFromPartials(
+        Aggregate.partials(Pipeline.transform(turns.repartition(7),
+          TranscriptGen.roleDim(spark).toDF(), TranscriptGen.toolDim(spark).toDF())))
+      assert(rollup.exceptAll(expected).isEmpty &&
+        expected.exceptAll(rollup).isEmpty)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_corpus_plan")
+  }
+
   test("salted aggregation has map-side partial aggregation") {
     val turns = TranscriptGen.turns(spark, 100, seed = 42).drop("_truth")
     val routed = Route.assign(Parse.parse(turns), Route.defaultSinks)
