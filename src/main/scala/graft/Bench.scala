@@ -82,12 +82,24 @@ object Bench {
       }
     }
 
-    // pipeline throughput at bench scale (~500k turns); warm codegen first
+    // pipeline throughput at bench scale (~600k turns); warm codegen first
     pipelineRun(spark, 2000L)
     val (pipeSec, pipeTurns) = pipelineRun(spark, 145000L)
     val turnsPerSec = pipeTurns / pipeSec
 
-    val all = results :+ ("pipeline_e2e" -> pipeSec)
+    // production shape: same pipeline over a conv-bucketed table scan
+    // (zero data shuffle — the 100 TB layout; corpus written once, untimed)
+    val bktDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_BKT_DIR",
+      "/dev/shm/graft-bench-bkt")
+    if (!new java.io.File(s"$bktDir/_SUCCESS").exists())
+      BucketedCorpus.write(TranscriptGen.turnsDs(spark, 145000L).toDF(),
+        bktDir, "graft_bench_corpus", buckets = 32)
+    def bkt = BucketedCorpus.open(spark, bktDir, "graft_bench_corpus", 32)
+    pipelineRunFrom(spark, bkt) // warm
+    val (bktSec, _) = pipelineRunFrom(spark, bkt)
+
+    val all = results :+ ("pipeline_e2e" -> pipeSec) :+
+      ("pipeline_bucketed" -> bktSec)
     val qs = all.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = all.map(_._2).sum

@@ -69,6 +69,27 @@ class Round2Spec extends SparkTestBase {
       parsed.where($"err_code".isNotNull).count())
   }
 
+  test("bucketed corpus round-trips per-turn text under stable ordering") {
+    val dir = tmpDir("bkt-rt")
+    val turns = TranscriptGen.turnsDs(spark, 150).toDF()
+    BucketedCorpus.write(turns, s"$dir/c", "graft_corpus_rt", buckets = 4)
+    try {
+      val back = BucketedCorpus.open(spark, s"$dir/c", "graft_corpus_rt", 4)
+      // per-turn text equality under (conv_id, turn_idx) — the north-rule
+      // row invariant — plus full-row round-trip
+      val a = turns.orderBy("conv_id", "turn_idx")
+        .select("conv_id", "turn_idx", "text").collect().toSeq
+      val b = back.orderBy("conv_id", "turn_idx")
+        .select("conv_id", "turn_idx", "text").collect().toSeq
+      assert(a === b)
+      assert(back.count() === turns.count())
+      // SORTED BY gives within-file order without a sort at read time
+      val firstBucket = back.where(spark_partition_id() === 0)
+        .select("conv_id", "turn_idx").collect().toSeq
+      assert(firstBucket === firstBucket.sortBy(r => (r.getString(0), r.getInt(1))))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_corpus_rt")
+  }
+
   test("tail-sampling decide() ≡ Sampler.keepPredicate for every conv_id") {
     // includes non-ASCII ids: the hash must run over UTF-8 BYTES
     val ids = (0 until 200).map(i => s"conv-$i") ++
