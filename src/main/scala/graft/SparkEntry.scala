@@ -305,6 +305,17 @@ object SparkEntry {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))),
 
+    "q_token_bpe" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.ops.TextAnalysis.tokenCountBpe(col("text")).cast("long")
+            .as("n_tokens_bpe"))),
+
+    "q_quality_score" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.ops.TextAnalysis.qualityScore(col("text")).as("quality"))),
+
     "q_text_profile" -> ((s, d) =>
       graft.ops.TextAnalysis.profile(t(s, d, "documents"), "text")
         .groupBy(col("lang_id"))
@@ -353,6 +364,12 @@ object SparkEntry {
       val dec = graft.ops.Multimodal.decodeAndFeaturize(media)
       graft.ops.Multimodal.frameSamplePlan(dec)
         .select(col("media_id"), col("n_frames"), size(col("sampled_frames")).as("n_sampled"))
+    }),
+
+    "q_media_resize" -> ((s, _) => {
+      val media = graft.ops.Multimodal.syntheticMedia(s, 300)
+      graft.ops.Multimodal.resizePlan(
+        graft.ops.Multimodal.decodeAndFeaturize(media))
     }),
 
     "q_ann_bruteforce" -> ((s, d) => {
@@ -580,6 +597,63 @@ object SparkEntry {
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY lang""".stripMargin,
 
+    "q_token_bpe" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens_bpe
+        |FROM documents""".stripMargin,
+
+    // replays TextAnalysis.qualityScore term by term (distinct stopword
+    // union of the 4 language lists inlined)
+    "q_quality_score" ->
+      """WITH b AS (SELECT doc_id, trim(text) AS t FROM documents),
+        |m AS (SELECT doc_id, t, CAST(len(t) AS DOUBLE) AS n_chars,
+        |        string_split_regex(lower(t), '\s+') AS words FROM b),
+        |r AS (SELECT doc_id, len(words) AS n_words,
+        |  CAST(len(regexp_replace(t, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+        |    / GREATEST(n_chars, 1.0) AS alpha_ratio,
+        |  CAST(len(list_intersect(list_distinct(words),
+        |    ['the','and','of','to','a','in','is','it','that','for',
+        |     'el','la','de','que','y','en','un','es','se','no',
+        |     'der','die','und','das','ist','ein','zu','den','mit','von',
+        |     'le','et','est','du','pour'])) AS DOUBLE)
+        |    / GREATEST(CAST(len(words) AS DOUBLE), 1.0) AS stop_ratio,
+        |  n_chars / GREATEST(CAST(len(words) AS DOUBLE), 1.0) AS mean_word_len
+        |  FROM m)
+        |SELECT doc_id, ROUND(
+        |  (CASE WHEN n_words BETWEEN 5 AND 5000 THEN 1.0
+        |        WHEN n_words BETWEEN 2 AND 10000 THEN 0.5 ELSE 0.0 END) * 0.3
+        |  + alpha_ratio * 0.3
+        |  + LEAST(stop_ratio * 3.0, 1.0) * 0.2
+        |  + (CASE WHEN mean_word_len BETWEEN 3.0 AND 12.0 THEN 1.0
+        |          ELSE 0.3 END) * 0.2, 4) AS quality
+        |FROM r""".stripMargin,
+
+    // downstream media stages verified from the dumped decode output
+    // (the codec itself is the documented sandbox stub)
+    "q_media_framesample" ->
+      """SELECT media_id, n_frames,
+        |  CAST(LEAST(8, FLOOR((n_frames - 1) / 10) + 1) AS INT) AS n_sampled
+        |FROM read_parquet('__OUT__/_input_media/*.parquet')
+        |WHERE kind = 'video'""".stripMargin,
+
+    "q_media_resize" ->
+      """SELECT media_id, kind, width, height,
+        |  CAST(GREATEST(1, ROUND(width *
+        |    LEAST(1.0, 256.0 / GREATEST(width, height)))) AS INT) AS target_w,
+        |  CAST(GREATEST(1, ROUND(height *
+        |    LEAST(1.0, 256.0 / GREATEST(width, height)))) AS INT) AS target_h
+        |FROM read_parquet('__OUT__/_input_media/*.parquet')""".stripMargin,
+
+    // ANN oracles: DuckDB list_cosine_similarity + window top-k replays the
+    // exact brute-force semantics (ties broken by id; round-6 then the
+    // driver's round-4 canon absorbs float32-vs-double accumulation).
+    // q_ann_ivf probes nProbe == nCells, so it is provably identical to
+    // brute force (IvfSpec) and shares the oracle. q_ann_lsh is
+    // approximate by design → rows-only.
+    "q_ann_bruteforce" -> SparkEntry.annBruteForceOracle,
+    "q_ann_ivf" -> SparkEntry.annBruteForceOracle,
+
     // Pipeline oracles replay parse (regexp_extract over text) → route
     // (first-match CASE) → aggregate over the dumped seed-42 corpus.
     "q_pipeline_rollup" ->
@@ -666,4 +740,17 @@ object SparkEntry {
         |    '^E[0-9]{3}$') AS error_tag
         |FROM read_parquet('__OUT__/_input_turns/*.parquet')""".stripMargin
   )
+
+  private val annBruteForceOracle: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+      |           FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+      |s AS (SELECT query_id, id, list_cosine_similarity(v, qv) AS cos
+      |      FROM c, q WHERE id <> query_id),
+      |r AS (SELECT query_id, id, cos,
+      |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |          ORDER BY cos DESC, id) AS INT) AS rank
+      |      FROM s)
+      |SELECT query_id, id, CAST(ROUND(cos, 6) AS DOUBLE) AS cosine, rank
+      |FROM r WHERE rank <= 5""".stripMargin
 }

@@ -27,6 +27,15 @@ object Verify {
       .withColumn("sample_bucket",
         pmod(xxhash64(col("conv_id"), lit(22L)), lit(Sampler.NumBuckets)))
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_input_turns")
+    // Decoded-media metadata dump: the codec is a sandbox stub, but the
+    // DOWNSTREAM stages (frame sampling, resize planning) are real column
+    // math — dumping the decode output lets DuckDB verify them
+    // independently.
+    graft.ops.Multimodal.decodeAndFeaturize(
+        graft.ops.Multimodal.syntheticMedia(spark, 300)).toDF()
+      .select(col("media_id"), col("kind"), col("width"), col("height"),
+        col("n_frames"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_input_media")
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name.parquet")
