@@ -95,12 +95,24 @@ object Dedup {
                         numHashes: Int = 64, bands: Int = 16,
                         shingleK: Int = 3,
                         bucketCap: Int = DefaultBucketCap,
-                        obsTag: Option[String] = None): DataFrame = {
+                        obsTag: Option[String] = None): DataFrame =
+    minhashCandidatesFromSig(
+      df.select(col(idCol).as("id"),
+          minhashSignature(wordShingles(col(textCol), shingleK), numHashes).as("sig"))
+        .localCheckpoint(true),
+      numHashes, bands, bucketCap, obsTag)
+
+  /** Candidates from a precomputed/persisted `(id, sig)` frame — at real
+    * scale the signature frame is a durable index table reused across
+    * dedup runs; the caller owns its lifecycle.
+    */
+  def minhashCandidatesFromSig(sig0: DataFrame,
+                               numHashes: Int = 64, bands: Int = 16,
+                               bucketCap: Int = DefaultBucketCap,
+                               obsTag: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val rows = numHashes / bands
-    val sig = df.select(col(idCol).as("id"),
-        minhashSignature(wordShingles(col(textCol), shingleK), numHashes).as("sig"))
-      .localCheckpoint(true)
+    val sig = sig0
       .withColumn("band",
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band_idx"),
@@ -128,15 +140,21 @@ object Dedup {
       .distinct()
   }
 
-  /** Near-dup pairs: LSH candidates verified with EXACT n-gram Jaccard. */
+  /** Near-dup pairs: LSH candidates verified with EXACT n-gram Jaccard.
+    * The shingle arrays are computed ONCE (checkpointed) and feed both the
+    * signature build and the verify join — shingling (string splits +
+    * array building) dominates the cost, so the round-1 shape that
+    * re-shingled for the verify path paid it twice.
+    */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double = 0.8, numHashes: Int = 64,
                       bands: Int = 16, shingleK: Int = 3,
                       bucketCap: Int = DefaultBucketCap): DataFrame = {
-    val cands = minhashCandidates(df, idCol, textCol, numHashes, bands,
-      shingleK, bucketCap)
     val sh = df.select(col(idCol).as("id"),
       wordShingles(col(textCol), shingleK).as("sh")).localCheckpoint(true)
+    val sig = sh.select(col("id"),
+      minhashSignature(col("sh"), numHashes).as("sig")).localCheckpoint(true)
+    val cands = minhashCandidatesFromSig(sig, numHashes, bands, bucketCap)
     cands
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -284,6 +302,63 @@ object Dedup {
     labels
   }
 
+  /** Connected components by the alternating large-star/small-star
+    * algorithm (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") — O(log n) rounds regardless of component DIAMETER, where
+    * min-label propagation needs O(diameter) rounds (a 300-doc rewrite
+    * chain = 300 full-data joins). Each round is two groupBy+join passes
+    * over the current edge set, which only shrinks. This is the default
+    * scale path; [[connectedComponents]] remains as the simpler
+    * independent implementation the specs cross-check against.
+    */
+  def connectedComponentsStar(pairs: DataFrame, aCol: String = "id_a",
+                              bCol: String = "id_b",
+                              maxIter: Int = 50): DataFrame = {
+    // order-independent edge-set fingerprint (bit_xor: no ANSI overflow)
+    def ck(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    // large-star: connect every neighbor v > u to m = min(Γ(u) ∪ {u})
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      sym.join(m, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v")).distinct()
+    }
+    // small-star: orient u ≥ v; connect every smaller neighbor (and u
+    // itself) to m = min of u's smaller neighborhood
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v")).where(col("u") =!= col("v")).distinct()
+      val m = oriented.groupBy("u").agg(min(col("v")).as("m"))
+      oriented.union(m.select(col("u"), col("u").as("v")))
+        .join(m, "u")
+        .where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v")).distinct()
+    }
+    var e = pairs.select(col(aCol).cast("long").as("u"),
+        col(bCol).cast("long").as("v"))
+      .where(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    var last = ck(e)
+    var done = e.isEmpty
+    var i = 0
+    while (!done && i < maxIter) {
+      e = smallStar(largeStar(e)).localCheckpoint(true)
+      val now = ck(e)
+      done = now == last
+      last = now
+      i += 1
+    }
+    require(done, s"connectedComponentsStar did not converge in $maxIter rounds")
+    // converged edge set is a star forest: u → component minimum
+    e.select(col("u").as("id"), col("v").as("comp"))
+      .union(e.select(col("v").as("id"), col("v").as("comp")))
+      .groupBy("id").agg(min(col("comp")).as("comp"))
+  }
+
   /** Resolve near-dup pairs to keep/drop sets: every row of `df` gets its
     * component id (singletons form their own) and `keep` = is the
     * component's minimum id — the canonical representative a training-data
@@ -292,7 +367,7 @@ object Dedup {
   def clusters(df: DataFrame, idCol: String, pairs: DataFrame,
                aCol: String = "id_a", bCol: String = "id_b"): DataFrame =
     df.select(col(idCol).cast("long").as("id"))
-      .join(connectedComponents(pairs, aCol, bCol), Seq("id"), "left")
+      .join(connectedComponentsStar(pairs, aCol, bCol), Seq("id"), "left")
       .select(col("id").as(idCol),
         coalesce(col("comp"), col("id")).as("comp"),
         (coalesce(col("comp"), col("id")) === col("id")).as("keep"))

@@ -67,6 +67,37 @@ object StreamingPipeline {
       .start()
   }
 
+  /** Config-driven streaming topology — the streaming twin of
+    * `Pipeline.runBatch(config=…)`: grok pattern, sampling, and sink
+    * predicates come from [[PipelineConfig]] JSON (the reference's
+    * YAML-driven service startup, SURVEY.md §3.1). All config-compiled
+    * stages are narrow/broadcast, so the streaming plan is identical in
+    * shape to the coded one.
+    */
+  def startWithConfig(spark: SparkSession, inputDir: String, outDir: String,
+                      checkpointDir: String, cfg: PipelineConfig,
+                      triggerMs: Long = 200L,
+                      maxFilesPerTrigger: Int = 8): StreamingQuery = {
+    val stream = spark.readStream
+      .schema(Schemas.turn)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inputDir)
+      .withWatermark("ts", "10 minutes")
+    val routed = PipelineConfig.transform(spark, stream, cfg)
+    routed.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch
+          .sortWithinPartitions(col("conv_id"), col("turn_idx"))
+          .write.mode("overwrite")
+          .partitionBy(Route.SinkCol, "tool_invoked", "role")
+          .parquet(s"$outDir/routed/batch_id=$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** Batch-mode count-flush analog (batchprocessor `send_batch_size`,
     * SURVEY.md §2.5): number rows within each key group in a stable order
     * and cut every `size` rows — batch n = rows [n·size, (n+1)·size).

@@ -46,6 +46,22 @@ object Translators {
         coalesce(col("_z.localEndpoint.serviceName"), lit("")).as("service"),
         coalesce(col("_z.tags"), map()).as("tags"))
 
+  /** Parsed turns → Zipkin-v2 JSON span strings (zipkinexporter
+    * direction); inverse of [[fromZipkinJson]] up to tag contents.
+    */
+  def toZipkinJson(parsed: DataFrame,
+                   serviceName: String = "graft-collector"): DataFrame =
+    parsed.select(to_json(struct(
+      col("conv_id").as("traceId"),
+      concat_ws(":", col("conv_id"), col("turn_idx")).as("id"),
+      concat_ws("/", col("role"), col("tool_invoked")).as("name"),
+      unix_micros(col("ts").cast("timestamp")).as("timestamp"),
+      (col("latency_ms") * 1000L).as("duration"),
+      struct(lit(serviceName).as("serviceName")).as("localEndpoint"),
+      map(lit("role"), col("role"),
+        lit("error"), when(col("err_code").isNotNull, col("err_code"))).as("tags")
+    )).as("json"))
+
   /** Turn rows → OTLP-ish LogRecord structs (the export direction):
     * time in unix nanos, severity derived from the parsed err_code,
     * body = text, envelope keys as attributes.

@@ -69,6 +69,40 @@ class Round2Spec extends SparkTestBase {
       parsed.where($"err_code".isNotNull).count())
   }
 
+  test("zipkin export → import round-trips the span fields") {
+    val parsed = Parse.parseGrok(TranscriptGen.turnsDs(spark, 20).toDF())
+    val back = Translators.fromZipkinJson(Translators.toZipkinJson(parsed), "json")
+    val want = parsed.select($"conv_id".as("trace_id"),
+      concat_ws(":", $"conv_id", $"turn_idx").as("span_id"),
+      concat_ws("/", $"role", $"tool_invoked").as("name"),
+      $"ts", $"latency_ms", lit("graft-collector").as("service"))
+    val got = back.select($"trace_id", $"span_id", $"name", $"ts",
+      $"latency_ms", $"service")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // error turns carry the error tag
+    assert(Translators.fromZipkinJson(Translators.toZipkinJson(parsed), "json")
+      .where(element_at($"tags", "error").isNotNull).count() ===
+      parsed.where($"err_code".isNotNull).count())
+  }
+
+  test("config-driven streaming topology routes like the config batch path") {
+    val inDir = tmpDir("cfg-stream-in")
+    val outDir = tmpDir("cfg-stream-out")
+    val ckpt = tmpDir("cfg-stream-ckpt")
+    val turns = TranscriptGen.turnsDs(spark, 100).toDF()
+    turns.repartition(3).write.mode("append").parquet(inDir)
+    val cfg = PipelineConfig.fromJson(PipelineConfig.defaultJson)
+    val q = StreamingPipeline.startWithConfig(spark, inDir, outDir, ckpt, cfg)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.option("basePath", s"$outDir/routed")
+      .parquet(s"$outDir/routed/batch_id=*")
+      .groupBy("sink").count()
+    val batch = PipelineConfig.transform(spark, turns, cfg)
+      .groupBy("sink").count()
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("bucketed corpus round-trips per-turn text under stable ordering") {
     val dir = tmpDir("bkt-rt")
     val turns = TranscriptGen.turnsDs(spark, 150).toDF()

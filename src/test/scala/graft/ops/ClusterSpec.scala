@@ -20,6 +20,31 @@ class ClusterSpec extends SparkTestBase {
     assert(Seq(10L, 11L, 12L, 13L).map(comp) === Seq(10L, 10L, 10L, 10L))
   }
 
+  test("large-star/small-star ≡ min-propagation on a random graph") {
+    // deterministic pseudo-random sparse graph over 400 nodes
+    val edges = (0 until 600).map { i =>
+      val a = math.abs(i * 2654435761L) % 400
+      val b = math.abs((i * 40503L + 7) * 2654435761L) % 400
+      (a, b)
+    }.filter { case (a, b) => a != b }.toDF("id_a", "id_b")
+    val star = Dedup.connectedComponentsStar(edges)
+      .as[(Long, Long)].collect().toMap
+    val prop = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(star === prop)
+  }
+
+  test("long chain: star algorithm converges in O(log n) rounds") {
+    // a 300-node path — diameter 300; min-propagation would need ~300
+    // full-data rounds (its maxIter guard trips), the star algorithm a
+    // handful
+    val chain = (0 until 299).map(i => (i.toLong, i + 1L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponentsStar(chain)
+      .as[(Long, Long)].collect().toMap
+    assert(comp.size === 300)
+    assert(comp.values.toSet === Set(0L))
+  }
+
   test("clusters: singletons keep themselves; component keeps min id only") {
     val docs = Seq(0L, 1L, 2L, 3L, 7L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
