@@ -330,6 +330,18 @@ object SparkEntry {
         t(s, d, "documents").where(col("doc_id") < 200), "doc_id", "text",
         threshold = 0.5)),
 
+    // incremental (daily-ingest) shape: new batch [150,200) banded against
+    // the stored index [0,150) — finds cross pairs and intra-batch pairs,
+    // never re-self-joins the index
+    "q_dedup_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.ops.Dedup.minhashNearDupsAgainst(
+        graft.ops.Dedup.minhashIndex(
+          docs.where(col("doc_id") < 150), "doc_id", "text"),
+        docs.where(col("doc_id") >= 150 && col("doc_id") < 200),
+        "doc_id", "text", threshold = 0.5)
+    }),
+
     "q_simhash_sigs" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), graft.ops.Dedup.simhash(col("text")).as("sig"))),

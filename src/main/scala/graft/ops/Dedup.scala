@@ -263,6 +263,68 @@ object Dedup {
       .distinct()
   }
 
+  /** Minhash signature frame `(id, sig, sh)` for [[minhashNearDupsAgainst]]
+    * — at scale this is a durable table maintained across ingest batches.
+    */
+  def minhashIndex(df: DataFrame, idCol: String, textCol: String,
+                   numHashes: Int = 64, shingleK: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      wordShingles(col(textCol), shingleK).as("sh"))
+    sh.select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"),
+      col("sh"))
+  }
+
+  /** Incremental near-dup detection: pairs between a NEW batch and an
+    * existing signature index (plus within the new batch itself) — the
+    * daily-ingest shape: band-join new signatures against the stored index
+    * instead of re-self-joining the whole corpus. Output as
+    * [[minhashNearDups]]: (id_a, id_b, jaccard_est, jaccard), id_a < id_b.
+    */
+  def minhashNearDupsAgainst(index: DataFrame, newDocs: DataFrame,
+                             idCol: String, textCol: String,
+                             threshold: Double = 0.8, numHashes: Int = 64,
+                             bands: Int = 16, shingleK: Int = 3,
+                             bucketCap: Int = DefaultBucketCap): DataFrame = {
+    val rows = numHashes / bands
+    def banded(sigs: DataFrame): DataFrame = sigs
+      .withColumn("band",
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band_idx"),
+            xxhash64(concat_ws(",",
+              slice(col("sig"), b * rows + 1, lit(rows)).cast("array<string>")).cast("string")).as("band_hash")))))
+      .select(col("id"), col("sig"), col("sh"),
+        col("band.band_idx"), col("band.band_hash"))
+    val newSigs = minhashIndex(newDocs, idCol, textCol, numHashes, shingleK)
+      .localCheckpoint(true)
+    // candidate pairs: (new × index) ∪ (new × new); the index side is the
+    // big one — it is only shuffled on the band key, never self-joined
+    import org.apache.spark.sql.expressions.Window
+    val a = banded(index.unionByName(newSigs))
+      .select(col("id").as("id_a"), col("sig").as("sig_a"),
+        col("sh").as("sh_a"), col("band_idx"), col("band_hash"))
+      // hot-bucket guard on the big (index) side, as in minhashCandidates
+      .withColumn("_bn", row_number().over(
+        Window.partitionBy(col("band_idx"), col("band_hash"))
+          .orderBy(col("id_a"))))
+      .where(col("_bn") <= bucketCap).drop("_bn")
+    val b = banded(newSigs)
+      .select(col("id").as("id_b"), col("sig").as("sig_b"),
+        col("sh").as("sh_b"), col("band_idx"), col("band_hash"))
+    // the b side holds only NEW ids, so order the output pair with
+    // least/greatest (a plain id_a < id_b would silently drop
+    // (index_i, new_j) pairs where i > j); jaccard is symmetric
+    a.join(b, Seq("band_idx", "band_hash"))
+      .where(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / numHashes).as("jaccard_est"),
+        ngramJaccardCol(col("sh_a"), col("sh_b")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+      .distinct()
+  }
+
   // ------------------------------------------- cluster resolution (CC)
 
   /** Connected components over an undirected pair list by iterative

@@ -83,6 +83,59 @@ object Ivf {
     cents
   }
 
+  /** Persist an IVF index: corpus rows written `partitionBy("cell")` (the
+    * durable form of the assignment — at scale an Iceberg table
+    * partitioned by cell), centroids written alongside as a tiny parquet.
+    * Probing then reads ONLY the probed cells' partitions — partition
+    * pruning turns nProbe/nCells from a filter ratio into an IO ratio
+    * (asserted in IvfSpec via the scan's partition filters).
+    */
+  def writeIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                 dir: String, nCells: Int = 16, kmeansIters: Int = 1,
+                 seed: Long = 11L): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids =
+      if (kmeansIters > 0)
+        kmeansCentroids(corpus, idCol, vecCol, nCells, kmeansIters, seed)
+      else pickCentroids(corpus, idCol, vecCol, nCells, seed)
+    assignCells(corpus.select(col(idCol).as("id"), col(vecCol).as("v")),
+        "id", "v", centroids)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+    centroids.toSeq.map { case (c, v) => (c, v.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** Top-k ANN over a persisted index: probes are a partition-pruned scan
+    * of `dir/cells` — only nProbe of nCells partitions are read.
+    */
+  def probeIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 queries: DataFrame, qIdCol: String, qVecCol: String,
+                 k: Int = 10, nProbe: Int = 4): DataFrame = {
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val probes = queries
+      .select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"))
+      .withColumn("probe", explode(transform(
+        bestCells(col("qv"), centroids, nProbe), p => p.getField("cell"))))
+    // static partition pruning: the probed cell set is tiny (≤ queries ×
+    // nProbe) — an explicit isin filter reaches the scan's
+    // PartitionFilters, so unprobed partitions are never read (no reliance
+    // on dynamic partition pruning firing)
+    val probeCells = probes.select(col("probe")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val cells = spark.read.parquet(s"$dir/cells")
+      .where(col("cell").isin(probeCells: _*))
+    val scored = cells
+      .join(broadcast(probes), cells("cell") === probes("probe"))
+      .where(col("id") =!= col("query_id"))
+      .withColumn("cosine", Similarity.cosine(col("v"), col("qv")))
+    Similarity.topKPerQuery(scored, k)
+  }
+
   /** Top-k ANN via IVF probe. Scans ≈ nProbe/nCells of the corpus per
     * query set. Queries must be small (broadcast). Per-query top-k is the
     * bounded [[Similarity.topKPerQuery]] aggregate — no per-query-reducer

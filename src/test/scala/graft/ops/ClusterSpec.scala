@@ -71,6 +71,32 @@ class ClusterSpec extends SparkTestBase {
     assert(out(3L) === ((3L, true)))
   }
 
+  test("incremental dedup: new batch vs stored index finds cross+intra pairs") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (3L, "completely different content about spark query engines and shuffles"),
+      (9L, "a third unrelated document mentioning salted aggregation plans today")
+    ).toDF("doc_id", "text")
+    val index = Dedup.minhashIndex(corpus, "doc_id", "text")
+    val fresh = Seq(
+      // near-dup of indexed doc 0, with SMALLER id (ordering regression guard)
+      (1L, "the quick brown fox jumps over the lazy dog near the river shore"),
+      // exact dup of indexed doc 9, larger id
+      (12L, "a third unrelated document mentioning salted aggregation plans today"),
+      // intra-batch exact pair
+      (20L, "brand new boilerplate text repeated inside the incoming batch only"),
+      (21L, "brand new boilerplate text repeated inside the incoming batch only")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDupsAgainst(index, fresh, "doc_id", "text",
+      threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), s"cross pair with smaller new id: $pairs")
+    assert(pairs.contains((9L, 12L)), s"cross exact pair: $pairs")
+    assert(pairs.contains((20L, 21L)), s"intra-batch pair: $pairs")
+    // no index-index pairs: doc 3 never pairs with 0/9
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L }, s"$pairs")
+  }
+
   test("hot-bucket cap bounds candidate pairs on a degenerate corpus") {
     // 400 near-identical docs (mass-duplicated boilerplate): every band
     // bucket holds all 400 ids → uncapped would emit C(400,2) = 79,800

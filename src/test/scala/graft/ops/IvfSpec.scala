@@ -43,6 +43,26 @@ class IvfSpec extends SparkTestBase {
     assert(hits >= 10, s"recall too low: $hits/25")
   }
 
+  test("persisted index: probes are partition-pruned and match in-memory ivf") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-idx").toString
+    val corpus = vectors(300)
+    val queries = corpus.where(col("vec_id") < 5)
+    Ivf.writeIndex(corpus, "vec_id", "embedding", dir, nCells = 16,
+      kmeansIters = 1)
+    val probed = Ivf.probeIndex(spark, dir, queries, "vec_id", "embedding",
+      k = 5, nProbe = 6)
+    probed.count()
+    // the cells scan carries the probe set in its partition filters —
+    // unprobed cell partitions are never read
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell#"),
+      plan.take(3000))
+    val inMem = Ivf.ivfTopK(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, nCells = 16, nProbe = 6,
+      kmeansIters = 1)
+    assert(probed.exceptAll(inMem).isEmpty && inMem.exceptAll(probed).isEmpty)
+  }
+
   test("cell assignment is a narrow plan (no shuffle)") {
     val corpus = vectors(100)
     val centroids = Ivf.pickCentroids(corpus, "vec_id", "embedding", 8)
