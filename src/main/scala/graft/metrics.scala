@@ -51,9 +51,13 @@ final class ObsQueryListener(metrics: ObsMetrics)
     qe.observedMetrics.foreach { case (name, row) =>
       if (name.startsWith("graft_")) {
         val stage = name.stripPrefix("graft_")
-        metrics.accepted(stage).add(row.getAs[Long]("rows"))
+        val r = row.schema.fieldNames.indexOf("rows")
+        if (r >= 0 && !row.isNullAt(r)) metrics.accepted(stage).add(row.getLong(r))
         val i = row.schema.fieldNames.indexOf("null_keys")
         if (i >= 0 && !row.isNullAt(i)) metrics.dropped(stage).add(row.getLong(i))
+        // e.g. the LSH hot-bucket cap reports its overflow as `dropped`
+        val d = row.schema.fieldNames.indexOf("dropped")
+        if (d >= 0 && !row.isNullAt(d)) metrics.dropped(stage).add(row.getLong(d))
       }
     }
 

@@ -125,6 +125,7 @@ object Dedup {
     val ranked = sig.withColumn("_bn", row_number().over(
       Window.partitionBy(col("band_idx"), col("band_hash")).orderBy(col("id"))))
     val tagged = obsTag.map(t => ranked.observe(t,
+      count(lit(1)).as("rows"),
       count_if(col("_bn") > bucketCap).as("dropped"))).getOrElse(ranked)
     val capped = tagged.where(col("_bn") <= bucketCap).drop("_bn")
     val a = capped.select(col("id").as("id_a"), col("sig").as("sig_a"),

@@ -6,6 +6,11 @@ import org.apache.spark.sql.functions._
   * flush, jaeger/OC translator round-trips, and batch↔tail-sampling
   * decision agreement.
   */
+object Round2Spec {
+  // shared with executor-side foreachBatch closures (local mode: same JVM)
+  val failOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
+}
+
 class Round2Spec extends SparkTestBase {
   import spark.implicits._
 
@@ -122,6 +127,60 @@ class Round2Spec extends SparkTestBase {
         .select("conv_id", "turn_idx").collect().toSeq
       assert(firstBucket === firstBucket.sortBy(r => (r.getString(0), r.getInt(1))))
     } finally spark.sql("DROP TABLE IF EXISTS graft_corpus_rt")
+  }
+
+  test("sink failure mid-stream → restart → exactly-once routed output") {
+    // exporterhelper queue/retry analog: the sink dies while committing a
+    // micro-batch; on restart the checkpoint replays it, the idempotent
+    // per-batch overwrite dedups, and the union equals the batch run.
+    val inDir = tmpDir("fail-in")
+    val outDir = tmpDir("fail-out")
+    val ckpt = tmpDir("fail-ckpt")
+    val turns = TranscriptGen.turnsDs(spark, 120).toDF().cache()
+    turns.repartition(6).write.mode("append").parquet(inDir)
+
+    Round2Spec.failOnce.set(true)
+    def startQuery() = {
+      val roleDim = TranscriptGen.roleDim(spark).toDF()
+      val toolDim = TranscriptGen.toolDim(spark).toDF()
+      val routed = Pipeline.transform(
+        spark.readStream.schema(Schemas.turn)
+          .option("maxFilesPerTrigger", 2).parquet(inDir)
+          .withWatermark("ts", "10 minutes"),
+        roleDim, toolDim)
+      routed.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          if (batchId >= 1 && Round2Spec.failOnce.compareAndSet(true, false))
+            throw new RuntimeException("injected sink failure")
+          batch.sortWithinPartitions(col("conv_id"), col("turn_idx"))
+            .write.mode("overwrite")
+            .partitionBy(Route.SinkCol, "tool_invoked", "role")
+            .parquet(s"$outDir/routed/batch_id=$batchId")
+          ()
+        }
+        .start()
+    }
+
+    val q1 = startQuery()
+    val failed = try { q1.processAllAvailable(); false }
+      catch { case _: Throwable => true }
+    q1.stop()
+    assert(failed, "injected failure must surface")
+
+    val q2 = startQuery() // restart from checkpoint — replays the failed batch
+    q2.processAllAvailable()
+    q2.stop()
+
+    val streamed = spark.read.option("basePath", s"$outDir/routed")
+      .parquet(s"$outDir/routed/batch_id=*")
+      .select("conv_id", "turn_idx", "text", Route.SinkCol)
+    val batch = Pipeline.transform(turns,
+      TranscriptGen.roleDim(spark).toDF(), TranscriptGen.toolDim(spark).toDF())
+      .select("conv_id", "turn_idx", "text", Route.SinkCol)
+    assert(streamed.count() === batch.count(), "no duplicates, no losses")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    turns.unpersist()
   }
 
   test("tail-sampling decide() ≡ Sampler.keepPredicate for every conv_id") {

@@ -97,6 +97,23 @@ class ClusterSpec extends SparkTestBase {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L }, s"$pairs")
   }
 
+  test("hot-bucket cap overflow surfaces in the obs dropped counter") {
+    val metrics = new graft.ObsMetrics(spark)
+    val listener = new graft.ObsQueryListener(metrics)
+    spark.listenerManager.register(listener)
+    try {
+      val boiler = (0 until 100)
+        .map(i => (i.toLong, "identical boilerplate text every single time here"))
+        .toDF("doc_id", "text")
+      Dedup.minhashCandidates(boiler, "doc_id", "text",
+        bucketCap = 10, obsTag = Some("graft_lsh_cap")).count()
+      org.apache.spark.sql.GraftBridge.waitListenerBusEmpty(spark.sparkContext)
+      // 100 ids per band bucket, cap 10 → 90 dropped per band × 16 bands
+      assert(metrics.dropped("lsh_cap").value === 90L * 16)
+      assert(metrics.accepted("lsh_cap").value === 100L * 16)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("hot-bucket cap bounds candidate pairs on a degenerate corpus") {
     // 400 near-identical docs (mass-duplicated boilerplate): every band
     // bucket holds all 400 ids → uncapped would emit C(400,2) = 79,800
