@@ -393,9 +393,12 @@ object SparkEntry {
 
     "q_ann_ivf" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
+      // kmeansIters = 0: with nProbe == nCells every cell is scanned, so
+      // centroid refinement cannot change the result — skip its extra
+      // corpus pass (IvfSpec covers the trained path)
       graft.ops.Ivf.ivfTopK(emb, "vec_id", "embedding",
         emb.where(col("vec_id") < 5), "vec_id", "embedding",
-        k = 5, nCells = 16, nProbe = 16)
+        k = 5, nCells = 16, nProbe = 16, kmeansIters = 0)
         .withColumn("cosine", round(col("cosine"), 6))
     }),
 

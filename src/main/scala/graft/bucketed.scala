@@ -33,7 +33,7 @@ object BucketedCorpus {
     * writes one file PER bucket → tasks × buckets small files).
     */
   def write(turns: DataFrame, path: String, table: String,
-            buckets: Int = DefaultBuckets): Unit =
+            buckets: Int = DefaultBuckets): Unit = {
     turns.repartition(buckets, col("conv_id"))
       .write.mode("overwrite")
       .option("path", path)
@@ -41,6 +41,13 @@ object BucketedCorpus {
       .sortBy("conv_id", "turn_idx")
       .format("parquet")
       .saveAsTable(table)
+    // persist the bucket count next to the data: the catalog entry dies
+    // with the session, and re-declaring a DIFFERENT count over the same
+    // files would make Spark trust a partitioning that does not hold —
+    // silently wrong zero-shuffle aggregates
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_graft_buckets"), buckets.toString)
+  }
 
   /** Open a bucketed corpus written by [[write]]. The catalog entry is
     * session-scoped (in-memory catalog), so a fresh JVM re-issues the DDL
@@ -49,6 +56,14 @@ object BucketedCorpus {
     */
   def open(spark: SparkSession, path: String, table: String,
            buckets: Int = DefaultBuckets): DataFrame = {
+    val meta = java.nio.file.Paths.get(path, "_graft_buckets")
+    if (java.nio.file.Files.exists(meta)) {
+      val actual = java.nio.file.Files.readString(meta).trim.toInt
+      require(actual == buckets,
+        s"bucket-count mismatch for $path: written with $actual, " +
+          s"open() asked for $buckets — declaring the wrong count would " +
+          "silently break the zero-shuffle aggregation")
+    }
     if (!spark.catalog.tableExists(table)) {
       spark.sql(
         s"""CREATE TABLE $table (

@@ -58,10 +58,15 @@ final class TopKBuffer(val k: Int) {
       scores(0) = score; ids(0) = id; siftDown()
     }
 
-  /** Entries sorted best-first. */
+  /** Entries sorted best-first. sortBy (total order on (-score, id)), not
+    * sortWith(!worse): a non-strict comparator breaks the sort contract if
+    * two equal entries ever meet. The key normalizes ±0.0 to one value —
+    * `worse()` (and Spark's window ordering) treat them as equal, but
+    * Ordering[Double] is a total order that would split the tie.
+    */
   def sorted: Array[(Double, Long)] =
     (0 until n).map(i => (scores(i), ids(i))).toArray
-      .sortWith((a, b) => !worse(a._1, a._2, b._1, b._2))
+      .sortBy { case (s, i) => (if (s == 0.0) 0.0 else -s, i) }
 }
 
 /** `topk_by_score(score, id, k)` — aggregate to the k (score desc, id asc)

@@ -106,28 +106,46 @@ object Dedup {
     * scale the signature frame is a durable index table reused across
     * dedup runs; the caller owns its lifecycle.
     */
-  def minhashCandidatesFromSig(sig0: DataFrame,
-                               numHashes: Int = 64, bands: Int = 16,
-                               bucketCap: Int = DefaultBucketCap,
-                               obsTag: Option[String] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Band-explode a `(id, sig, …)` frame: one row per (band_idx,
+    * band_hash), extra columns carried through. ONE shared implementation
+    * — the batch self-join and the incremental index path must produce
+    * byte-identical band hashes or cross pairs silently vanish.
+    */
+  private def bandExplode(sigs: DataFrame, numHashes: Int,
+                          bands: Int): DataFrame = {
     val rows = numHashes / bands
-    val sig = sig0
-      .withColumn("band",
+    sigs.withColumn("band",
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band_idx"),
             xxhash64(concat_ws(",",
               slice(col("sig"), b * rows + 1, lit(rows)).cast("array<string>")).cast("string")).as("band_hash")))))
-      .select(col("id"), col("sig"), col("band.band_idx"), col("band.band_hash"))
-    // hot-bucket guard: cap per-bucket candidates (deterministic id order);
-    // the window shuffles on the same key as the join, so the join reuses
-    // its partitioning instead of adding an exchange
-    val ranked = sig.withColumn("_bn", row_number().over(
-      Window.partitionBy(col("band_idx"), col("band_hash")).orderBy(col("id"))))
+      .withColumn("band_idx", col("band.band_idx"))
+      .withColumn("band_hash", col("band.band_hash"))
+      .drop("band")
+  }
+
+  /** Hot-bucket guard: cap rows per (band_idx, band_hash) in deterministic
+    * id order, optionally reporting rows/dropped through an observe tag.
+    * The window shuffles on the same key as the downstream join, so the
+    * join reuses its partitioning instead of adding an exchange.
+    */
+  private def capBuckets(banded: DataFrame, idCol: String, bucketCap: Int,
+                         obsTag: Option[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = banded.withColumn("_bn", row_number().over(
+      Window.partitionBy(col("band_idx"), col("band_hash")).orderBy(col(idCol))))
     val tagged = obsTag.map(t => ranked.observe(t,
       count(lit(1)).as("rows"),
       count_if(col("_bn") > bucketCap).as("dropped"))).getOrElse(ranked)
-    val capped = tagged.where(col("_bn") <= bucketCap).drop("_bn")
+    tagged.where(col("_bn") <= bucketCap).drop("_bn")
+  }
+
+  def minhashCandidatesFromSig(sig0: DataFrame,
+                               numHashes: Int = 64, bands: Int = 16,
+                               bucketCap: Int = DefaultBucketCap,
+                               obsTag: Option[String] = None): DataFrame = {
+    val sig = bandExplode(sig0.select(col("id"), col("sig")), numHashes, bands)
+    val capped = capBuckets(sig, "id", bucketCap, obsTag)
     val a = capped.select(col("id").as("id_a"), col("sig").as("sig_a"),
       col("band_idx"), col("band_hash"))
     val b = capped.select(col("id").as("id_b"), col("sig").as("sig_b"),
@@ -245,15 +263,20 @@ object Dedup {
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double = 0.95, planes: Int = 12,
                         seed: Long = 7L,
-                        bucketCap: Int = DefaultBucketCap): DataFrame = {
+                        bucketCap: Int = DefaultBucketCap,
+                        obsTag: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // hot-bucket guard (same rationale as minhashCandidates), with the
+    // same rows/dropped observability so overflow is never silent
+    val ranked = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("bucket", Similarity.hyperplaneBucket(col("v"), planes, seed))
       .localCheckpoint(true) // both join sides; blocks released on GC
-      // hot-bucket guard (same rationale as minhashCandidates)
       .withColumn("_bn", row_number().over(
         Window.partitionBy(col("bucket")).orderBy(col("id"))))
-      .where(col("_bn") <= bucketCap).drop("_bn")
+    val tagged = obsTag.map(t => ranked.observe(t,
+      count(lit(1)).as("rows"),
+      count_if(col("_bn") > bucketCap).as("dropped"))).getOrElse(ranked)
+    val bucketed = tagged.where(col("_bn") <= bucketCap).drop("_bn")
     val a = bucketed.select(col("id").as("id_a"), col("v").as("v_a"), col("bucket"))
     val b = bucketed.select(col("id").as("id_b"), col("v").as("v_b"), col("bucket"))
     a.join(b, "bucket")
@@ -285,30 +308,22 @@ object Dedup {
                              idCol: String, textCol: String,
                              threshold: Double = 0.8, numHashes: Int = 64,
                              bands: Int = 16, shingleK: Int = 3,
-                             bucketCap: Int = DefaultBucketCap): DataFrame = {
-    val rows = numHashes / bands
-    def banded(sigs: DataFrame): DataFrame = sigs
-      .withColumn("band",
-        explode(transform(sequence(lit(0), lit(bands - 1)),
-          b => struct(b.as("band_idx"),
-            xxhash64(concat_ws(",",
-              slice(col("sig"), b * rows + 1, lit(rows)).cast("array<string>")).cast("string")).as("band_hash")))))
-      .select(col("id"), col("sig"), col("sh"),
-        col("band.band_idx"), col("band.band_hash"))
+                             bucketCap: Int = DefaultBucketCap,
+                             obsTag: Option[String] = None): DataFrame = {
     val newSigs = minhashIndex(newDocs, idCol, textCol, numHashes, shingleK)
       .localCheckpoint(true)
     // candidate pairs: (new × index) ∪ (new × new); the index side is the
-    // big one — it is only shuffled on the band key, never self-joined
-    import org.apache.spark.sql.expressions.Window
-    val a = banded(index.unionByName(newSigs))
+    // big one — it is only shuffled on the band key, never self-joined.
+    // BOTH sides are capped: a boilerplate-heavy NEW batch is exactly the
+    // degenerate case the cap exists for (an uncapped b side would make
+    // each capped index bucket × the whole new bucket quadratic again).
+    val a = capBuckets(
+        bandExplode(index.unionByName(newSigs), numHashes, bands),
+        "id", bucketCap, obsTag)
       .select(col("id").as("id_a"), col("sig").as("sig_a"),
         col("sh").as("sh_a"), col("band_idx"), col("band_hash"))
-      // hot-bucket guard on the big (index) side, as in minhashCandidates
-      .withColumn("_bn", row_number().over(
-        Window.partitionBy(col("band_idx"), col("band_hash"))
-          .orderBy(col("id_a"))))
-      .where(col("_bn") <= bucketCap).drop("_bn")
-    val b = banded(newSigs)
+    val b = capBuckets(bandExplode(newSigs, numHashes, bands),
+        "id", bucketCap, obsTag = None)
       .select(col("id").as("id_b"), col("sig").as("sig_b"),
         col("sh").as("sh_b"), col("band_idx"), col("band_hash"))
     // the b side holds only NEW ids, so order the output pair with

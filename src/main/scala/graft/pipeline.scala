@@ -73,9 +73,10 @@ object Pipeline {
       Obs.writeLineage(routed, batchId, "route", outDir)
       obs.foreach { m =>
         // total routed rows from the (tiny) just-written counts table —
-        // never a second full scan of routed
+        // never a second full scan of routed (coalesce: sum over an empty
+        // counts table is null)
         val n = spark.read.parquet(s"$outDir/sink_counts")
-          .agg(sum("n_turns")).head.getLong(0)
+          .agg(coalesce(sum("n_turns"), lit(0L))).head.getLong(0)
         m.sent("route").add(n)
         m.accepted("parse").add(n)
       }

@@ -31,11 +31,15 @@ object StreamingPipeline {
     val toolDim = TranscriptGen.toolDim(spark).toDF()
 
     // batchprocessor flush triad (§2.5): ProcessingTime = timeout flush,
-    // maxFilesPerTrigger = count flush, maxBytesPerTrigger = size flush
-    val reader = spark.readStream
-      .schema(Schemas.turn)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-    maxBytesPerTrigger.foreach(b => reader.option("maxBytesPerTrigger", b))
+    // maxFilesPerTrigger = count flush, maxBytesPerTrigger = size flush.
+    // Spark rejects count+size set together (FileStreamOptions), exactly
+    // like the reference's send_batch_size vs send_batch_max_size split —
+    // a size flush replaces the count flush.
+    val reader = spark.readStream.schema(Schemas.turn)
+    maxBytesPerTrigger match {
+      case Some(b) => reader.option("maxBytesPerTrigger", b)
+      case None    => reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+    }
     val stream = reader
       .parquet(inputDir)
       .withWatermark("ts", "10 minutes")

@@ -108,6 +108,31 @@ class Round2Spec extends SparkTestBase {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("maxBytesPerTrigger size flush runs (replaces the count flush)") {
+    val inDir = tmpDir("bytes-in")
+    val outDir = tmpDir("bytes-out")
+    val ckpt = tmpDir("bytes-ckpt")
+    val turns = TranscriptGen.turnsDs(spark, 80).toDF()
+    turns.repartition(4).write.mode("append").parquet(inDir)
+    val q = StreamingPipeline.start(spark, inDir, outDir, ckpt,
+      maxBytesPerTrigger = Some(64L * 1024))
+    q.processAllAvailable()
+    q.stop()
+    assert(StreamingPipeline.readRouted(spark, outDir).count() === turns.count())
+  }
+
+  test("opening a bucketed corpus with the wrong bucket count fails fast") {
+    val dir = tmpDir("bkt-mismatch")
+    BucketedCorpus.write(TranscriptGen.turnsDs(spark, 20).toDF(),
+      s"$dir/c", "graft_corpus_mm", buckets = 4)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        BucketedCorpus.open(spark, s"$dir/c", "graft_corpus_mm_other", 8)
+      }
+      assert(e.getMessage.contains("bucket-count mismatch"))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_corpus_mm")
+  }
+
   test("bucketed corpus round-trips per-turn text under stable ordering") {
     val dir = tmpDir("bkt-rt")
     val turns = TranscriptGen.turnsDs(spark, 150).toDF()
