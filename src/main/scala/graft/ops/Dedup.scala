@@ -232,20 +232,26 @@ object Dedup {
     * (pigeonhole: any pair with ≤3 differing bits shares ≥1 exact band).
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      maxDist: Int = 3): DataFrame = {
+                      maxDist: Int = 3,
+                      bucketCap: Int = DefaultBucketCap,
+                      obsTag: Option[String] = None): DataFrame = {
     // localCheckpoint: computed once for both join sides, blocks released
-    // on GC of the result (see minhashCandidates)
-    val sig = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    // on GC of the result (see minhashCandidates). Band key reuses the
+    // shared (band_idx, band_hash) naming so capBuckets applies — the
+    // 4×16-bit bands collapse to ONE bucket per band on mass-identical
+    // docs, the same quadratic degeneracy as minhash LSH.
+    val sig0 = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
       .localCheckpoint(true)
       .withColumn("band", explode(transform(sequence(lit(0), lit(3)),
         b => struct(b.as("band_idx"),
-          call_function("shiftright", col("sig"), (b * 16).cast("int")).bitwiseAND(0xFFFFL).as("band_key")))))
-      .select(col("id"), col("sig"), col("band.band_idx"), col("band.band_key"))
+          call_function("shiftright", col("sig"), (b * 16).cast("int")).bitwiseAND(0xFFFFL).as("band_hash")))))
+      .select(col("id"), col("sig"), col("band.band_idx"), col("band.band_hash"))
+    val sig = capBuckets(sig0, "id", bucketCap, obsTag)
     val a = sig.select(col("id").as("id_a"), col("sig").as("sig_a"),
-      col("band_idx"), col("band_key"))
+      col("band_idx"), col("band_hash"))
     val b = sig.select(col("id").as("id_b"), col("sig").as("sig_b"),
-      col("band_idx"), col("band_key"))
-    a.join(b, Seq("band_idx", "band_key"))
+      col("band_idx"), col("band_hash"))
+    a.join(b, Seq("band_idx", "band_hash"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), hamming(col("sig_a"), col("sig_b")).as("dist"))
       // Hamming filter BEFORE distinct: the reject ratio never reaches the

@@ -114,6 +114,15 @@ class ClusterSpec extends SparkTestBase {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("simhash hot-bucket cap bounds a mass-identical corpus") {
+    val boiler = (0 until 200)
+      .map(i => (i.toLong, "identical boilerplate text every single time here"))
+      .toDF("doc_id", "text")
+    val nd = Dedup.simhashNearDups(boiler, "doc_id", "text",
+      maxDist = 3, bucketCap = 30)
+    assert(nd.count() === 435L) // C(30,2), not C(200,2) = 19,900
+  }
+
   test("hot-bucket cap bounds candidate pairs on a degenerate corpus") {
     // 400 near-identical docs (mass-duplicated boilerplate): every band
     // bucket holds all 400 ids → uncapped would emit C(400,2) = 79,800
