@@ -50,6 +50,14 @@ object SparkEntry {
         .agg(sum(col("l_quantity")).cast("double").as("sum_qty"))
         .where(col("sum_qty") > 150)),
 
+    // exact percentile aggregation (prometheus-summary-style latency
+    // quantiles; linear interpolation matches DuckDB quantile_cont)
+    "q_percentiles" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.5)"), 4).as("med"),
+          round(expr("percentile(value, 0.95)"), 4).as("p95"))),
+
     "q_agg_countdistinct" -> ((s, d) =>
       t(s, d, "events")
         .groupBy(col("event_type"))
@@ -611,6 +619,11 @@ object SparkEntry {
       """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY lang""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT event_type, ROUND(quantile_cont(value, 0.5), 4) AS med,
+        |  ROUND(quantile_cont(value, 0.95), 4) AS p95
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "q_token_bpe" ->
       """SELECT doc_id,
