@@ -50,6 +50,33 @@ class TopKSpec extends SparkTestBase {
     assert(out === 1)
   }
 
+  test("property: agg ≡ window for generated scores with ties and signed zeros") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val scoreGen = Gen.oneOf(
+      Gen.chooseNum(-5.0, 5.0),
+      Gen.oneOf(0.0, -0.0, 1.0, -1.0)) // force ties and signed zeros
+    val caseGen = Gen.zip(
+      Gen.listOfN(120, Gen.zip(Gen.chooseNum(0L, 3L), scoreGen)),
+      Gen.chooseNum(1, 9))
+    (0 until 12).foreach { i =>
+      val (rows, k) = caseGen(Gen.Parameters.default, Seed(42L + i)).get
+      val df = rows.zipWithIndex
+        .map { case ((q, s), j) => (q, s, j.toLong) }
+        .toDF("query_id", "cosine", "id").repartition(5)
+      val viaAgg = df.groupBy($"query_id")
+        .agg(TopKByScore.topk_by_score($"cosine", $"id", k).as("topk"))
+        .select($"query_id", explode($"topk").as("e"))
+        .select($"query_id", $"e.id".as("id"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"id")
+      val viaWindow = df.withColumn("rank", row_number().over(w))
+        .where($"rank" <= k).select("query_id", "id")
+      assert(viaAgg.exceptAll(viaWindow).isEmpty &&
+        viaWindow.exceptAll(viaAgg).isEmpty, s"case $i (k=$k)")
+    }
+  }
+
   test("ANN plans: no Window, no single-partition exchange on candidates") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val topk = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
