@@ -57,14 +57,19 @@ object TailSample {
 
   private def tsUs(t: Timestamp): Long = t.getTime * 1000L
 
-  /** The policy: keep all error conversations; hash-percentage the rest.
-    * Replicates Sampler.keepPredicate's bucket math EXACTLY — Spark's
+  /** The policy set, mirroring the reference's tail-sampling policies:
+    * `status_code` (keep any conversation with an error turn), `latency`
+    * (keep conversations whose event-time span ≥ threshold — the
+    * slow-trace policy), and `probabilistic` for the rest. Probabilistic
+    * replicates Sampler.keepPredicate's bucket math EXACTLY — Spark's
     * `xxhash64(conv_id, seed)` chains XXH64 over the arguments starting
     * from seed 42, so batch sampling and tail-sampling agree on every
     * conv_id (asserted in TailSampleSpec).
     */
-  def decide(convId: String, st: ConvState, pct: Double, seed: Long): Boolean =
-    st.nErrors > 0 || {
+  def decide(convId: String, st: ConvState, pct: Double, seed: Long,
+             latencyKeepUs: Long = Long.MaxValue): Boolean =
+    st.nErrors > 0 ||
+    (st.lastTsUs - st.firstTsUs >= latencyKeepUs) || {
       import org.apache.spark.sql.catalyst.expressions.XXH64
       val bytes = convId.getBytes("UTF-8")
       val h1 = XXH64.hashUnsafeBytes(bytes,
@@ -80,7 +85,8 @@ object TailSample {
   def conversationDecisions(parsed: DataFrame,
                             decisionWait: String = "10 minutes",
                             pct: Double = DefaultPct,
-                            seed: Long = 22L): Dataset[ConvDecision] = {
+                            seed: Long = 22L,
+                            latencyKeepUs: Long = Long.MaxValue): Dataset[ConvDecision] = {
     val spark = parsed.sparkSession
     import spark.implicits._
     val waitUs = org.apache.spark.sql.catalyst.util.IntervalUtils
@@ -100,7 +106,7 @@ object TailSample {
             Iterator.single(ConvDecision(convId, st.nTurns, st.nErrors,
               st.tools.size,
               new Timestamp(st.firstTsUs / 1000L), new Timestamp(st.lastTsUs / 1000L),
-              st.sumLatencyMs, decide(convId, st, pct, seed)))
+              st.sumLatencyMs, decide(convId, st, pct, seed, latencyKeepUs)))
           } else {
             var st = state.getOption.getOrElse(
               ConvState(0L, 0L, Set.empty, Long.MaxValue, Long.MinValue, 0L))

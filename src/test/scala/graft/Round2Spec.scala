@@ -208,6 +208,20 @@ class Round2Spec extends SparkTestBase {
     turns.unpersist()
   }
 
+  test("tail-sampling latency policy keeps slow conversations") {
+    val fast = TailSample.ConvState(3L, 0L, Set.empty,
+      1000000L, 2000000L, 10L)          // 1 s span
+    val slow = fast.copy(lastTsUs = 1000000L + 120L * 1000000L) // 120 s span
+    // pct = 0 so only the latency arm can keep
+    assert(!TailSample.decide("conv-x", fast, 0.0, 22L,
+      latencyKeepUs = 60L * 1000000L))
+    assert(TailSample.decide("conv-x", slow, 0.0, 22L,
+      latencyKeepUs = 60L * 1000000L))
+    // error policy still dominates
+    assert(TailSample.decide("conv-x", fast.copy(nErrors = 1L), 0.0, 22L,
+      latencyKeepUs = 60L * 1000000L))
+  }
+
   test("tail-sampling decide() ≡ Sampler.keepPredicate for every conv_id") {
     // includes non-ASCII ids: the hash must run over UTF-8 BYTES
     val ids = (0 until 200).map(i => s"conv-$i") ++
