@@ -13,12 +13,30 @@ object Main {
     val nConvs = args.headOption.map(_.toLong).getOrElse(2000L)
     val outDir = args.lift(1).getOrElse(
       java.nio.file.Files.createTempDirectory("graft-out").toString)
-    val cfg = args.lift(2).map(p => PipelineConfig.fromJson(
+    val cfgJson = args.lift(2).map(p =>
       new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
-        "UTF-8")))
+        "UTF-8"))
     val spark = Pipeline.defaultSession(
       master = sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
     spark.sparkContext.setLogLevel("WARN")
+
+    // a config with a "pipelines" object is a multi-pipeline service
+    // topology (reference: service/builder); run it and exit
+    cfgJson.filter(_.contains("\"pipelines\"")).foreach { j =>
+      val svc = ServiceConfig.fromJson(j)
+      val turns0 = TranscriptGen.turnsDs(spark, nConvs).toDF()
+      val t0 = System.nanoTime()
+      val results = ServiceConfig.runBatch(spark, turns0, outDir, svc)
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"== graft service: ${results.size} pipelines in $secs%.2f s → $outDir")
+      results.toSeq.sortBy(_._1).foreach { case (name, r) =>
+        println(s"== pipeline '$name' per-sink counts:")
+        r.sinkCounts.orderBy("sink").show(truncate = false)
+      }
+      spark.stop()
+      return
+    }
+    val cfg = cfgJson.map(PipelineConfig.fromJson)
 
     val obs = new ObsMetrics(spark)
     val turns = TranscriptGen.turnsDs(spark, nConvs).toDF()

@@ -61,10 +61,12 @@ object PipelineConfig {
       |  ]
       |}""".stripMargin
 
-  def fromJson(json: String): PipelineConfig = {
+  def fromJson(json: String): PipelineConfig =
+    fromNode(new com.fasterxml.jackson.databind.ObjectMapper().readTree(json))
+
+  private[graft] def fromNode(
+      root: com.fasterxml.jackson.databind.JsonNode): PipelineConfig = {
     import com.fasterxml.jackson.databind.JsonNode
-    import com.fasterxml.jackson.databind.ObjectMapper
-    val root: JsonNode = new ObjectMapper().readTree(json)
     def req(field: String): JsonNode = {
       val n = root.get(field)
       require(n != null, s"config: missing field '$field'")
@@ -110,5 +112,51 @@ object PipelineConfig {
     val enriched = Enrich.enrich(parsed,
       TranscriptGen.roleDim(spark).toDF(), TranscriptGen.toolDim(spark).toDF())
     Route.assign(enriched, cfg.sinkSpecs)
+  }
+}
+
+/** Multi-pipeline service topology — the reference's `service:` block
+  * (SURVEY.md §3.1, `service/builder/pipelines_builder.go`): one receiver
+  * feeds N independently-configured pipelines (own parse pattern,
+  * sampling, sinks), fanned out clone-once. JSON:
+  * `{"pipelines": {"traces": {<PipelineConfig>}, "errors": {...}}}`.
+  */
+final case class ServiceConfig(pipelines: Seq[(String, PipelineConfig)]) {
+  def validated: ServiceConfig = {
+    require(pipelines.nonEmpty, "service: need at least one pipeline")
+    require(pipelines.map(_._1).distinct.size == pipelines.size,
+      s"service: duplicate pipeline names in ${pipelines.map(_._1)}")
+    this
+  }
+}
+
+object ServiceConfig {
+
+  def fromJson(json: String): ServiceConfig = {
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val ps = root.get("pipelines")
+    require(ps != null && ps.isObject, "service: missing 'pipelines' object")
+    val names = ps.fieldNames()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, PipelineConfig)]
+    while (names.hasNext) {
+      val n = names.next()
+      out += n -> PipelineConfig.fromNode(ps.get(n))
+    }
+    ServiceConfig(out.toSeq).validated
+  }
+
+  /** Run every pipeline over the shared input — the receiver fanout: the
+    * input is persisted ONCE (cloningfanoutconnector's clone-once), each
+    * pipeline reads the cached batch instead of rescanning the source.
+    */
+  def runBatch(spark: SparkSession, turns: DataFrame, outDir: String,
+               svc: ServiceConfig,
+               obs: Option[ObsMetrics] = None): Map[String, PipelineResult] = {
+    val shared = turns.persist()
+    try svc.pipelines.map { case (name, cfg) =>
+      name -> Pipeline.runBatch(spark, shared, s"$outDir/$name",
+        obs = obs, config = Some(cfg))
+    }.toMap
+    finally shared.unpersist()
   }
 }

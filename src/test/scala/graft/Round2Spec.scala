@@ -90,6 +90,42 @@ class Round2Spec extends SparkTestBase {
       parsed.where($"err_code".isNotNull).count())
   }
 
+  test("multi-pipeline service: independent configs over one shared input") {
+    val outDir = tmpDir("svc-out")
+    val svc = ServiceConfig.fromJson(
+      """{"pipelines": {
+        |  "all": {
+        |    "grok_pattern": "tool=(?<tool_invoked>[A-Za-z0-9_]+) status=(?<status>[A-Za-z0-9]+) latency=(?<latency_ms>[0-9]+)ms",
+        |    "sinks": [{"name": "errors", "predicate": "err_code RLIKE '^E'"}]
+        |  },
+        |  "sampled": {
+        |    "grok_pattern": "tool=(?<tool_invoked>[A-Za-z0-9_]+) status=(?<status>[A-Za-z0-9]+) latency=(?<latency_ms>[0-9]+)ms",
+        |    "sample_pct": 10.0,
+        |    "sinks": [{"name": "tools", "predicate": "tool_invoked <> 'none'"}]
+        |  }
+        |}}""".stripMargin)
+    val turns = TranscriptGen.turnsDs(spark, 150).toDF()
+    val results = ServiceConfig.runBatch(spark, turns, outDir, svc)
+    assert(results.keySet === Set("all", "sampled"))
+    // "all" sees every turn; "sampled" only the 10% conversation sample
+    val nAll = results("all").routed.count()
+    val nSampled = results("sampled").routed.count()
+    assert(nAll === turns.count())
+    assert(nSampled ===
+      Sampler.sampleConversations(turns, 10.0).count())
+    assert(nSampled < nAll)
+    // per-pipeline sink taxonomies are independent
+    assert(results("all").sinkCounts.select("sink").as[String].collect()
+      .toSet.subsetOf(Set("errors", "rest")))
+    assert(results("sampled").sinkCounts.select("sink").as[String].collect()
+      .toSet.subsetOf(Set("tools", "rest")))
+    // duplicate names rejected
+    intercept[IllegalArgumentException] {
+      ServiceConfig(Seq("x" -> svc.pipelines.head._2,
+        "x" -> svc.pipelines.head._2)).validated
+    }
+  }
+
   test("config-driven streaming topology routes like the config batch path") {
     val inDir = tmpDir("cfg-stream-in")
     val outDir = tmpDir("cfg-stream-out")
