@@ -159,4 +159,18 @@ object ServiceConfig {
     }.toMap
     finally shared.unpersist()
   }
+
+  /** Streaming service: one query per pipeline, each with its own
+    * checkpoint (so pipelines fail/resume independently, like the
+    * reference's per-pipeline shutdown). Micro-batch file sources share
+    * the OS page cache of `inputDir`; at real scale each query is its own
+    * Structured Streaming job against the shared source table.
+    */
+  def startStreams(spark: SparkSession, inputDir: String, outDir: String,
+                   checkpointRoot: String, svc: ServiceConfig)
+      : Map[String, org.apache.spark.sql.streaming.StreamingQuery] =
+    svc.pipelines.map { case (name, cfg) =>
+      name -> StreamingPipeline.startWithConfig(spark, inputDir,
+        s"$outDir/$name", s"$checkpointRoot/$name", cfg)
+    }.toMap
 }

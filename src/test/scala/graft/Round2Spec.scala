@@ -126,6 +126,31 @@ class Round2Spec extends SparkTestBase {
     }
   }
 
+  test("streaming service: per-pipeline queries with independent checkpoints") {
+    val inDir = tmpDir("svc-stream-in")
+    val outDir = tmpDir("svc-stream-out")
+    val ckpt = tmpDir("svc-stream-ckpt")
+    val turns = TranscriptGen.turnsDs(spark, 80).toDF()
+    turns.repartition(2).write.mode("append").parquet(inDir)
+    val svc = ServiceConfig.fromJson(
+      """{"pipelines": {
+        |  "p1": {"grok_pattern": "tool=(?<tool_invoked>[A-Za-z0-9_]+) status=(?<status>[A-Za-z0-9]+) latency=(?<latency_ms>[0-9]+)ms",
+        |         "sinks": [{"name": "errors", "predicate": "err_code IS NOT NULL"}]},
+        |  "p2": {"grok_pattern": "tool=(?<tool_invoked>[A-Za-z0-9_]+) status=(?<status>[A-Za-z0-9]+) latency=(?<latency_ms>[0-9]+)ms",
+        |         "sample_pct": 10.0,
+        |         "sinks": [{"name": "all", "predicate": "true"}]}
+        |}}""".stripMargin)
+    val queries = ServiceConfig.startStreams(spark, inDir, outDir, ckpt, svc)
+    try queries.values.foreach(_.processAllAvailable())
+    finally queries.values.foreach(_.stop())
+    def routedCount(p: String): Long =
+      spark.read.option("basePath", s"$outDir/$p/routed")
+        .parquet(s"$outDir/$p/routed/batch_id=*").count()
+    assert(routedCount("p1") === turns.count())
+    assert(routedCount("p2") ===
+      Sampler.sampleConversations(turns, 10.0).count())
+  }
+
   test("config-driven streaming topology routes like the config batch path") {
     val inDir = tmpDir("cfg-stream-in")
     val outDir = tmpDir("cfg-stream-out")
