@@ -32,11 +32,17 @@ object Bench {
   /** Same pipeline over a caller-supplied turns frame (e.g. a parquet
     * scan — the production shape; the vectorized reader feeds codegen
     * directly, unlike the allocation-heavy in-memory generator).
+    *
+    * `salt`: pass 1 for conv-clustered (bucketed) input — the aggregation
+    * is then shuffle-free, so there is no shuffle skew for the salt to
+    * defuse and it only multiplies the aggregate's group cardinality
+    * (measured ~1.7× slower at salt=16 on the bucketed corpus).
     */
-  def pipelineRunFrom(spark: SparkSession, turns: org.apache.spark.sql.DataFrame): (Double, Long) = {
+  def pipelineRunFrom(spark: SparkSession, turns: org.apache.spark.sql.DataFrame,
+                      salt: Int = Aggregate.DefaultSalt): (Double, Long) = {
     val routed = Pipeline.transform(turns,
       TranscriptGen.roleDim(spark).toDF(), TranscriptGen.toolDim(spark).toDF())
-    val partials = Aggregate.partials(routed).persist()
+    val partials = Aggregate.partials(routed, salt = salt).persist()
     var n = 0L
     val sec = time {
       n = Aggregate.sinkCountsFromPartials(partials)
@@ -95,8 +101,8 @@ object Bench {
       BucketedCorpus.write(TranscriptGen.turnsDs(spark, 145000L).toDF(),
         bktDir, "graft_bench_corpus", buckets = 32)
     def bkt = BucketedCorpus.open(spark, bktDir, "graft_bench_corpus", 32)
-    pipelineRunFrom(spark, bkt) // warm
-    val (bktSec, _) = pipelineRunFrom(spark, bkt)
+    pipelineRunFrom(spark, bkt, salt = 1) // warm
+    val (bktSec, _) = pipelineRunFrom(spark, bkt, salt = 1)
 
     val all = results :+ ("pipeline_e2e" -> pipeSec) :+
       ("pipeline_bucketed" -> bktSec)
