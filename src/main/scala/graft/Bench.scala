@@ -101,8 +101,9 @@ object Bench {
       BucketedCorpus.write(TranscriptGen.turnsDs(spark, 145000L).toDF(),
         bktDir, "graft_bench_corpus", buckets = 32)
     def bkt = BucketedCorpus.open(spark, bktDir, "graft_bench_corpus", 32)
-    pipelineRunFrom(spark, bkt, salt = 1) // warm
-    val (bktSec, _) = pipelineRunFrom(spark, bkt, salt = 1)
+    val bktSalt = Aggregate.saltFor(convClustered = true)
+    pipelineRunFrom(spark, bkt, bktSalt) // warm
+    val (bktSec, _) = pipelineRunFrom(spark, bkt, bktSalt)
 
     val all = results :+ ("pipeline_e2e" -> pipeSec) :+
       ("pipeline_bucketed" -> bktSec)

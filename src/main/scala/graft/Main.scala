@@ -22,7 +22,7 @@ object Main {
 
     // a config with a "pipelines" object is a multi-pipeline service
     // topology (reference: service/builder); run it and exit
-    cfgJson.filter(_.contains("\"pipelines\"")).foreach { j =>
+    cfgJson.filter(ServiceConfig.detect).foreach { j =>
       val svc = ServiceConfig.fromJson(j)
       val turns0 = TranscriptGen.turnsDs(spark, nConvs).toDF()
       val t0 = System.nanoTime()

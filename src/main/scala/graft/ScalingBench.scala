@@ -91,8 +91,7 @@ object ScalingBench {
         def turns =
           if (bucketed) BucketedCorpus.open(spark, corpusDir, "graft_corpus")
           else spark.read.parquet(corpusDir)
-        // conv-clustered input aggregates shuffle-free → no skew to salt
-        val salt = if (bucketed) 1 else Aggregate.DefaultSalt
+        val salt = Aggregate.saltFor(convClustered = bucketed)
         // full-size warmup: codegen + classloading outside the timed runs
         Bench.pipelineRunFrom(spark, turns, salt)
         val io = new IoListener

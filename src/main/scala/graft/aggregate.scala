@@ -27,6 +27,16 @@ object Aggregate {
 
   val DefaultSalt = 16
 
+  /** THE salt-by-layout rule, in one place: conv-clustered input
+    * (a [[BucketedCorpus]] scan) aggregates shuffle-free, so there is no
+    * shuffle skew to defuse and salting only multiplies the aggregate's
+    * group cardinality (measured: ~1.7× extra scan from partials-cache
+    * pressure, BASELINE.md round 2). Unclustered input shuffles → keep
+    * the skew defense.
+    */
+  def saltFor(convClustered: Boolean): Int =
+    if (convClustered) 1 else DefaultSalt
+
   /** Per-sink turn counts (batchprocessor-style counters, §2.5). */
   def sinkCounts(routed: DataFrame): DataFrame =
     routed.groupBy(col(Route.SinkCol)).agg(count(lit(1)).as("n_turns"))

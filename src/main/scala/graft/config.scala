@@ -61,8 +61,17 @@ object PipelineConfig {
       |  ]
       |}""".stripMargin
 
-  def fromJson(json: String): PipelineConfig =
-    fromNode(new com.fasterxml.jackson.databind.ObjectMapper().readTree(json))
+  /** Strict mapper: duplicate JSON keys are a config error, not
+    * last-wins — Jackson's default silently keeps the last value, which
+    * would make duplicate-name validation unreachable for JSON input.
+    */
+  private[graft] def mapper: com.fasterxml.jackson.databind.ObjectMapper = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m.enable(com.fasterxml.jackson.core.JsonParser.Feature.STRICT_DUPLICATE_DETECTION)
+    m
+  }
+
+  def fromJson(json: String): PipelineConfig = fromNode(mapper.readTree(json))
 
   private[graft] def fromNode(
       root: com.fasterxml.jackson.databind.JsonNode): PipelineConfig = {
@@ -132,8 +141,18 @@ final case class ServiceConfig(pipelines: Seq[(String, PipelineConfig)]) {
 
 object ServiceConfig {
 
+  /** True when `json` is a service-topology config (a `pipelines` object
+    * at the root) rather than a single PipelineConfig. Parses — never a
+    * substring test, which would misroute configs that merely CONTAIN the
+    * text "pipelines" (e.g. in a sink name or grok pattern).
+    */
+  def detect(json: String): Boolean = {
+    val root = PipelineConfig.mapper.readTree(json)
+    root.has("pipelines") && root.get("pipelines").isObject
+  }
+
   def fromJson(json: String): ServiceConfig = {
-    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val root = PipelineConfig.mapper.readTree(json)
     val ps = root.get("pipelines")
     require(ps != null && ps.isObject, "service: missing 'pipelines' object")
     val names = ps.fieldNames()

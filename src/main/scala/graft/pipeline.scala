@@ -41,11 +41,16 @@ object Pipeline {
     * The routed frame is persisted once (cloningfanout analog) because three
     * consumers read it: the partitioned write and both aggregates.
     */
+  /** `convClustered`: pass true when `turns` comes from a conv-bucketed
+    * scan ([[BucketedCorpus.open]]) — selects [[Aggregate.saltFor]]'s
+    * shuffle-free salt.
+    */
   def runBatch(spark: SparkSession, turns: DataFrame, outDir: String,
                sinks: Seq[SinkSpec] = Route.defaultSinks,
                obs: Option[ObsMetrics] = None,
                batchId: Long = 0L,
-               config: Option[PipelineConfig] = None): PipelineResult = {
+               config: Option[PipelineConfig] = None,
+               convClustered: Boolean = false): PipelineResult = {
     val roleDim = TranscriptGen.roleDim(spark).toDF()
     val toolDim = TranscriptGen.toolDim(spark).toDF()
     val routed = config
@@ -60,7 +65,10 @@ object Pipeline {
     // final aggregates — persist it or the full-data salted shuffle over
     // routed runs twice (Spark does not reuse exchanges across queries).
     val partials =
-      if (maskSafe) Some(Aggregate.partials(routed).persist()) else None
+      if (maskSafe)
+        Some(Aggregate.partials(routed,
+          salt = Aggregate.saltFor(convClustered)).persist())
+      else None
     try {
       Route.writePartitioned(routed, s"$outDir/routed")
       val counts = partials.map(Aggregate.sinkCountsFromPartials)

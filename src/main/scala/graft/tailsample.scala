@@ -136,13 +136,15 @@ object TailSample {
             outDir: String, checkpointDir: String,
             watermark: String = "10 minutes",
             decisionWait: String = "10 minutes",
-            pct: Double = DefaultPct) = {
+            pct: Double = DefaultPct,
+            latencyKeepUs: Long = Long.MaxValue) = {
     val stream = spark.readStream
       .schema(Schemas.turn)
       .parquet(inputDir)
       .withWatermark("ts", watermark)
     val decisions = conversationDecisions(
-      Parse.parseGrok(stream), decisionWait, pct)
+      Parse.parseGrok(stream), decisionWait, pct,
+      latencyKeepUs = latencyKeepUs)
     decisions.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append)

@@ -119,11 +119,24 @@ class Round2Spec extends SparkTestBase {
       .toSet.subsetOf(Set("errors", "rest")))
     assert(results("sampled").sinkCounts.select("sink").as[String].collect()
       .toSet.subsetOf(Set("tools", "rest")))
-    // duplicate names rejected
+    // duplicate names rejected — including via JSON, where Jackson's
+    // default last-wins parsing would silently drop the first pipeline
     intercept[IllegalArgumentException] {
       ServiceConfig(Seq("x" -> svc.pipelines.head._2,
         "x" -> svc.pipelines.head._2)).validated
     }
+    intercept[Exception] {
+      ServiceConfig.fromJson(
+        """{"pipelines": {
+          |  "x": {"grok_pattern": "t=(?<tool_invoked>\\w+)", "sinks": [{"name": "a", "predicate": "true"}]},
+          |  "x": {"grok_pattern": "t=(?<tool_invoked>\\w+)", "sinks": [{"name": "b", "predicate": "true"}]}
+          |}}""".stripMargin)
+    }
+    // a single-pipeline config mentioning "pipelines" in a sink name is
+    // NOT a service config
+    assert(!ServiceConfig.detect(
+      """{"grok_pattern": "t=(?<tool_invoked>\\w+)",
+        |"sinks": [{"name": "pipelines", "predicate": "true"}]}""".stripMargin))
   }
 
   test("streaming service: per-pipeline queries with independent checkpoints") {
