@@ -94,16 +94,20 @@ object Bench {
     val turnsPerSec = pipeTurns / pipeSec
 
     // production shape: same pipeline over a conv-bucketed table scan
-    // (zero data shuffle — the 100 TB layout; corpus written once, untimed)
-    val bktDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_BKT_DIR",
-      "/dev/shm/graft-bench-bkt")
-    if (!new java.io.File(s"$bktDir/_SUCCESS").exists())
-      BucketedCorpus.write(TranscriptGen.turnsDs(spark, 145000L).toDF(),
-        bktDir, "graft_bench_corpus", buckets = 32)
-    def bkt = BucketedCorpus.open(spark, bktDir, "graft_bench_corpus", 32)
-    val bktSalt = Aggregate.saltFor(convClustered = true)
-    pipelineRunFrom(spark, bkt, bktSalt) // warm
-    val (bktSec, _) = pipelineRunFrom(spark, bkt, bktSalt)
+    // (zero data shuffle — the 100 TB layout; corpus written once,
+    // untimed). Guarded: a failure here (e.g. no /dev/shm) must not sink
+    // the whole bench artifact — the row reports -1 instead.
+    val bktSec = try {
+      val bktDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_BKT_DIR",
+        "/dev/shm/graft-bench-bkt")
+      if (!new java.io.File(s"$bktDir/_SUCCESS").exists())
+        BucketedCorpus.write(TranscriptGen.turnsDs(spark, 145000L).toDF(),
+          bktDir, "graft_bench_corpus", buckets = 32)
+      def bkt = BucketedCorpus.open(spark, bktDir, "graft_bench_corpus", 32)
+      val bktSalt = Aggregate.saltFor(convClustered = true)
+      pipelineRunFrom(spark, bkt, bktSalt) // warm
+      pipelineRunFrom(spark, bkt, bktSalt)._1
+    } catch { case _: Throwable => -1.0 }
 
     val all = results :+ ("pipeline_e2e" -> pipeSec) :+
       ("pipeline_bucketed" -> bktSec)
