@@ -49,16 +49,7 @@ final class ObsQueryListener(metrics: ObsMetrics)
       qe: org.apache.spark.sql.execution.QueryExecution,
       durationNs: Long): Unit =
     qe.observedMetrics.foreach { case (name, row) =>
-      if (name.startsWith("graft_")) {
-        val stage = name.stripPrefix("graft_")
-        val r = row.schema.fieldNames.indexOf("rows")
-        if (r >= 0 && !row.isNullAt(r)) metrics.accepted(stage).add(row.getLong(r))
-        val i = row.schema.fieldNames.indexOf("null_keys")
-        if (i >= 0 && !row.isNullAt(i)) metrics.dropped(stage).add(row.getLong(i))
-        // e.g. the LSH hot-bucket cap reports its overflow as `dropped`
-        val d = row.schema.fieldNames.indexOf("dropped")
-        if (d >= 0 && !row.isNullAt(d)) metrics.dropped(stage).add(row.getLong(d))
-      }
+      Obs.harvest(metrics, name, row)
     }
 
   override def onFailure(funcName: String,
@@ -67,7 +58,49 @@ final class ObsQueryListener(metrics: ObsMetrics)
     metrics.failed("query").add(1L)
 }
 
+/** Streaming twin of [[ObsQueryListener]]: harvests `observe` tags from
+  * each micro-batch's progress AND counts rows the watermark dropped
+  * (the §2.12 `dropped` taxonomy for late data — the reference counts
+  * these in the processor's dropped_spans). Register with
+  * `spark.streams.addListener(new ObsStreamingListener(metrics))`.
+  */
+final class ObsStreamingListener(metrics: ObsMetrics)
+    extends org.apache.spark.sql.streaming.StreamingQueryListener {
+  import org.apache.spark.sql.streaming.StreamingQueryListener._
+
+  override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+
+  override def onQueryProgress(e: QueryProgressEvent): Unit = {
+    e.progress.observedMetrics.forEach { (name, row) =>
+      Obs.harvest(metrics, name, row)
+    }
+    e.progress.stateOperators.foreach { s =>
+      if (s.numRowsDroppedByWatermark > 0)
+        metrics.dropped("watermark").add(s.numRowsDroppedByWatermark)
+    }
+  }
+
+  override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+    if (e.exception.isDefined) metrics.failed("stream").add(1L)
+}
+
 object Obs {
+
+  /** Shared harvest: map a `graft_<stage>` observe row's fields onto the
+    * counter taxonomy — `rows` → accepted, `null_keys`/`dropped` →
+    * dropped (e.g. the LSH hot-bucket cap reports its overflow that way).
+    */
+  private[graft] def harvest(metrics: ObsMetrics, name: String,
+                             row: org.apache.spark.sql.Row): Unit =
+    if (name.startsWith("graft_")) {
+      val stage = name.stripPrefix("graft_")
+      val r = row.schema.fieldNames.indexOf("rows")
+      if (r >= 0 && !row.isNullAt(r)) metrics.accepted(stage).add(row.getLong(r))
+      val i = row.schema.fieldNames.indexOf("null_keys")
+      if (i >= 0 && !row.isNullAt(i)) metrics.dropped(stage).add(row.getLong(i))
+      val d = row.schema.fieldNames.indexOf("dropped")
+      if (d >= 0 && !row.isNullAt(d)) metrics.dropped(stage).add(row.getLong(d))
+    }
 
   /** Tag a frame with an `observe` aggregate; harvest with a
     * QueryExecutionListener or `observedMetrics` on streaming progress.

@@ -44,7 +44,10 @@ object StreamingPipeline {
       .parquet(inputDir)
       .withWatermark("ts", "10 minutes")
 
-    val routed = Pipeline.transform(stream, roleDim, toolDim, sinks)
+    // observe tag → per-micro-batch rows/null-keys on every
+    // StreamingQueryProgress (harvested by ObsStreamingListener)
+    val routed = Obs.observed(
+      Pipeline.transform(stream, roleDim, toolDim, sinks), "stream_route")
 
     routed.writeStream
       .option("checkpointLocation", checkpointDir)

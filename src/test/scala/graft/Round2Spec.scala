@@ -182,6 +182,28 @@ class Round2Spec extends SparkTestBase {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming obs listener harvests per-batch observe metrics") {
+    val inDir = tmpDir("sobs-in")
+    val outDir = tmpDir("sobs-out")
+    val ckpt = tmpDir("sobs-ckpt")
+    val metrics = new ObsMetrics(spark)
+    val listener = new ObsStreamingListener(metrics)
+    spark.streams.addListener(listener)
+    try {
+      val turns = TranscriptGen.turnsDs(spark, 60).toDF()
+      turns.repartition(3).write.mode("append").parquet(inDir)
+      val q = StreamingPipeline.start(spark, inDir, outDir, ckpt)
+      q.processAllAvailable()
+      q.stop()
+      // listener events are async — poll briefly
+      val deadline = System.nanoTime() + 10L * 1000000000L
+      while (metrics.accepted("stream_route").value < turns.count() &&
+             System.nanoTime() < deadline) Thread.sleep(100)
+      assert(metrics.accepted("stream_route").value === turns.count())
+      assert(metrics.dropped("stream_route").value === 0L)
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("maxBytesPerTrigger size flush runs (replaces the count flush)") {
     val inDir = tmpDir("bytes-in")
     val outDir = tmpDir("bytes-out")
