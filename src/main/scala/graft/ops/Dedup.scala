@@ -102,10 +102,6 @@ object Dedup {
         .localCheckpoint(true),
       numHashes, bands, bucketCap, obsTag)
 
-  /** Candidates from a precomputed/persisted `(id, sig)` frame — at real
-    * scale the signature frame is a durable index table reused across
-    * dedup runs; the caller owns its lifecycle.
-    */
   /** Band-explode a `(id, sig, …)` frame: one row per (band_idx,
     * band_hash), extra columns carried through. ONE shared implementation
     * — the batch self-join and the incremental index path must produce
@@ -140,6 +136,10 @@ object Dedup {
     tagged.where(col("_bn") <= bucketCap).drop("_bn")
   }
 
+  /** Candidates from a precomputed/persisted `(id, sig)` frame — at real
+    * scale the signature frame is a durable index table reused across
+    * dedup runs; the caller owns its lifecycle.
+    */
   def minhashCandidatesFromSig(sig0: DataFrame,
                                numHashes: Int = 64, bands: Int = 16,
                                bucketCap: Int = DefaultBucketCap,
@@ -400,7 +400,7 @@ object Dedup {
                               maxIter: Int = 50): DataFrame = {
     // order-independent edge-set fingerprint (bit_xor: no ANSI overflow)
     def ck(e: DataFrame): (Long, Long) = {
-      val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head
+      val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
     // large-star: connect every neighbor v > u to m = min(Γ(u) ∪ {u})

@@ -25,10 +25,11 @@ object Ivf {
     */
   private def bestCells(v: Column, centroids: Array[(Int, Array[Float])],
                         n: Int): Column = {
-    val scored = array(centroids.map { case (cell, cv) =>
-      val cvCol = typedLit(cv.toSeq)
-      struct(Similarity.cosine(v, cvCol).as("cos"), lit(cell).as("cell"))
-    }: _*)
+    val scored = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      centroids.map { case (cell, cv) =>
+        val cvCol = typedLit(cv.toSeq)
+        struct(Similarity.cosine(v, cvCol).as("cos"), lit(cell).as("cell"))
+      }): _*)
     slice(reverse(array_sort(scored)), 1, n)
   }
 

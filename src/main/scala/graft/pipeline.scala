@@ -40,8 +40,7 @@ object Pipeline {
   /** Full batch run with fanout write + aggregates + lineage.
     * The routed frame is persisted once (cloningfanout analog) because three
     * consumers read it: the partitioned write and both aggregates.
-    */
-  /** `convClustered`: pass true when `turns` comes from a conv-bucketed
+    * `convClustered`: pass true when `turns` comes from a conv-bucketed
     * scan ([[BucketedCorpus.open]]) — selects [[Aggregate.saltFor]]'s
     * shuffle-free salt.
     */
@@ -84,7 +83,7 @@ object Pipeline {
         // never a second full scan of routed (coalesce: sum over an empty
         // counts table is null)
         val n = spark.read.parquet(s"$outDir/sink_counts")
-          .agg(coalesce(sum("n_turns"), lit(0L))).head.getLong(0)
+          .agg(coalesce(sum("n_turns"), lit(0L))).head().getLong(0)
         m.sent("route").add(n)
         m.accepted("parse").add(n)
       }
