@@ -674,8 +674,12 @@ object SparkEntry {
         |FROM read_parquet('__OUT__/_input_media/*.parquet')""".stripMargin,
 
     // ANN oracles: DuckDB list_cosine_similarity + window top-k replays the
-    // exact brute-force semantics (ties broken by id; round-6 then the
-    // driver's round-4 canon absorbs float32-vs-double accumulation).
+    // exact brute-force semantics (ties broken by id). The embeddings are
+    // CAST to DOUBLE[] so DuckDB accumulates in double exactly like
+    // Similarity.dot (which casts to array<double>) — the round-2 red rows
+    // were DuckDB accumulating in float32 on FLOAT[] input, which shifts
+    // every round-6 value; the driver's hash compare sees pre-canon values,
+    // so ROUND(...,6) must agree bit-for-bit on both sides.
     // q_ann_ivf probes nProbe == nCells, so it is provably identical to
     // brute force (IvfSpec) and shares the oracle. q_ann_lsh is
     // approximate by design → rows-only.
@@ -773,7 +777,8 @@ object SparkEntry {
     """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
       |           FROM embeddings WHERE vec_id < 5),
       |c AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
-      |s AS (SELECT query_id, id, list_cosine_similarity(v, qv) AS cos
+      |s AS (SELECT query_id, id,
+      |        list_cosine_similarity(CAST(v AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS cos
       |      FROM c, q WHERE id <> query_id),
       |r AS (SELECT query_id, id, cos,
       |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id

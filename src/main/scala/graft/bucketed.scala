@@ -64,6 +64,20 @@ object BucketedCorpus {
           s"open() asked for $buckets — declaring the wrong count would " +
           "silently break the zero-shuffle aggregation")
     }
+    if (spark.catalog.tableExists(table)) {
+      // name-reuse guard: the catalog entry is matched by NAME only — if
+      // this session already registered `table` over a DIFFERENT path, the
+      // scan below would silently read the other corpus (the
+      // _graft_buckets check guards bucket count, not location)
+      val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $table")
+        .where(col("col_name") === "Location")
+        .collect().headOption.map(_.getString(1)).getOrElse("")
+      val want = "file:" + java.nio.file.Paths.get(path).toAbsolutePath.normalize
+      require(loc.stripSuffix("/") == want.toString.stripSuffix("/"),
+        s"table $table is already registered at '$loc', not '$want' — " +
+          "refusing to silently read a different corpus; drop the table " +
+          "or use a distinct name")
+    }
     if (!spark.catalog.tableExists(table)) {
       spark.sql(
         s"""CREATE TABLE $table (

@@ -20,9 +20,24 @@ final class TopKBuffer(val k: Int) {
   val ids = new Array[Long](k)
   var n = 0
 
+  // Rank comparison, matching Spark's SQL double ordering: NaN greater
+  // than everything (java.lang.Double.compare totally orders NaN — a
+  // plain `<`/`==` returns false both ways on NaN, so the id tie-break
+  // would never fire among NaN-scored candidates and the retained set at
+  // the k boundary would depend on encounter/retry order), ±0.0 equal
+  // (normalized before compare; Double.compare alone puts -0.0 < 0.0,
+  // which would split a tie Spark's window ordering treats as equal).
+  // Returns <0 / 0 / >0 for (s1,i1) ranking better / equal / worse.
+  @inline private def cmp(s1: Double, i1: Long, s2: Double, i2: Long): Int = {
+    val a = if (s1 == 0.0) 0.0 else s1
+    val b = if (s2 == 0.0) 0.0 else s2
+    val c = java.lang.Double.compare(b, a) // desc: higher score ranks first
+    if (c != 0) c else java.lang.Long.compare(i1, i2) // ties: smaller id
+  }
+
   // a is worse than b ⇔ a loses the top-k comparison
   @inline private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-    s1 < s2 || (s1 == s2 && i1 > i2)
+    cmp(s1, i1, s2, i2) > 0
 
   private def siftUp(start: Int): Unit = {
     var i = start
@@ -58,15 +73,16 @@ final class TopKBuffer(val k: Int) {
       scores(0) = score; ids(0) = id; siftDown()
     }
 
-  /** Entries sorted best-first. sortBy (total order on (-score, id)), not
-    * sortWith(!worse): a non-strict comparator breaks the sort contract if
-    * two equal entries ever meet. The key normalizes ±0.0 to one value —
-    * `worse()` (and Spark's window ordering) treat them as equal, but
-    * Ordering[Double] is a total order that would split the tie.
+  /** Entries sorted best-first — the SAME total order as `worse()` (via
+    * shared `cmp`), so retention and output ordering can never disagree on
+    * NaN/±0.0 edge cases.
     */
   def sorted: Array[(Double, Long)] =
     (0 until n).map(i => (scores(i), ids(i))).toArray
-      .sortBy { case (s, i) => (if (s == 0.0) 0.0 else -s, i) }
+      .sorted(new Ordering[(Double, Long)] {
+        def compare(a: (Double, Long), b: (Double, Long)): Int =
+          cmp(a._1, a._2, b._1, b._2)
+      })
 }
 
 /** `topk_by_score(score, id, k)` — aggregate to the k (score desc, id asc)

@@ -121,9 +121,22 @@ object Obs {
       .withColumn("stage", lit(stage))
       .select("batch_id", "partition_id", "stage", "rows")
 
-  def writeLineage(df: DataFrame, batchId: Long, stage: String, outDir: String): Unit =
-    lineage(df, batchId, stage)
+  /** Write the lineage table for one batch and return the total row count.
+    * The aggregated frame is ≤ #partitions rows, so it is collected once
+    * and re-emitted locally — callers get the exact sent-row count WITHOUT
+    * a second pass over `df` (round-2 ran an extra `count()` action per
+    * micro-batch just for the `sent` counter).
+    */
+  def writeLineage(df: DataFrame, batchId: Long, stage: String,
+                   outDir: String): Long = {
+    val lin = lineage(df, batchId, stage)
+    val rows = lin.collect()
+    val spark = df.sparkSession
+    spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), lin.schema)
       .coalesce(1)
       .write.mode("overwrite")
       .parquet(s"$outDir/_lineage/stage=$stage/batch_id=$batchId")
+    rows.iterator.map(_.getAs[Long]("rows")).sum
+  }
 }

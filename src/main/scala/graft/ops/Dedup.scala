@@ -323,28 +323,42 @@ object Dedup {
     // BOTH sides are capped: a boilerplate-heavy NEW batch is exactly the
     // degenerate case the cap exists for (an uncapped b side would make
     // each capped index bucket × the whole new bucket quadratic again).
+    // Band-explode carries (id, sig) ONLY — the heavy shingle arrays are
+    // joined back onto the (tiny) candidate pair set afterwards, exactly
+    // as the batch path does; exploding them would replicate every
+    // shingle array ×bands through the cap-window shuffle and band join.
     val a = capBuckets(
-        bandExplode(index.unionByName(newSigs), numHashes, bands),
+        bandExplode(index.select(col("id"), col("sig"))
+            .unionByName(newSigs.select(col("id"), col("sig"))),
+          numHashes, bands),
         "id", bucketCap, obsTag)
       .select(col("id").as("id_a"), col("sig").as("sig_a"),
-        col("sh").as("sh_a"), col("band_idx"), col("band_hash"))
-    val b = capBuckets(bandExplode(newSigs, numHashes, bands),
+        col("band_idx"), col("band_hash"))
+    val b = capBuckets(
+        bandExplode(newSigs.select(col("id"), col("sig")), numHashes, bands),
         "id", bucketCap, obsTag = None)
       .select(col("id").as("id_b"), col("sig").as("sig_b"),
-        col("sh").as("sh_b"), col("band_idx"), col("band_hash"))
+        col("band_idx"), col("band_hash"))
     // the b side holds only NEW ids, so order the output pair with
     // least/greatest (a plain id_a < id_b would silently drop
-    // (index_i, new_j) pairs where i > j); jaccard is symmetric
-    a.join(b, Seq("band_idx", "band_hash"))
+    // (index_i, new_j) pairs where i > j); jaccard is symmetric, as is
+    // the signature-agreement estimate
+    val cands = a.join(b, Seq("band_idx", "band_hash"))
       .where(col("id_a") =!= col("id_b"))
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"),
         (aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / numHashes).as("jaccard_est"),
-        ngramJaccardCol(col("sh_a"), col("sh_b")).as("jaccard"))
-      .where(col("jaccard") >= threshold)
+          lit(0), (acc, v) => acc + v).cast("double") / numHashes).as("jaccard_est"))
       .distinct()
+    val allSh = index.select(col("id"), col("sh"))
+      .unionByName(newSigs.select(col("id"), col("sh")))
+    cands
+      .join(allSh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(allSh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard", ngramJaccardCol(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard_est", "jaccard")
   }
 
   // ------------------------------------------- cluster resolution (CC)

@@ -20,16 +20,28 @@ import org.apache.spark.sql.functions._
   */
 object Ivf {
 
-  /** argmax-by-cosine over a broadcast literal centroid table:
-    * returns struct(cell, cosine).
+  /** Best-n cells by cosine against the centroid table, as a NARROW
+    * column (no shuffle — cell assignment stays a derived column).
+    *
+    * The centroid table is ONE literal `array<struct<cell, vec>>` iterated
+    * by a `transform` higher-order function, so the expression tree is
+    * O(1) nodes regardless of nCells — the round-2 shape built one
+    * cosine subtree PER centroid (O(nCells) expression nodes), which
+    * explodes codegen size at realistic IVF cell counts (10³–10⁴). The
+    * per-row runtime is O(nCells·dim) either way — inherent to IVF coarse
+    * assignment. The alternative (centroids as a broadcast DataFrame join
+    * + argmax aggregate) was rejected: the groupBy(id) argmax re-shuffles
+    * the whole corpus, while this stays exchange-free.
+    *
+    * At extreme nCells (≥ ~10⁵ × large dim) the literal rides the task
+    * binary — switch to a hierarchical coarse quantizer before that.
     */
   private def bestCells(v: Column, centroids: Array[(Int, Array[Float])],
                         n: Int): Column = {
-    val scored = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(
-      centroids.map { case (cell, cv) =>
-        val cvCol = typedLit(cv.toSeq)
-        struct(Similarity.cosine(v, cvCol).as("cos"), lit(cell).as("cell"))
-      }): _*)
+    val centLit = typedLit(centroids.toSeq.map { case (c, vec) => (c, vec.toSeq) })
+    val scored = transform(centLit, c =>
+      struct(Similarity.cosine(v, c.getField("_2")).as("cos"),
+        c.getField("_1").as("cell")))
     slice(reverse(array_sort(scored)), 1, n)
   }
 

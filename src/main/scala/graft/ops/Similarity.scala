@@ -19,8 +19,21 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Full-double dot product. The element cast matters for correctness
+    * evidence, not just precision: on `array<float>` inputs Spark would
+    * compute each product in FLOAT (float*float→float) while the
+    * accumulator is double, so scores would carry ~1e-8-relative product
+    * rounding that a double-accumulating oracle (DuckDB
+    * `list_cosine_similarity` on `DOUBLE[]`) cannot reproduce — round-6
+    * values then straddle rounding boundaries and the driver's value-hash
+    * compare fails (the round-2 q_ann_* red rows). With both operands cast
+    * to `array<double>` both engines do double multiply + sequential double
+    * accumulation; residual divergence is the ~1-ulp sqrt-form difference,
+    * invisible at round-6.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    aggregate(zip_with(a.cast("array<double>"), b.cast("array<double>"),
+      (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -66,8 +66,8 @@ object StreamingPipeline {
             .coalesce(1)
             .write.mode("overwrite")
             .parquet(s"$outDir/sink_counts/batch_id=$batchId")
-          Obs.writeLineage(cached, batchId, "route", outDir)
-          obs.foreach(_.sent("route").add(cached.count()))
+          val sentRows = Obs.writeLineage(cached, batchId, "route", outDir)
+          obs.foreach(_.sent("route").add(sentRows))
         } finally { cached.unpersist() }
         ()
       }

@@ -77,6 +77,33 @@ class TopKSpec extends SparkTestBase {
     }
   }
 
+  test("NaN scores: totally ordered like Spark SQL (NaN greatest), id ties deterministic") {
+    import org.apache.spark.sql.expressions.Window
+    // multiple NaN-scored rows straddling the k boundary: retention must
+    // fall through to the id tie-break (round-2 worse() returned false in
+    // both directions on NaN → encounter-order-dependent retained set)
+    val rows = Seq((1L, Double.NaN, 5L), (1L, Double.NaN, 3L),
+      (1L, 0.8, 1L), (1L, 0.9, 2L), (1L, Double.NaN, 7L))
+    // run under several partitionings = several encounter/merge orders
+    Seq(1, 3, 6).foreach { parts =>
+      val df = rows.toDF("query_id", "cosine", "id").repartition(parts)
+      val viaAgg = df.groupBy($"query_id")
+        .agg(TopKByScore.topk_by_score($"cosine", $"id", 4).as("topk"))
+        .select($"query_id", posexplode($"topk").as(Seq("pos", "e")))
+        .select($"query_id", $"e.id".as("id"), ($"pos" + 1).as("rank"))
+        .as[(Long, Long, Long)].collect().toSeq.sortBy(_._3)
+      // Spark SQL double ordering: NaN > everything → the three NaN rows
+      // first (id tie-break 3 < 5 < 7), then 0.9; 0.8 falls off at k=4
+      assert(viaAgg === Seq((1L, 3L, 1L), (1L, 5L, 2L), (1L, 7L, 3L),
+        (1L, 2L, 4L)), s"parts=$parts")
+      val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"id")
+      val viaWindow = df.withColumn("rank", row_number().over(w))
+        .where($"rank" <= 4).select($"query_id", $"id", $"rank".cast("long"))
+        .as[(Long, Long, Long)].collect().toSeq.sortBy(_._3)
+      assert(viaAgg === viaWindow, s"window parity, parts=$parts")
+    }
+  }
+
   test("ANN plans: no Window, no single-partition exchange on candidates") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val topk = Similarity.bruteForceTopK(emb, "vec_id", "embedding",

@@ -28,6 +28,23 @@ class IvfSpec extends SparkTestBase {
     assert(ivf.exceptAll(bf).isEmpty && bf.exceptAll(ivf).isEmpty)
   }
 
+  test("nCells=256: constant-size expression tree survives realistic cell counts") {
+    // round-2 bestCells built one cosine subtree per centroid — at 256
+    // cells codegen/analysis would blow up; the transform-over-literal
+    // shape is O(1) nodes, so this must run fast and stay ≡ brute force
+    // at nProbe == nCells
+    val corpus = vectors(400)
+    val queries = corpus.where(col("vec_id") < 3)
+    val ivf = Ivf.ivfTopK(corpus, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5, nCells = 256, nProbe = 256,
+        kmeansIters = 0)
+      .select("query_id", "id", "rank")
+    val bf = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "id", "rank")
+    assert(ivf.exceptAll(bf).isEmpty && bf.exceptAll(ivf).isEmpty)
+  }
+
   test("partial probe returns a subset of per-cell candidates with sane recall") {
     val corpus = vectors(300)
     val queries = corpus.where(col("vec_id") < 5)
