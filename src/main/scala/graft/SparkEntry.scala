@@ -632,30 +632,9 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     // replays TextAnalysis.qualityScore term by term (distinct stopword
-    // union of the 4 language lists inlined)
-    "q_quality_score" ->
-      """WITH b AS (SELECT doc_id, trim(text) AS t FROM documents),
-        |m AS (SELECT doc_id, t, CAST(len(t) AS DOUBLE) AS n_chars,
-        |        string_split_regex(lower(t), '\s+') AS words FROM b),
-        |r AS (SELECT doc_id, len(words) AS n_words,
-        |  CAST(len(regexp_replace(t, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
-        |    / GREATEST(n_chars, 1.0) AS alpha_ratio,
-        |  CAST(len(list_intersect(list_distinct(words),
-        |    ['the','and','of','to','a','in','is','it','that','for',
-        |     'el','la','de','que','y','en','un','es','se','no',
-        |     'der','die','und','das','ist','ein','zu','den','mit','von',
-        |     'le','et','est','du','pour'])) AS DOUBLE)
-        |    / GREATEST(CAST(len(words) AS DOUBLE), 1.0) AS stop_ratio,
-        |  n_chars / GREATEST(CAST(len(words) AS DOUBLE), 1.0) AS mean_word_len
-        |  FROM m)
-        |SELECT doc_id, ROUND(
-        |  (CASE WHEN n_words BETWEEN 5 AND 5000 THEN 1.0
-        |        WHEN n_words BETWEEN 2 AND 10000 THEN 0.5 ELSE 0.0 END) * 0.3
-        |  + alpha_ratio * 0.3
-        |  + LEAST(stop_ratio * 3.0, 1.0) * 0.2
-        |  + (CASE WHEN mean_word_len BETWEEN 3.0 AND 12.0 THEN 1.0
-        |          ELSE 0.3 END) * 0.2, 4) AS quality
-        |FROM r""".stripMargin,
+    // union of the 4 language lists inlined); CTE shared with
+    // q_quality_fingerprint
+    "q_quality_score" -> SparkEntry.qualityScoreOracle,
 
     // downstream media stages verified from the dumped decode output
     // (the codec itself is the documented sandbox stub)
@@ -685,6 +664,159 @@ object SparkEntry {
     // approximate by design → rows-only.
     "q_ann_bruteforce" -> SparkEntry.annBruteForceOracle,
     "q_ann_ivf" -> SparkEntry.annBruteForceOracle,
+
+    // LSH ANN: deterministic, so fully specifiable — buckets are dumped
+    // per vector (xxhash-derived, see _input_vecs), and probe expansion
+    // (bucket ^ 2^p multiprobe), candidate join, double cosine, and
+    // tie-broken top-k are all replayed in SQL.
+    "q_ann_lsh" ->
+      """WITH v AS (SELECT vec_id, bucket6
+        |           FROM read_parquet('__OUT__/_input_vecs/*.parquet')),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, bucket6 AS qb FROM v WHERE vec_id < 5),
+        |probes AS (SELECT query_id,
+        |    unnest([qb, xor(qb, 1), xor(qb, 2), xor(qb, 4),
+        |            xor(qb, 8), xor(qb, 16), xor(qb, 32)]) AS bucket FROM q),
+        |cand AS (SELECT p.query_id, v.vec_id AS id
+        |         FROM probes p JOIN v ON v.bucket6 = p.bucket
+        |         WHERE v.vec_id <> p.query_id),
+        |s AS (SELECT query_id, id, list_cosine_similarity(ec.emb, eq.emb) AS cos
+        |      FROM cand JOIN e ec ON cand.id = ec.vec_id
+        |                JOIN e eq ON cand.query_id = eq.vec_id),
+        |r AS (SELECT query_id, id, cos,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |          ORDER BY cos DESC, id) AS INT) AS rank
+        |      FROM s)
+        |SELECT query_id, id, CAST(ROUND(cos, 6) AS DOUBLE) AS cosine, rank
+        |FROM r WHERE rank <= 5""".stripMargin,
+
+    // MinHash near-dup: band hashes dumped per doc; the band self-join,
+    // 2048 bucket cap (deterministic id order), distinct pair set,
+    // signature-agreement estimate, and exact shingle-Jaccard verify are
+    // replayed relationally.
+    "q_minhash_neardups" ->
+      """WITH d AS (SELECT doc_id AS id, sh, sig, bands
+        |           FROM read_parquet('__OUT__/_input_docs/*.parquet')
+        |           WHERE doc_id < 200),
+        |b AS (SELECT id, sig, unnest(bands, recursive := true) FROM d),
+        |capped AS (SELECT id, sig, band_idx, band_hash FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY band_idx, band_hash
+        |      ORDER BY id) AS rn FROM b) WHERE rn <= 2048),
+        |cand AS (SELECT DISTINCT a.id AS id_a, b2.id AS id_b,
+        |    CAST(len(list_filter(list_zip(a.sig, b2.sig),
+        |      p -> p[1] = p[2])) AS DOUBLE) / 64 AS jaccard_est
+        |  FROM capped a JOIN capped b2 USING (band_idx, band_hash)
+        |  WHERE a.id < b2.id),
+        |j AS (SELECT id_a, id_b, jaccard_est,
+        |    CASE WHEN len(list_distinct(da.sh || db.sh)) = 0 THEN 1.0
+        |         ELSE CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+        |              / len(list_distinct(da.sh || db.sh)) END AS jaccard
+        |  FROM cand JOIN d da ON cand.id_a = da.id
+        |            JOIN d db ON cand.id_b = db.id)
+        |SELECT id_a, id_b, jaccard_est, jaccard FROM j
+        |WHERE jaccard >= 0.5""".stripMargin,
+
+    // Incremental (index vs new batch) shape: both caps (union side and
+    // new side), least/greatest pair ordering, and the verify join replayed.
+    "q_dedup_incremental" ->
+      """WITH d AS (SELECT doc_id AS id, sh, sig, bands
+        |           FROM read_parquet('__OUT__/_input_docs/*.parquet')
+        |           WHERE doc_id < 200),
+        |b AS (SELECT id, sig, unnest(bands, recursive := true) FROM d),
+        |ca AS (SELECT id, sig, band_idx, band_hash FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY band_idx, band_hash
+        |      ORDER BY id) AS rn FROM b) WHERE rn <= 2048),
+        |cb AS (SELECT id, sig, band_idx, band_hash FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY band_idx, band_hash
+        |      ORDER BY id) AS rn FROM b WHERE id >= 150) WHERE rn <= 2048),
+        |cand AS (SELECT DISTINCT LEAST(a.id, b2.id) AS id_a,
+        |    GREATEST(a.id, b2.id) AS id_b,
+        |    CAST(len(list_filter(list_zip(a.sig, b2.sig),
+        |      p -> p[1] = p[2])) AS DOUBLE) / 64 AS jaccard_est
+        |  FROM ca a JOIN cb b2 USING (band_idx, band_hash)
+        |  WHERE a.id <> b2.id),
+        |j AS (SELECT id_a, id_b, jaccard_est,
+        |    CASE WHEN len(list_distinct(da.sh || db.sh)) = 0 THEN 1.0
+        |         ELSE CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+        |              / len(list_distinct(da.sh || db.sh)) END AS jaccard
+        |  FROM cand JOIN d da ON cand.id_a = da.id
+        |            JOIN d db ON cand.id_b = db.id)
+        |SELECT id_a, id_b, jaccard_est, jaccard FROM j
+        |WHERE jaccard >= 0.5""".stripMargin,
+
+    // SimHash signatures recomputed INDEPENDENTLY from the word-hash
+    // dictionary: per-bit ±1 vote over the word multiset, sign, and 64-bit
+    // assembly (bit 63 as the signed minimum) all in SQL.
+    "q_simhash_sigs" ->
+      s"""WITH ${SparkEntry.simhashSigCtes}
+         |SELECT doc_id, sig FROM sig""".stripMargin,
+
+    // SimHash near-dups from the RECOMPUTED signatures: 4×16-bit band
+    // extraction (arithmetic shift + mask, matching Spark's shiftright),
+    // bucket cap, band join, bit_count(xor) Hamming verify.
+    "q_simhash_neardups" ->
+      s"""WITH ${SparkEntry.simhashSigCtes},
+         |sb AS (SELECT doc_id AS id, sig, b.i AS band_idx,
+         |         (sig >> (b.i * 16)) & 65535 AS band_hash
+         |       FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS i) b
+         |       WHERE doc_id < 300),
+         |capped AS (SELECT id, sig, band_idx, band_hash FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY band_idx, band_hash
+         |      ORDER BY id) AS rn FROM sb) WHERE rn <= 2048),
+         |pairs AS (SELECT DISTINCT a.id AS id_a, b2.id AS id_b,
+         |    CAST(bit_count(xor(a.sig, b2.sig)) AS INT) AS dist
+         |  FROM capped a JOIN capped b2 USING (band_idx, band_hash)
+         |  WHERE a.id < b2.id AND bit_count(xor(a.sig, b2.sig)) <= 3)
+         |SELECT id_a, id_b, dist FROM pairs""".stripMargin,
+
+    // Embedding near-dup: LSH bucket imported per vector; cap, in-bucket
+    // pair join, and double-cosine threshold replayed.
+    "q_embedding_neardups" ->
+      """WITH v AS (SELECT vec_id AS id, bucket4 AS bucket
+        |           FROM read_parquet('__OUT__/_input_vecs/*.parquet')),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |capped AS (SELECT id, bucket FROM (
+        |    SELECT id, bucket, ROW_NUMBER() OVER (PARTITION BY bucket
+        |      ORDER BY id) AS rn FROM v) WHERE rn <= 2048),
+        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM capped a JOIN capped b USING (bucket) WHERE a.id < b.id),
+        |s AS (SELECT id_a, id_b, list_cosine_similarity(ea.emb, eb.emb) AS cos
+        |      FROM cand JOIN e ea ON cand.id_a = ea.vec_id
+        |                JOIN e eb ON cand.id_b = eb.vec_id)
+        |SELECT id_a, id_b, CAST(ROUND(cos, 6) AS DOUBLE) AS cosine
+        |FROM s WHERE cos >= 0.3""".stripMargin,
+
+    // quality replayed term-by-term (shared CTE); fingerprint imported
+    // from the dump (xxhash64 of the normalized token stream)
+    "q_quality_fingerprint" ->
+      s"""WITH q AS (${SparkEntry.qualityScoreOracle})
+         |SELECT q.doc_id, q.quality, f.fingerprint
+         |FROM q JOIN read_parquet('__OUT__/_input_docs/*.parquet') f
+         |  ON q.doc_id = f.doc_id""".stripMargin,
+
+    // Fully independent: language-ID argmax (stopword hit counts, struct
+    // lexicographic max matching Spark's array_max tie semantics) +
+    // BPE-ish token counts, aggregated per language.
+    "q_text_profile" ->
+      """WITH w AS (SELECT doc_id, text,
+        |    string_split_regex(lower(text), '\s+') AS words FROM documents),
+        |sc AS (SELECT doc_id, text,
+        |  len(list_intersect(words, ['der','die','und','das','ist','ein','zu','den','mit','von'])) AS s_de,
+        |  len(list_intersect(words, ['the','and','of','to','a','in','is','it','that','for'])) AS s_en,
+        |  len(list_intersect(words, ['el','la','de','que','y','en','un','es','se','no'])) AS s_es,
+        |  len(list_intersect(words, ['le','la','de','et','un','est','que','en','du','pour'])) AS s_fr
+        |  FROM w),
+        |best AS (SELECT doc_id, text, list_max([
+        |    struct_pack(score := s_de, lang := 'de'),
+        |    struct_pack(score := s_en, lang := 'en'),
+        |    struct_pack(score := s_es, lang := 'es'),
+        |    struct_pack(score := s_fr, lang := 'fr')]) AS b FROM sc),
+        |p AS (SELECT CASE WHEN b.score > 0 THEN b.lang ELSE 'und' END AS lang_id,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS nb
+        |  FROM best)
+        |SELECT lang_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(nb) AS BIGINT) AS sum_tokens
+        |FROM p GROUP BY lang_id""".stripMargin,
 
     // Pipeline oracles replay parse (regexp_extract over text) → route
     // (first-match CASE) → aggregate over the dumped seed-42 corpus.
@@ -772,6 +904,57 @@ object SparkEntry {
         |    '^E[0-9]{3}$') AS error_tag
         |FROM read_parquet('__OUT__/_input_turns/*.parquet')""".stripMargin
   )
+
+  /** Shared CTE chain recomputing SimHash signatures in DuckDB from the
+    * dumped word-hash dictionary (__OUT__/_input_vocab): explode the word
+    * multiset, join hashes, ±1 vote per bit, sign, assemble the 64-bit
+    * signature (bit 63 = the sign bit, added as Long.MinValue so the sum
+    * stays in BIGINT range). Ends with CTE `sig(doc_id, sig)`.
+    */
+  private val simhashSigCtes: String =
+    """wv AS (SELECT doc_id,
+      |    unnest(string_split_regex(lower(text), '\s+')) AS word
+      |  FROM documents),
+      |hv AS (SELECT wv.doc_id, v.h
+      |  FROM wv JOIN read_parquet('__OUT__/_input_vocab/*.parquet') v
+      |    ON wv.word = v.word),
+      |bits AS (SELECT doc_id, b.i AS i,
+      |    SUM(CASE WHEN ((h >> b.i) & 1) = 1 THEN 1 ELSE -1 END) AS cnt
+      |  FROM hv CROSS JOIN (SELECT unnest(range(0, 64)) AS i) b
+      |  GROUP BY doc_id, b.i),
+      |sig AS (SELECT doc_id, CAST(SUM(CASE WHEN cnt > 0 THEN
+      |      CASE WHEN i = 63 THEN -9223372036854775807 - 1
+      |           ELSE (1::BIGINT << i) END
+      |    ELSE 0 END) AS BIGINT) AS sig
+      |  FROM bits GROUP BY doc_id)""".stripMargin
+
+  /** Term-by-term DuckDB replay of TextAnalysis.qualityScore (distinct
+    * stopword union of the 4 language lists inlined); shared by
+    * q_quality_score and q_quality_fingerprint.
+    */
+  private val qualityScoreOracle: String =
+    """WITH b AS (SELECT doc_id, trim(text) AS t FROM documents),
+      |m AS (SELECT doc_id, t, CAST(len(t) AS DOUBLE) AS n_chars,
+      |        string_split_regex(lower(t), '\s+') AS words FROM b),
+      |r AS (SELECT doc_id, len(words) AS n_words,
+      |  CAST(len(regexp_replace(t, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+      |    / GREATEST(n_chars, 1.0) AS alpha_ratio,
+      |  CAST(len(list_intersect(list_distinct(words),
+      |    ['the','and','of','to','a','in','is','it','that','for',
+      |     'el','la','de','que','y','en','un','es','se','no',
+      |     'der','die','und','das','ist','ein','zu','den','mit','von',
+      |     'le','et','est','du','pour'])) AS DOUBLE)
+      |    / GREATEST(CAST(len(words) AS DOUBLE), 1.0) AS stop_ratio,
+      |  n_chars / GREATEST(CAST(len(words) AS DOUBLE), 1.0) AS mean_word_len
+      |  FROM m)
+      |SELECT doc_id, ROUND(
+      |  (CASE WHEN n_words BETWEEN 5 AND 5000 THEN 1.0
+      |        WHEN n_words BETWEEN 2 AND 10000 THEN 0.5 ELSE 0.0 END) * 0.3
+      |  + alpha_ratio * 0.3
+      |  + LEAST(stop_ratio * 3.0, 1.0) * 0.2
+      |  + (CASE WHEN mean_word_len BETWEEN 3.0 AND 12.0 THEN 1.0
+      |          ELSE 0.3 END) * 0.2, 4) AS quality
+      |FROM r""".stripMargin
 
   private val annBruteForceOracle: String =
     """WITH q AS (SELECT vec_id AS query_id, embedding AS qv

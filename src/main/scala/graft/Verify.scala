@@ -36,6 +36,31 @@ object Verify {
       .select(col("media_id"), col("kind"), col("width"), col("height"),
         col("n_frames"))
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_input_media")
+    // Precomputed-hash dumps for the dedup/similarity oracles (same trick
+    // as sample_bucket): DuckDB has no xxhash64, so the HASH PRIMITIVES
+    // (minhash band hashes, word hashes, fingerprints, LSH buckets) are
+    // dumped per row, and the oracle SQL replays all the RELATIONAL logic
+    // — band equi-joins, bucket caps, pair semantics, Hamming/Jaccard
+    // thresholds, top-k — independently in DuckDB over them.
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.select(col("doc_id"),
+        graft.ops.Dedup.wordShingles(col("text"), 3).as("sh"),
+        graft.ops.TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+      .withColumn("sig", graft.ops.Dedup.minhashSignature(col("sh"), 64))
+      .withColumn("bands", graft.ops.Dedup.minhashBandsCol(col("sig"), 64, 16))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_input_docs")
+    // corpus word-hash dictionary: lets DuckDB recompute simhash signatures
+    // INDEPENDENTLY (per-bit vote + sign + bit assembly all in SQL) — only
+    // the raw xxhash64(word) values are imported
+    docs.select(explode(split(lower(col("text")), "\\s+")).as("word"))
+      .distinct()
+      .withColumn("h", xxhash64(col("word")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_input_vocab")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    emb.select(col("vec_id"),
+        graft.ops.Similarity.hyperplaneBucket(col("embedding"), 4, 7L).as("bucket4"),
+        graft.ops.Similarity.hyperplaneBucket(col("embedding"), 6, 7L).as("bucket6"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_input_vecs")
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name.parquet")

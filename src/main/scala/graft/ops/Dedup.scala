@@ -102,23 +102,31 @@ object Dedup {
         .localCheckpoint(true),
       numHashes, bands, bucketCap, obsTag)
 
+  /** LSH band array of a minhash signature column:
+    * `array<struct<band_idx, band_hash>>`. ONE shared implementation —
+    * [[bandExplode]] (batch self-join + incremental index path) and the
+    * Verify correctness dump must produce byte-identical band hashes, or
+    * cross pairs silently vanish / the DuckDB band-join oracle diverges.
+    */
+  def minhashBandsCol(sig: Column, numHashes: Int = 64,
+                      bands: Int = 16): Column = {
+    val rows = numHashes / bands
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band_idx"),
+        xxhash64(concat_ws(",",
+          slice(sig, b * rows + 1, lit(rows)).cast("array<string>")).cast("string")).as("band_hash")))
+  }
+
   /** Band-explode a `(id, sig, …)` frame: one row per (band_idx,
-    * band_hash), extra columns carried through. ONE shared implementation
-    * — the batch self-join and the incremental index path must produce
-    * byte-identical band hashes or cross pairs silently vanish.
+    * band_hash), extra columns carried through.
     */
   private def bandExplode(sigs: DataFrame, numHashes: Int,
-                          bands: Int): DataFrame = {
-    val rows = numHashes / bands
+                          bands: Int): DataFrame =
     sigs.withColumn("band",
-        explode(transform(sequence(lit(0), lit(bands - 1)),
-          b => struct(b.as("band_idx"),
-            xxhash64(concat_ws(",",
-              slice(col("sig"), b * rows + 1, lit(rows)).cast("array<string>")).cast("string")).as("band_hash")))))
+        explode(minhashBandsCol(col("sig"), numHashes, bands)))
       .withColumn("band_idx", col("band.band_idx"))
       .withColumn("band_hash", col("band.band_hash"))
       .drop("band")
-  }
 
   /** Hot-bucket guard: cap rows per (band_idx, band_hash) in deterministic
     * id order, optionally reporting rows/dropped through an observe tag.
