@@ -8,28 +8,30 @@ import org.apache.spark.sql.SparkSession
   * Prints one JSON line with throughput at both levels and
   * eff = (tps32 / tps8) / 4.
   */
-object ScalingBench {
-
-  /** Task-metrics accumulator: total bytes scanned vs shuffled during a
-    * timed region — the plan-level evidence that the pipeline's only
-    * shuffle (salted partials) is a small fraction of the scan, i.e. the
-    * job scales on scan parallelism, not on the interconnect.
-    */
-  private final class IoListener extends org.apache.spark.scheduler.SparkListener {
-    import java.util.concurrent.atomic.AtomicLong
-    val input = new AtomicLong; val shufWrite = new AtomicLong
-    val shufRead = new AtomicLong
-    override def onTaskEnd(
-        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-      val m = te.taskMetrics
-      if (m != null) {
-        input.addAndGet(m.inputMetrics.bytesRead)
-        shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-        shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
-      }
+/** Task-metrics accumulator: total bytes scanned vs shuffled during a
+  * timed region — the plan-level evidence that the pipeline's only
+  * shuffle (salted partials) is a small fraction of the scan, i.e. the
+  * job scales on scan parallelism, not on the interconnect. Shared by
+  * ScalingBench and Bench (the official bench rows embed these bytes so
+  * a timing anomaly can be told apart from a plan regression).
+  */
+private[graft] final class IoListener extends org.apache.spark.scheduler.SparkListener {
+  import java.util.concurrent.atomic.AtomicLong
+  val input = new AtomicLong; val shufWrite = new AtomicLong
+  val shufRead = new AtomicLong
+  override def onTaskEnd(
+      te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+    val m = te.taskMetrics
+    if (m != null) {
+      input.addAndGet(m.inputMetrics.bytesRead)
+      shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
     }
-    def reset(): Unit = { input.set(0); shufWrite.set(0); shufRead.set(0) }
   }
+  def reset(): Unit = { input.set(0); shufWrite.set(0); shufRead.set(0) }
+}
+
+object ScalingBench {
 
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()
