@@ -264,6 +264,48 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"))
     }),
 
+    // ---------------- tail-sampling policy set, batch replay shape (§2.13;
+    // status_code + numeric_attribute + string_attribute + probabilistic,
+    // OR-combined as the reference's policy evaluator does)
+    "q_tail_policies" -> ((s, _) => {
+      import TailSample.TailPolicy._
+      val parsed = Parse.parseGrok(TranscriptGen.turnsDs(s, 500).toDF())
+      TailSample.decideBatch(parsed, Seq(
+          StatusCode,
+          NumericAttribute("sum_latency_ms", 200000L, Long.MaxValue),
+          StringAttribute(Set("search", "sql")),
+          Probabilistic(10.0, 22L)))
+        .select(col("conv_id"), col("n_turns"), col("n_errors"),
+          col("n_tools_distinct"), col("sum_latency_ms"), col("span_us"),
+          col("sampled"))
+    }),
+
+    // rate_limiting policy: deterministic per-second cap over the decision
+    // frame (rank within last-turn second, stable conv_id order)
+    "q_tail_ratelimit" -> ((s, _) => {
+      import TailSample.TailPolicy._
+      val parsed = Parse.parseGrok(TranscriptGen.turnsDs(s, 500).toDF())
+      val dec = TailSample.decideBatch(parsed,
+        Seq(StatusCode, Probabilistic(10.0, 22L)))
+      TailSample.rateLimit(dec, maxPerSecond = 1)
+        .select(col("conv_id"),
+          date_format(col("last_ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+          col("sampled"))
+    }),
+
+    // ---------------- spanprocessor to_attributes rule list (§2.8):
+    // ordered rules, first match wins (break_after_match) — error turns
+    // match the stricter rule and also yield `stat`; the rest fall through
+    // to the tool-only rule
+    "q_span_to_attributes" -> ((s, _) => {
+      val turns = TranscriptGen.turnsDs(s, 500).toDF()
+      val m = AttrActions.toAttributes(col("text"), Seq(
+        "tool=(?<tname>[A-Za-z0-9_]+) status=(?<stat>E[0-9]{3})",
+        "tool=(?<tname>[A-Za-z0-9_]+)"), breakAfterMatch = true)
+      turns.select(col("conv_id"), col("turn_idx"),
+        element_at(m, "tname").as("tname"), element_at(m, "stat").as("stat"))
+    }),
+
     // ---------------- dedup ops (training-data; FIXTURES §5 documents)
     "q_dedup_keep" -> ((s, d) =>
       graft.ops.Dedup.exactKeep(t(s, d, "documents"), "doc_id", Seq("text"))
@@ -902,7 +944,63 @@ object SparkEntry {
         |  'graft-collector' AS service_name,
         |  regexp_matches(regexp_extract(text, 'status=([A-Za-z0-9]+)', 1),
         |    '^E[0-9]{3}$') AS error_tag
-        |FROM read_parquet('__OUT__/_input_turns/*.parquet')""".stripMargin
+        |FROM read_parquet('__OUT__/_input_turns/*.parquet')""".stripMargin,
+
+    // to_attributes first-match rule list: rule 1 only matches error turns
+    // (tool= directly followed by status=E###), rule 2 matches every turn.
+    "q_span_to_attributes" ->
+      """SELECT conv_id, turn_idx,
+        |  regexp_extract(text, 'tool=([A-Za-z0-9_]+)', 1) AS tname,
+        |  CASE WHEN regexp_matches(text, 'tool=[A-Za-z0-9_]+ status=E[0-9]{3}')
+        |    THEN regexp_extract(text,
+        |      'tool=[A-Za-z0-9_]+ status=(E[0-9]{3})', 1) END AS stat
+        |FROM read_parquet('__OUT__/_input_turns/*.parquet')""".stripMargin,
+
+    // Tail-sampling policy set replayed over the dumped corpus: parse,
+    // per-conversation rollup, then each policy as SQL (probabilistic via
+    // the precomputed sample_bucket, threshold 1638 = round(10% × 16384)).
+    "q_tail_policies" ->
+      """WITH p AS (SELECT conv_id, ts, sample_bucket,
+        |    regexp_extract(text, 'tool=([A-Za-z0-9_]+)', 1) AS tool_invoked,
+        |    CASE WHEN regexp_matches(
+        |        regexp_extract(text, 'status=([A-Za-z0-9]+)', 1), '^E[0-9]{3}$')
+        |      THEN regexp_extract(text, 'status=([A-Za-z0-9]+)', 1) END AS err_code,
+        |    CAST(regexp_extract(text, 'latency=([0-9]+)ms', 1) AS BIGINT) AS latency_ms
+        |  FROM read_parquet('__OUT__/_input_turns/*.parquet')),
+        |r AS (SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+        |    CAST(SUM(CASE WHEN err_code IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+        |    CAST(COUNT(DISTINCT CASE WHEN tool_invoked <> 'none'
+        |      THEN tool_invoked END) AS INT) AS n_tools_distinct,
+        |    CAST(SUM(latency_ms) AS BIGINT) AS sum_latency_ms,
+        |    epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS span_us,
+        |    BOOL_OR(tool_invoked IN ('search','sql')) AS has_tool,
+        |    MIN(sample_bucket) AS bucket
+        |  FROM p GROUP BY conv_id)
+        |SELECT conv_id, n_turns, n_errors, n_tools_distinct, sum_latency_ms,
+        |  span_us,
+        |  (n_errors > 0 OR sum_latency_ms >= 200000 OR has_tool
+        |   OR bucket < 1638) AS sampled
+        |FROM r""".stripMargin,
+
+    // rate_limiting: rank kept conversations within their last-turn second
+    // (kept-first, conv_id tie-break) and un-keep past the cap of 1.
+    "q_tail_ratelimit" ->
+      """WITH p AS (SELECT conv_id, ts, sample_bucket,
+        |    CASE WHEN regexp_matches(
+        |        regexp_extract(text, 'status=([A-Za-z0-9]+)', 1), '^E[0-9]{3}$')
+        |      THEN 1 ELSE 0 END AS is_err
+        |  FROM read_parquet('__OUT__/_input_turns/*.parquet')),
+        |r AS (SELECT conv_id, MAX(ts) AS last_ts,
+        |    SUM(is_err) AS n_errors, MIN(sample_bucket) AS bucket
+        |  FROM p GROUP BY conv_id),
+        |d AS (SELECT conv_id, last_ts,
+        |    (n_errors > 0 OR bucket < 1638) AS sampled0 FROM r),
+        |rk AS (SELECT conv_id, last_ts, sampled0,
+        |    ROW_NUMBER() OVER (PARTITION BY date_trunc('second', last_ts)
+        |      ORDER BY sampled0 DESC, conv_id) AS rk FROM d)
+        |SELECT conv_id, strftime(last_ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+        |  (sampled0 AND rk <= 1) AS sampled
+        |FROM rk""".stripMargin
   )
 
   /** Shared CTE chain recomputing SimHash signatures in DuckDB from the

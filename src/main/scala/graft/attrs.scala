@@ -74,6 +74,40 @@ object AttrActions {
     "\\(\\?<([A-Za-z][A-Za-z0-9_]*)>".r
       .findAllMatchIn(pattern).map(_.group(1)).toSeq
 
+  private def grokAsMap(text: Column, pattern: String): Column = {
+    val g = graft.expr.GrokExtract.grok_extract(text, pattern)
+    val pairs = groupNames(pattern).flatMap(n => Seq(lit(n), g.getField(n)))
+    when(g.isNotNull, map_filter(map(pairs: _*), (_, v) => v.isNotNull))
+  }
+
+  /** spanprocessor `to_attributes` rule LIST (SURVEY.md §2.8; ref
+    * `processor/spanprocessor/span.go: processToAttributes` applying the
+    * ordered `rules:` config): each rule is a regex with named groups over
+    * a text column, evaluated in order.
+    *
+    *  - `breakAfterMatch = true` (reference default semantics for
+    *    `break_after_match`): the FIRST matching rule contributes its
+    *    groups and later rules are skipped — a single `coalesce` over the
+    *    per-rule maps, one narrow codegen'd projection.
+    *  - `breakAfterMatch = false`: every matching rule contributes; later
+    *    rules overwrite earlier ones on key collision (the reference
+    *    re-sets the attribute map entry per rule, last writer wins). The
+    *    merge is an explicit earlier-minus-later `map_filter` before
+    *    `map_concat` because Spark's default `mapKeyDedupPolicy=EXCEPTION`
+    *    makes a plain concat with duplicate keys a runtime error.
+    *
+    * Returns a map column (possibly empty; never null).
+    */
+  def toAttributes(text: Column, rules: Seq[String],
+                   breakAfterMatch: Boolean = true): Column = {
+    require(rules.nonEmpty, "to_attributes: empty rule list")
+    val maps = rules.map(grokAsMap(text, _))
+    if (breakAfterMatch) coalesce(maps :+ map(): _*)
+    else maps.map(m => coalesce(m, map())).reduce { (acc, m) =>
+      map_concat(map_filter(acc, (k, _) => !map_contains_key(m, k)), m)
+    }
+  }
+
   /** Apply an ordered action list to `col`, like the reference's
     * `actions:` config block.
     */

@@ -192,4 +192,47 @@ object ServiceConfig {
       name -> StreamingPipeline.startWithConfig(spark, inputDir,
         s"$outDir/$name", s"$checkpointRoot/$name", cfg)
     }.toMap
+
+  /** Shared-scan streaming fanout — the clone-once analog of [[runBatch]]
+    * in streaming form (§2.10 cloningfanoutconnector / §3.1 shared
+    * receiver): ONE file-source query drives ALL pipelines. Each
+    * micro-batch is persisted once; every pipeline's config-compiled
+    * transform + partitioned sink write runs against the cached batch, so
+    * the source is scanned once per trigger instead of once per pipeline
+    * (N source scans → 1 — at 10^12-turn scale the source scan dominates,
+    * so per-pipeline rescans multiply the whole job's IO by N).
+    *
+    * The trade vs [[startStreams]]: one offset log — pipelines advance and
+    * recover TOGETHER (the reference's shared-receiver topology), while
+    * startStreams gives each pipeline an independent failure domain.
+    * Output layout matches startStreams ($outDir/<name>/routed/batch_id=*),
+    * and writes stay idempotent per (pipeline, batchId) so checkpoint
+    * replay after a crash overwrites instead of duplicating.
+    */
+  def startStreamsShared(spark: SparkSession, inputDir: String,
+                         outDir: String, checkpointDir: String,
+                         svc: ServiceConfig, triggerMs: Long = 200L,
+                         maxFilesPerTrigger: Int = 8)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.streaming.Trigger
+    val stream = spark.readStream
+      .schema(Schemas.turn)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inputDir)
+      .withWatermark("ts", "10 minutes")
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val cached = batch.persist()
+        try svc.pipelines.foreach { case (name, cfg) =>
+          PipelineConfig.transform(spark, cached, cfg)
+            .sortWithinPartitions(col("conv_id"), col("turn_idx"))
+            .write.mode("overwrite")
+            .partitionBy(Route.SinkCol, "tool_invoked", "role")
+            .parquet(s"$outDir/$name/routed/batch_id=$batchId")
+        } finally { cached.unpersist(); () }
+      }
+      .start()
+  }
 }

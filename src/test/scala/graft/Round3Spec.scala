@@ -29,4 +29,151 @@ class Round3Spec extends SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS graft_corpus_loc2")
     }
   }
+
+  test("tail policies: batch decideBatch ≡ per-conversation decidePolicies") {
+    import TailSample.TailPolicy._
+    val policies = Seq(StatusCode,
+      NumericAttribute("n_turns", 5, 50),
+      StringAttribute(Set("search", "sql")),
+      Probabilistic(7.0, 22L),
+      Latency(120L * 1000000L))
+    val parsed = Parse.parseGrok(TranscriptGen.turnsDs(spark, 300).toDF())
+    val got = TailSample.decideBatch(parsed, policies)
+      .select("conv_id", "sampled").collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    // independent evaluation: rebuild each conversation's ConvState from a
+    // straight rollup and run the JVM-side policy evaluator
+    val states = parsed.groupBy(col("conv_id")).agg(
+        count(lit(1)).as("n"),
+        count_if(col("err_code").isNotNull).as("e"),
+        collect_set(when(col("tool_invoked") =!= "none",
+          col("tool_invoked"))).as("tools"),
+        min(unix_micros(col("ts"))).as("f"),
+        max(unix_micros(col("ts"))).as("l"),
+        sum(col("latency_ms")).as("lat"))
+      .collect()
+    assert(states.nonEmpty && states.length === got.size)
+    states.foreach { r =>
+      val cid = r.getString(0)
+      val st = TailSample.ConvState(r.getLong(1), r.getLong(2),
+        r.getSeq[String](3).toSet, r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(got(cid) === TailSample.decidePolicies(cid, st, policies), cid)
+    }
+    // each policy must actually fire somewhere on this corpus (otherwise
+    // the parity above proves nothing about it)
+    states.foreach { _ => () }
+    val fired = policies.map(p => states.count { r =>
+      val st = TailSample.ConvState(r.getLong(1), r.getLong(2),
+        r.getSeq[String](3).toSet, r.getLong(4), r.getLong(5), r.getLong(6))
+      TailSample.evaluate(r.getString(0), st, p)
+    })
+    assert(fired.forall(n => n > 0 && n < states.length),
+      s"degenerate policy coverage: $fired of ${states.length}")
+  }
+
+  test("rate_limiting: deterministic per-second cap, kept-first rank order") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // hand-built contested seconds: c1/c2/c5 share second 0 (sub-second
+    // offsets must collapse), c3 was never kept, c4 owns second 1
+    val dec = Seq(
+      ("c2", Timestamp.valueOf("2025-01-01 00:00:00"), true),
+      ("c1", Timestamp.valueOf("2025-01-01 00:00:00.400"), true),
+      ("c5", Timestamp.valueOf("2025-01-01 00:00:00.900"), true),
+      ("c3", Timestamp.valueOf("2025-01-01 00:00:00"), false),
+      ("c4", Timestamp.valueOf("2025-01-01 00:00:01"), true)
+    ).toDF("conv_id", "last_ts", "sampled")
+    val limited = TailSample.rateLimit(dec, maxPerSecond = 1)
+      .select("conv_id", "sampled")
+      .as[(String, Boolean)].collect().toMap
+    // smallest conv_id wins the contested second; never-kept stays false
+    assert(limited === Map("c1" -> true, "c2" -> false, "c5" -> false,
+      "c3" -> false, "c4" -> true))
+    // cap of 2 keeps the two smallest
+    val limited2 = TailSample.rateLimit(dec, maxPerSecond = 2)
+      .select("conv_id", "sampled")
+      .as[(String, Boolean)].collect().toMap
+    assert(limited2 === Map("c1" -> true, "c2" -> true, "c5" -> false,
+      "c3" -> false, "c4" -> true))
+    // corpus-scale determinism + monotonicity (only ever flips keep→drop)
+    import TailSample.TailPolicy._
+    val parsed = Parse.parseGrok(TranscriptGen.turnsDs(spark, 400).toDF())
+    val dec2 = TailSample.decideBatch(parsed,
+      Seq(StatusCode, Probabilistic(20.0, 22L)))
+    val lim = TailSample.rateLimit(dec2, maxPerSecond = 1).cache()
+    try {
+      val over = lim.where(col("sampled"))
+        .groupBy(date_trunc("second", col("last_ts")))
+        .count().where(col("count") > 1).count()
+      assert(over === 0)
+      val flippedUp = lim
+        .join(dec2.select(col("conv_id"), col("sampled").as("s0")), "conv_id")
+        .where(col("sampled") && !col("s0")).count()
+      assert(flippedUp === 0)
+      val again = TailSample.rateLimit(dec2, maxPerSecond = 1)
+      assert(lim.exceptAll(again).isEmpty && again.exceptAll(lim).isEmpty)
+    } finally { lim.unpersist(); () }
+  }
+
+  test("to_attributes rule list: first-match break and last-wins merge") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "tool=search status=E503 latency=9ms"),
+      ("b", "tool=bash status=OK latency=3ms"),
+      ("c", "no match at all")).toDF("id", "text")
+    val rules = Seq(
+      "tool=(?<tname>[A-Za-z0-9_]+) status=(?<stat>E[0-9]{3})",
+      "tool=(?<tname>[A-Za-z0-9_]+)")
+    val first = df.select(col("id"),
+        AttrActions.toAttributes(col("text"), rules).as("m"))
+      .select(col("id"), element_at(col("m"), "tname").as("t"),
+        element_at(col("m"), "stat").as("s"))
+      .as[(String, String, String)].collect().toSet
+    assert(first === Set(("a", "search", "E503"), ("b", "bash", null),
+      ("c", null, null)))
+    // merge mode: later rules overwrite earlier on collision
+    val mergeRules = Seq(
+      "tool=(?<tname>[A-Za-z0-9_]+)",
+      "status=(?<stat>[A-Z0-9]+)",
+      "tool=search(?<tname>)") // matches only 'a'; overwrites tname with ""
+    val merged = df.select(col("id"),
+        AttrActions.toAttributes(col("text"), mergeRules,
+          breakAfterMatch = false).as("m"))
+      .select(col("id"), element_at(col("m"), "tname").as("t"),
+        element_at(col("m"), "stat").as("s"))
+      .as[(String, String, String)].collect().toSet
+    assert(merged === Set(("a", "", "E503"), ("b", "bash", "OK"),
+      ("c", null, null)))
+  }
+
+  test("shared-scan streaming fanout: one query drives all pipelines ≡ batch") {
+    val dir = tmpDir("svc-shared")
+    val turns = TranscriptGen.turnsDs(spark, 120).toDF().cache()
+    turns.repartition(3).write.mode("append").parquet(s"$dir/in")
+    val svc = ServiceConfig.fromJson(
+      """{"pipelines": {
+        |  "search_only": {
+        |    "grok_pattern": "tool=(?<tool_invoked>[A-Za-z0-9_]+) status=(?<status>[A-Za-z0-9]+) latency=(?<latency_ms>[0-9]+)ms",
+        |    "sinks": [{"name": "tool_search",
+        |               "predicate": "tool_invoked IN ('search','browse','fetch')"}]},
+        |  "errors_only": {
+        |    "grok_pattern": "tool=(?<tool_invoked>[A-Za-z0-9_]+) status=(?<status>[A-Za-z0-9]+) latency=(?<latency_ms>[0-9]+)ms",
+        |    "sinks": [{"name": "errors", "predicate": "err_code RLIKE '^E'"}]}
+        |}}""".stripMargin)
+    val q = ServiceConfig.startStreamsShared(spark, s"$dir/in", s"$dir/out",
+      s"$dir/ckpt", svc)
+    q.processAllAvailable()
+    q.stop()
+    val batch = ServiceConfig.runBatch(spark, turns, s"$dir/batch", svc)
+    svc.pipelines.foreach { case (name, _) =>
+      val streamed = StreamingPipeline.readRouted(spark, s"$dir/out/$name")
+        .groupBy(col(Route.SinkCol)).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val expected = batch(name).routed
+        .groupBy(col(Route.SinkCol)).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(streamed === expected, name)
+    }
+    turns.unpersist()
+  }
 }
