@@ -99,8 +99,12 @@ object Bench {
       val (s1, n) = run
       org.apache.spark.sql.GraftBridge.waitListenerBusEmpty(spark.sparkContext)
       val bytes = (io.input.get, io.shufWrite.get, io.shufRead.get)
-      val (s2, _) = run // best-of-2: single-shot timings are steal-exposed
-      (math.min(s1, s2), n, bytes)
+      // best-of-3: single-shot timings are steal-exposed (observed 7×
+      // swings between back-to-back bench invocations on this VM), and
+      // these two rows are the headline artifact
+      val (s2, _) = run
+      val (s3, _) = run
+      (math.min(s1, math.min(s2, s3)), n, bytes)
     }
 
     // pipeline throughput at bench scale (~600k turns); warm codegen first
