@@ -76,8 +76,18 @@ object AttrActions {
 
   private def grokAsMap(text: Column, pattern: String): Column = {
     val g = graft.expr.GrokExtract.grok_extract(text, pattern)
-    val pairs = groupNames(pattern).flatMap(n => Seq(lit(n), g.getField(n)))
-    when(g.isNotNull, map_filter(map(pairs: _*), (_, v) => v.isNotNull))
+    // Null group values (optional groups that didn't capture) are dropped
+    // by concatenating conditional singleton maps rather than map_filter:
+    // map_filter is a higher-order function (CodegenFallback), and using
+    // it here would knock the whole to_attributes projection — including
+    // every grok_extract call — out of whole-stage codegen on the hot
+    // parse path. when/map/map_concat all codegen; group names are unique
+    // within a regex, so EXCEPTION dedup policy can't fire.
+    val perGroup = groupNames(pattern).map { n =>
+      val v = g.getField(n)
+      when(v.isNotNull, map(lit(n), v)).otherwise(map())
+    }
+    when(g.isNotNull, map_concat(perGroup: _*))
   }
 
   /** spanprocessor `to_attributes` rule LIST (SURVEY.md §2.8; ref
@@ -94,7 +104,10 @@ object AttrActions {
     *    re-sets the attribute map entry per rule, last writer wins). The
     *    merge is an explicit earlier-minus-later `map_filter` before
     *    `map_concat` because Spark's default `mapKeyDedupPolicy=EXCEPTION`
-    *    makes a plain concat with duplicate keys a runtime error.
+    *    makes a plain concat with duplicate keys a runtime error. (The
+    *    `map_filter` HOF is CodegenFallback, so merge mode trades codegen
+    *    for collision semantics; the default first-match mode stays fully
+    *    codegen'd — Round3Spec plan gate.)
     *
     * Returns a map column (possibly empty; never null).
     */

@@ -146,6 +146,36 @@ class Round3Spec extends SparkTestBase {
       ("c", null, null)))
   }
 
+  test("plan gates: decideBatch is one aggregate exchange; to_attributes is narrow") {
+    import TailSample.TailPolicy._
+    val parsed = Parse.parseGrok(TranscriptGen.turnsDs(spark, 100).toDF())
+    val dec = TailSample.decideBatch(parsed, Seq(StatusCode,
+      StringAttribute(Set("search")), Probabilistic(10.0, 22L)))
+    dec.count()
+    val decPlan = dec.queryExecution.executedPlan.toString
+    // conv_id hash-agg (1 exchange) + the count_distinct rewrite's
+    // (conv_id, tool) pre-aggregate (1 more) — policy columns are narrow
+    // on top and must add NO further exchange; and no ObjectHashAggregate
+    // (collect_set avoided: its per-group java sets collapse under spill)
+    assert("Exchange".r.findAllIn(decPlan).size <= 2, decPlan.take(3000))
+    assert(!decPlan.contains("ObjectHashAggregate"), decPlan.take(3000))
+    val m = AttrActions.toAttributes(col("text"), Seq(
+      "tool=(?<tname>[A-Za-z0-9_]+) status=(?<stat>E[0-9]{3})",
+      "tool=(?<tname>[A-Za-z0-9_]+)"))
+    val attrs = TranscriptGen.turnsDs(spark, 100).toDF()
+      .select(col("conv_id"), m.as("m"))
+    attrs.count()
+    val attrsPlan = attrs.queryExecution.executedPlan.toString
+    assert(!attrsPlan.contains("Exchange"), attrsPlan.take(3000))
+    // the to_attributes projection itself must be INSIDE whole-stage
+    // codegen (toString renders WSCG membership as a "*(n)" prefix; a
+    // bare "Project [" line would mean the grok parse fell out to the
+    // interpreted path — e.g. if a HOF like map_filter sneaks back in)
+    assert(attrsPlan.trim.startsWith("*("), attrsPlan.take(3000))
+    assert(!attrsPlan.linesIterator.exists(_.matches("""\s*(\+-\s*)?Project \[.*""")),
+      attrsPlan.take(3000))
+  }
+
   test("shared-scan streaming fanout: one query drives all pipelines ≡ batch") {
     val dir = tmpDir("svc-shared")
     val turns = TranscriptGen.turnsDs(spark, 120).toDF().cache()
