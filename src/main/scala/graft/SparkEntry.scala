@@ -413,6 +413,44 @@ object SparkEntry {
       graft.ops.TextAnalysis.profile(t(s, d, "documents"), "text")
         .select(col("doc_id"), col("quality"), col("fingerprint"))),
 
+    // ---------------- corpus curation ops (training-data; Curation.scala)
+    // Decontamination: eval set = every 7th document; n_hits = distinct
+    // shared 13-grams. hashed=true exercises the scale path (xxhash64 join
+    // keys); the oracle counts the same distinct n-grams as strings —
+    // identical counts (CurationSpec proves hashed ≡ unhashed).
+    "q_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.ops.Curation.decontaminate(docs, "doc_id", "text",
+        docs.where(col("doc_id") % 7 === 0), "text")
+    }),
+
+    "q_repetition" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        round(graft.ops.Curation.dupWordRatio(col("text")), 4)
+          .as("dup_word_ratio"),
+        round(graft.ops.Curation.dupNgramRatio(col("text"), 2), 4)
+          .as("dup_2gram_ratio"))),
+
+    // PII scrub over deterministically planted PII (the corpus text is
+    // clean word salad, so the query plants one email / IPv4 / long digit
+    // run per doc; the oracle plants the identical ones)
+    "q_pii_redact" -> ((s, d) => {
+      val withPii = t(s, d, "documents").withColumn("t",
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com at 10.0."), col("doc_id") % 256,
+          lit(".7 ref "), lit(1000000L) + col("doc_id") * 13))
+      val c = graft.ops.Curation.piiCounts(col("t"))
+      withPii.select(col("doc_id"),
+        graft.ops.Curation.redactPii(col("t")).as("redacted"),
+        c.getField("n_emails").cast("long").as("n_emails"),
+        c.getField("n_ips").cast("long").as("n_ips"),
+        c.getField("n_nums").cast("long").as("n_nums"))
+    }),
+
+    "q_quota_sample" -> ((s, d) =>
+      graft.ops.Curation.quotaSample(t(s, d, "documents"),
+        Seq("lang"), "doc_id", k = 20)),
+
     // ---------------- multimodal plumbing (stubbed codec; rows-only)
     "q_media_decode" -> ((s, _) => {
       val media = graft.ops.Multimodal.syntheticMedia(s, 300)
@@ -677,6 +715,87 @@ object SparkEntry {
     // union of the 4 language lists inlined); CTE shared with
     // q_quality_fingerprint
     "q_quality_score" -> SparkEntry.qualityScoreOracle,
+
+    // Curation oracles: same normalization (lowercase, punct → space,
+    // drop empties) and the same 13-gram window as Curation.ngrams; the
+    // engine joins on xxhash64(ngram), the oracle on the string — distinct
+    // counts agree because the hash is injective on this dictionary
+    // (CurationSpec hashed ≡ unhashed).
+    "q_decontaminate" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(
+        |    regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '),
+        |    x -> x <> '') AS words
+        |  FROM documents
+        |), cng AS (
+        |  SELECT doc_id, array_to_string(words[i:i+12], ' ') AS ngram
+        |  FROM w, LATERAL (SELECT unnest(range(1, len(words) - 11)) AS i) t
+        |  WHERE len(words) >= 13
+        |), eng AS (
+        |  SELECT DISTINCT ngram FROM cng WHERE doc_id % 7 = 0
+        |)
+        |SELECT c.doc_id, CAST(COUNT(DISTINCT c.ngram) AS BIGINT) AS n_hits
+        |FROM cng c JOIN eng e USING (ngram)
+        |GROUP BY 1""".stripMargin,
+
+    "q_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(
+        |    regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '),
+        |    x -> x <> '') AS words
+        |  FROM documents
+        |), base AS (
+        |  SELECT doc_id, CASE WHEN len(words) = 0 THEN 0.0
+        |    ELSE 1.0 - CAST(len(list_distinct(words)) AS DOUBLE) / len(words)
+        |    END AS dwr
+        |  FROM w
+        |), ng AS (
+        |  SELECT doc_id, array_to_string(words[i:i+1], ' ') AS g
+        |  FROM w, LATERAL (SELECT unnest(range(1, len(words))) AS i) t
+        |  WHERE len(words) >= 2
+        |), ngr AS (
+        |  SELECT doc_id,
+        |    1.0 - CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*) AS d2r
+        |  FROM ng GROUP BY 1
+        |)
+        |SELECT b.doc_id, ROUND(b.dwr, 4) AS dup_word_ratio,
+        |  ROUND(COALESCE(ngr.d2r, 0.0), 4) AS dup_2gram_ratio
+        |FROM base b LEFT JOIN ngr USING (doc_id)""".stripMargin,
+
+    "q_pii_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |    || '@example.com at 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+        |    || '.7 ref ' || CAST(1000000 + doc_id * 13 AS VARCHAR) AS t
+        |  FROM documents
+        |), r1 AS (
+        |  SELECT doc_id, t, regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS te
+        |  FROM p
+        |), r2 AS (
+        |  SELECT doc_id, t, te, regexp_replace(te,
+        |    '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b', '<IP>', 'g') AS ti
+        |  FROM r1
+        |)
+        |SELECT doc_id,
+        |  regexp_replace(ti, '\b[0-9]{7,}\b', '<NUM>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(te,
+        |    '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(ti, '\b[0-9]{7,}\b')) AS BIGINT) AS n_nums
+        |FROM r2""".stripMargin,
+
+    // quotaSample's multiplicative-hash rank is plain BIGINT arithmetic,
+    // so the deterministic sample replays as a window rank
+    "q_quota_sample" ->
+      """WITH r AS (
+        |  SELECT lang, doc_id, ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY (doc_id * 2654435761) % 4294967296) AS rk
+        |  FROM documents
+        |)
+        |SELECT lang, CAST(doc_id AS BIGINT) AS doc_id FROM r
+        |WHERE rk <= 20""".stripMargin,
 
     // downstream media stages verified from the dumped decode output
     // (the codec itself is the documented sandbox stub)

@@ -1,0 +1,154 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline needs
+  * beyond dedup/similarity: benchmark decontamination (n-gram overlap with
+  * an eval set), Gopher-style repetition signals, PII redaction, and
+  * deterministic per-group quota sampling.
+  *
+  * Scale shapes (100 TB corpus):
+  *  - decontamination: the corpus side is a narrow explode feeding a
+  *    broadcast join — the only rows that ever shuffle are the (doc_id,
+  *    matched-ngram) hits, which are rare by construction. The eval-set
+  *    n-gram dictionary is the broadcast side (a few MB hashed even for
+  *    ~100k eval items).
+  *  - repetition / PII: pure per-row codegen'd Column math, embarrassingly
+  *    parallel.
+  *  - quota sampling: bounded [[graft.expr.TopKByScore]] partial buffers —
+  *    map-side k-entry combine per group, so a group with 10^9 rows costs
+  *    O(tasks × k) shuffled entries, never a per-group sort.
+  */
+object Curation {
+
+  /** Normalized word sequence: lowercase, punctuation → space, empty
+    * tokens dropped. Shared by decontamination and repetition stats so
+    * both agree on what a "word" is.
+    */
+  def normWords(text: Column): Column =
+    filter(split(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " "),
+      w => w =!= "")
+
+  /** All word n-grams of the normalized text as space-joined strings;
+    * empty array when the document has fewer than n words.
+    */
+  def ngrams(text: Column, n: Int): Column = {
+    val words = normWords(text)
+    when(size(words) >= n,
+      transform(sequence(lit(1), size(words) - (n - 1)),
+        i => array_join(slice(words, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Benchmark decontamination: flag every corpus document sharing at
+    * least one word n-gram (default 13, the usual eval-contamination
+    * window) with any document of the eval set. Returns (doc_id, n_hits)
+    * where n_hits = number of DISTINCT eval n-grams the document contains;
+    * clean documents are absent.
+    *
+    * `hashed=true` (the scale path) joins on xxhash64 of the n-gram
+    * instead of the string — 8 bytes against ~100-byte strings through
+    * the broadcast and the hit shuffle. n_hits is identical as long as
+    * xxhash64 is injective on the eval dictionary (CurationSpec proves
+    * hashed ≡ unhashed on the test corpus).
+    */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+                    evalSet: DataFrame, evalTextCol: String,
+                    n: Int = 13, hashed: Boolean = true): DataFrame = {
+    def key(c: Column): Column = if (hashed) xxhash64(c) else c
+    val evalNg = evalSet
+      .select(explode(ngrams(col(evalTextCol), n)).as("ngram"))
+      .select(key(col("ngram")).as("ng"))
+      .distinct()
+    corpus
+      .select(col(idCol).as("doc_id"),
+        explode(ngrams(col(textCol), n)).as("ngram"))
+      .select(col("doc_id"), key(col("ngram")).as("ng"))
+      .join(broadcast(evalNg), Seq("ng"))
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("ng")).as("n_hits"))
+  }
+
+  /** Gopher-style repetition signal: fraction of word occurrences that
+    * are repeats of an earlier word (0 = all distinct, →1 = one word
+    * repeated). 0.0 for empty documents.
+    */
+  def dupWordRatio(text: Column): Column = {
+    val words = normWords(text)
+    when(size(words) === 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(words)).cast("double") /
+        size(words).cast("double"))
+  }
+
+  /** Same repetition signal over word 2-grams — catches phrase loops that
+    * distinct single words miss. 0.0 when fewer than 2 words.
+    */
+  def dupNgramRatio(text: Column, n: Int = 2): Column = {
+    val ng = ngrams(text, n)
+    when(size(ng) === 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(ng)).cast("double") /
+        size(ng).cast("double"))
+  }
+
+  // PII patterns (RE2-compatible so the DuckDB oracle replays them
+  // verbatim): emails, IPv4 addresses, and 7+-digit runs (phone-ish).
+  // Scrub order matters: digit runs LAST, so digits inside an email local
+  // part or an IPv4 octet are consumed by the structured pattern instead
+  // of being half-redacted as bare numbers.
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b"
+  val longDigitsRe = "\\b[0-9]{7,}\\b"
+
+  /** Scrub emails / IPv4s / long digit runs to typed placeholder tokens.
+    * Pure regexp_replace chain — codegen'd, narrow.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        ipv4Re, "<IP>"),
+      longDigitsRe, "<NUM>")
+
+  /** Per-category PII match counts as a struct(n_emails, n_ips, n_nums) —
+    * counted on the progressively-redacted text exactly like [[redactPii]]
+    * so the two never disagree on overlapping matches.
+    */
+  def piiCounts(text: Column): Column = {
+    val afterEmail = regexp_replace(text, emailRe, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, ipv4Re, "<IP>")
+    struct(
+      size(regexp_extract_all(text, lit(emailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(afterEmail, lit(ipv4Re), lit(0))).as("n_ips"),
+      size(regexp_extract_all(afterIp, lit(longDigitsRe), lit(0))).as("n_nums"))
+  }
+
+  /** Deterministic pseudo-random rank for quota sampling: a multiplicative
+    * hash of the id, bijective on [0, 2^32) (odd multiplier mod 2^32), so
+    * distinct ids never tie and the sample is stable across partitionings,
+    * retries, and engines — the same arithmetic is plain SQL in DuckDB.
+    * Requires id ≥ 0 and id < 2^32 to avoid Long overflow; `require`d at
+    * plan time via a documented caller contract (ids at corpus scale
+    * should pre-hash into this range or extend to 128-bit arithmetic).
+    */
+  def sampleRank(id: Column): Column =
+    pmod(id.cast("long") * lit(2654435761L), lit(4294967296L))
+
+  /** Per-group quota sample: the k rows of each group with the smallest
+    * [[sampleRank]] — a deterministic uniform sample per (e.g.) language
+    * or source quota. Implemented as bounded TopKByScore partial buffers
+    * (score = -rank so "largest score" = smallest rank): map-side combine
+    * keeps at most k entries per group per task, so hot groups never
+    * funnel through a single sort — the round-2 ANN top-k lesson applied
+    * to sampling.
+    */
+  def quotaSample(df: DataFrame, keyCols: Seq[String], idCol: String,
+                  k: Int): DataFrame = {
+    val topk = graft.expr.TopKByScore.topk_by_score(
+      -sampleRank(col(idCol)).cast("double"), col(idCol).cast("long"), k)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(topk.as("picks"))
+      .select(keyCols.map(col) :+
+        explode(col("picks").getField("id")).as(idCol): _*)
+  }
+}

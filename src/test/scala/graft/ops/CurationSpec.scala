@@ -1,0 +1,127 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 15 distinct words → 3 distinct 13-grams
+  private val evalText =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron"
+  private val evalWords = evalText.split(" ")
+
+  test("ngrams: count, window content, short-doc empty") {
+    val df = Seq(evalText, "too short").toDF("text")
+      .select(Curation.ngrams($"text", 13).as("ng"))
+    val rows = df.collect()
+    val ng = rows(0).getSeq[String](0)
+    assert(ng.length === 3)
+    assert(ng.head === evalWords.take(13).mkString(" "))
+    assert(ng.last === evalWords.drop(2).mkString(" "))
+    assert(rows(1).getSeq[String](0).isEmpty)
+  }
+
+  test("ngrams normalize like the dedup path: case/punct-insensitive") {
+    val a = Seq("Alpha, beta; GAMMA!").toDF("text")
+      .select(Curation.ngrams($"text", 3).as("ng")).head().getSeq[String](0)
+    assert(a === Seq("alpha beta gamma"))
+  }
+
+  test("decontaminate flags overlapping docs with distinct-hit counts") {
+    val corpus = Seq(
+      (0L, evalWords.take(13).mkString(" ")),         // 1 shared 13-gram
+      (1L, "one two three four five six seven eight nine ten eleven twelve thirteen fourteen"), // clean
+      (2L, evalWords.take(14).mkString(" ")),         // 2 shared 13-grams
+      (3L, "short doc")                               // < 13 words
+    ).toDF("doc_id", "text")
+    val eval = Seq(evalText).toDF("text")
+    val hits = Curation.decontaminate(corpus, "doc_id", "text", eval, "text")
+      .as[(Long, Long)].collect().toMap
+    assert(hits === Map(0L -> 1L, 2L -> 2L))
+  }
+
+  test("decontaminate: hashed join keys ≡ string join keys") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val eval = docs.where($"doc_id" % 7 === 0)
+    val h = Curation.decontaminate(docs, "doc_id", "text", eval, "text",
+      hashed = true).as[(Long, Long)].collect().toMap
+    val s = Curation.decontaminate(docs, "doc_id", "text", eval, "text",
+      hashed = false).as[(Long, Long)].collect().toMap
+    assert(h === s)
+    assert(h.nonEmpty)
+  }
+
+  test("decontaminate plan: corpus side broadcast-joined, no sort-merge") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dec = Curation.decontaminate(docs, "doc_id", "text",
+      docs.where($"doc_id" % 7 === 0), "text")
+    dec.count()
+    val plan = dec.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
+  test("repetition ratios") {
+    val r = Seq(
+      ("spam spam spam spam", 0),        // 1 distinct of 4; 1 distinct 2-gram of 3
+      ("all words here differ", 1),
+      ("", 2),
+      ("solo", 3)
+    ).toDF("text", "i")
+      .select($"i", Curation.dupWordRatio($"text").as("w"),
+        Curation.dupNgramRatio($"text", 2).as("g"))
+      .as[(Int, Double, Double)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(r(0)._1 === 0.75 && r(0)._2 === 1.0 - 1.0 / 3.0)
+    assert(r(1) === ((0.0, 0.0)))
+    assert(r(2) === ((0.0, 0.0)))  // empty doc: no words, no 2-grams
+    assert(r(3) === ((0.0, 0.0)))  // single word: ratio 0, no 2-grams
+  }
+
+  test("PII redaction and counts") {
+    val rows = Seq(
+      "reach bob@x.io or 10.1.2.3 ref 12345678",
+      "clean text with no identifiers at all",
+      "a1234567@b.com mail",  // digit run inside email: consumed by <EMAIL>
+      "call 5551234567 now",
+      "peer user@10.0.0.1 up" // no alpha TLD → not an email; IP redacted
+    ).toDF("text")
+      .select(Curation.redactPii($"text").as("red"),
+        Curation.piiCounts($"text").as("c"))
+      .select($"red", $"c.n_emails", $"c.n_ips", $"c.n_nums")
+      .as[(String, Int, Int, Int)].collect()
+    assert(rows(0) === (("reach <EMAIL> or <IP> ref <NUM>", 1, 1, 1)))
+    assert(rows(1) === (("clean text with no identifiers at all", 0, 0, 0)))
+    assert(rows(2) === (("<EMAIL> mail", 1, 0, 0)))
+    assert(rows(3) === (("call <NUM> now", 0, 0, 1)))
+    assert(rows(4) === (("peer user@<IP> up", 0, 1, 0)))
+  }
+
+  test("quotaSample: k per group, deterministic, ≡ window-rank baseline") {
+    val docs = (0L until 100L).map(i => (i, s"lang${i % 3}")).toDF("doc_id", "lang")
+    val sampled = Curation.quotaSample(docs, Seq("lang"), "doc_id", k = 5)
+      .as[(String, Long)].collect().toSet
+    assert(sampled.groupBy(_._1).forall(_._2.size == 5))
+    // stable under a different physical partitioning
+    val sampled2 = Curation.quotaSample(docs.repartition(7, $"doc_id"),
+      Seq("lang"), "doc_id", k = 5).as[(String, Long)].collect().toSet
+    assert(sampled === sampled2)
+    // ≡ the window-rank definition of the same sample
+    val w = Window.partitionBy($"lang")
+      .orderBy(Curation.sampleRank($"doc_id"))
+    val baseline = docs.withColumn("rk", row_number().over(w))
+      .where($"rk" <= 5).select($"lang", $"doc_id")
+      .as[(String, Long)].collect().toSet
+    assert(sampled === baseline)
+  }
+
+  test("quotaSample plan: bounded partial aggregate, no window sort funnel") {
+    val docs = (0L until 100L).map(i => (i, s"lang${i % 3}")).toDF("doc_id", "lang")
+    val q = Curation.quotaSample(docs, Seq("lang"), "doc_id", k = 5)
+    q.count()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(2000))
+    assert(!plan.contains("SinglePartition"), plan.take(2000))
+  }
+}
