@@ -425,11 +425,13 @@ object SparkEntry {
     }),
 
     "q_repetition" -> ((s, d) =>
-      t(s, d, "documents").select(col("doc_id"),
-        round(graft.ops.Curation.dupWordRatio(col("text")), 4)
-          .as("dup_word_ratio"),
-        round(graft.ops.Curation.dupNgramRatio(col("text"), 2), 4)
-          .as("dup_2gram_ratio"))),
+      t(s, d, "documents")
+        .select(col("doc_id"), graft.ops.Curation.normWords(col("text")).as("_w"))
+        .select(col("doc_id"),
+          round(graft.ops.Curation.dupWordRatioFromWords(col("_w")), 4)
+            .as("dup_word_ratio"),
+          round(graft.ops.Curation.dupNgramRatioFromWords(col("_w"), 2), 4)
+            .as("dup_2gram_ratio"))),
 
     // PII scrub over deterministically planted PII (the corpus text is
     // clean word salad, so the query plants one email / IPv4 / long digit

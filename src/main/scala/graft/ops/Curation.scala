@@ -30,16 +30,29 @@ object Curation {
     filter(split(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " "),
       w => w =!= "")
 
-  /** All word n-grams of the normalized text as space-joined strings;
-    * empty array when the document has fewer than n words.
+  /** All n-grams of a MATERIALIZED word-array column (an attribute
+    * reference, not the normWords expression tree). The distinction is
+    * the whole perf story: `transform`'s lambda body re-evaluates its
+    * captured subtree once per element in the interpreted HOF path, so
+    * capturing `normWords(text)` re-runs the regex/split/filter chain
+    * per n-gram (~40× per doc — measured 10.7 s for 5k docs at bench
+    * scale), while capturing a column reference just re-reads the row's
+    * array (1.17 s for the same input). Callers project
+    * `normWords(text).as("w")` first and pass `col("w")`.
     */
-  def ngrams(text: Column, n: Int): Column = {
-    val words = normWords(text)
+  def ngramsFromWords(words: Column, n: Int): Column =
     when(size(words) >= n,
       transform(sequence(lit(1), size(words) - (n - 1)),
         i => array_join(slice(words, i, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** All word n-grams of the normalized text as space-joined strings;
+    * empty array when the document has fewer than n words. Convenience
+    * form for tests/small frames — hot paths should materialize the word
+    * array and use [[ngramsFromWords]] (see its scaladoc).
+    */
+  def ngrams(text: Column, n: Int): Column =
+    ngramsFromWords(normWords(text), n)
 
   /** Benchmark decontamination: flag every corpus document sharing at
     * least one word n-gram (default 13, the usual eval-contamination
@@ -57,39 +70,59 @@ object Curation {
                     evalSet: DataFrame, evalTextCol: String,
                     n: Int = 13, hashed: Boolean = true): DataFrame = {
     def key(c: Column): Column = if (hashed) xxhash64(c) else c
-    val evalNg = evalSet
-      .select(explode(ngrams(col(evalTextCol), n)).as("ngram"))
-      .select(key(col("ngram")).as("ng"))
+    // n-gram generation without any higher-order function: explode the
+    // start-position sequence, then slice+join the materialized word
+    // array per output row — every expression here codegens, vs the
+    // transform-lambda form whose interpreted path dominated the runtime
+    // (measured 1.17 s → 0.79 s at bench scale for 190k n-grams; 10.7 s
+    // for the original form that captured the normWords subtree).
+    def ngRows(df: DataFrame, ids: Seq[String], textCol: String): DataFrame = {
+      val idc = ids.map(col)
+      df.select(idc :+ normWords(col(textCol)).as("_w"): _*)
+        .select(idc :+ col("_w") :+
+          explode(when(size(col("_w")) >= n,
+            sequence(lit(1), size(col("_w")) - (n - 1)))
+            .otherwise(array().cast("array<int>"))).as("_i"): _*)
+        .select(idc :+
+          key(array_join(slice(col("_w"), col("_i"), lit(n)), " ")).as("ng"): _*)
+    }
+    val evalNg = ngRows(evalSet.select(col(evalTextCol)), Nil, evalTextCol)
       .distinct()
-    corpus
-      .select(col(idCol).as("doc_id"),
-        explode(ngrams(col(textCol), n)).as("ngram"))
-      .select(col("doc_id"), key(col("ngram")).as("ng"))
+    ngRows(corpus.select(col(idCol).as("doc_id"), col(textCol)),
+        Seq("doc_id"), textCol)
       .join(broadcast(evalNg), Seq("ng"))
       .groupBy(col("doc_id"))
       .agg(count_distinct(col("ng")).as("n_hits"))
   }
 
-  /** Gopher-style repetition signal: fraction of word occurrences that
-    * are repeats of an earlier word (0 = all distinct, →1 = one word
-    * repeated). 0.0 for empty documents.
+  /** Gopher-style repetition signal over a materialized word array:
+    * fraction of word occurrences that are repeats of an earlier word
+    * (0 = all distinct, →1 = one word repeated). 0.0 for empty documents.
     */
-  def dupWordRatio(text: Column): Column = {
-    val words = normWords(text)
+  def dupWordRatioFromWords(words: Column): Column =
     when(size(words) === 0, lit(0.0)).otherwise(
       lit(1.0) - size(array_distinct(words)).cast("double") /
         size(words).cast("double"))
-  }
 
-  /** Same repetition signal over word 2-grams — catches phrase loops that
-    * distinct single words miss. 0.0 when fewer than 2 words.
+  /** Convenience form over raw text. */
+  def dupWordRatio(text: Column): Column =
+    dupWordRatioFromWords(normWords(text))
+
+  /** Same repetition signal over word n-grams (default 2) — catches
+    * phrase loops that distinct single words miss. 0.0 when fewer than n
+    * words. `words` must be a materialized column on hot paths (see
+    * [[ngramsFromWords]]).
     */
-  def dupNgramRatio(text: Column, n: Int = 2): Column = {
-    val ng = ngrams(text, n)
+  def dupNgramRatioFromWords(words: Column, n: Int = 2): Column = {
+    val ng = ngramsFromWords(words, n)
     when(size(ng) === 0, lit(0.0)).otherwise(
       lit(1.0) - size(array_distinct(ng)).cast("double") /
         size(ng).cast("double"))
   }
+
+  /** Convenience form over raw text. */
+  def dupNgramRatio(text: Column, n: Int = 2): Column =
+    dupNgramRatioFromWords(normWords(text), n)
 
   // PII patterns (RE2-compatible so the DuckDB oracle replays them
   // verbatim): emails, IPv4 addresses, and 7+-digit runs (phone-ish).
