@@ -72,9 +72,17 @@ object BucketedCorpus {
       val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $table")
         .where(col("col_name") === "Location")
         .collect().headOption.map(_.getString(1)).getOrElse("")
-      val want = "file:" + java.nio.file.Paths.get(path).toAbsolutePath.normalize
-      require(loc.stripSuffix("/") == want.toString.stripSuffix("/"),
-        s"table $table is already registered at '$loc', not '$want' — " +
+      // compare LOCATIONS as filesystem-qualified Hadoop paths, not raw
+      // strings: the registered location comes back scheme-qualified and
+      // URI-escaped ("file:/x", "hdfs://nn/x", "%20"), while `path` is
+      // whatever the caller wrote — string equality would spuriously
+      // reject valid same-path reopens on any non-local scheme
+      def qualified(p: String): org.apache.hadoop.fs.Path = {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(spark.sessionState.newHadoopConf()).makeQualified(hp)
+      }
+      require(loc.isEmpty || qualified(loc) == qualified(path),
+        s"table $table is already registered at '$loc', not '$path' — " +
           "refusing to silently read a different corpus; drop the table " +
           "or use a distinct name")
     }

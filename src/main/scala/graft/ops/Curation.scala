@@ -157,15 +157,25 @@ object Curation {
   }
 
   /** Deterministic pseudo-random rank for quota sampling: a multiplicative
-    * hash of the id, bijective on [0, 2^32) (odd multiplier mod 2^32), so
-    * distinct ids never tie and the sample is stable across partitionings,
-    * retries, and engines — the same arithmetic is plain SQL in DuckDB.
-    * Requires id ≥ 0 and id < 2^32 to avoid Long overflow; `require`d at
-    * plan time via a documented caller contract (ids at corpus scale
-    * should pre-hash into this range or extend to 128-bit arithmetic).
+    * hash of the id (odd multiplier mod 2^32 is a bijection of Z_2^32),
+    * so distinct in-range ids never tie and the sample is stable across
+    * partitionings, retries, and engines — the same arithmetic is plain
+    * BIGINT SQL in DuckDB.
+    *
+    * Domain: id ∈ [0, 2^31). The bound keeps id × 2654435761 under
+    * Long.MaxValue in BOTH engines (Spark silently wraps mod 2^64 above
+    * it; DuckDB raises a BIGINT overflow — they would diverge, and the
+    * sample would stop being provably tie-free). Enforced per row with
+    * `raise_error` rather than a silent wrap; corpora with wider ids
+    * should pre-map them into the domain (e.g. dense ranks).
     */
-  def sampleRank(id: Column): Column =
-    pmod(id.cast("long") * lit(2654435761L), lit(4294967296L))
+  def sampleRank(id: Column): Column = {
+    val idL = id.cast("long")
+    val ranked = pmod(idL * lit(2654435761L), lit(4294967296L))
+    when(idL.between(0L, (1L << 31) - 1), ranked)
+      .otherwise(raise_error(concat(
+        lit("sampleRank id out of [0, 2^31): "), idL.cast("string"))))
+  }
 
   /** Per-group quota sample: the k rows of each group with the smallest
     * [[sampleRank]] — a deterministic uniform sample per (e.g.) language

@@ -342,8 +342,17 @@ object Dedup {
     // joined back onto the (tiny) candidate pair set afterwards, exactly
     // as the batch path does; exploding them would replicate every
     // shingle array ×bands through the cap-window shuffle and band join.
+    // A re-submitted id (re-crawl of a doc already in the index) must not
+    // appear on both union sides: a duplicated id band-joins every one of
+    // its candidate pairs twice (with conflicting sigs/shingles if the
+    // text changed), duplicating output rows. The NEW batch is
+    // authoritative — anti-join the index against the (small, broadcast)
+    // new-id set so each id contributes exactly one sig and one shingle
+    // array.
+    val indexFresh = index
+      .join(broadcast(newSigs.select(col("id"))), Seq("id"), "left_anti")
     val a = capBuckets(
-        bandExplode(index.select(col("id"), col("sig"))
+        bandExplode(indexFresh.select(col("id"), col("sig"))
             .unionByName(newSigs.select(col("id"), col("sig"))),
           numHashes, bands),
         "id", bucketCap, obsTag)
@@ -366,7 +375,7 @@ object Dedup {
           (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v).cast("double") / numHashes).as("jaccard_est"))
       .distinct()
-    val allSh = index.select(col("id"), col("sh"))
+    val allSh = indexFresh.select(col("id"), col("sh"))
       .unionByName(newSigs.select(col("id"), col("sh")))
     cands
       .join(allSh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")

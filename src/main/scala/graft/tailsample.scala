@@ -55,7 +55,21 @@ object TailSample {
 
   val DefaultPct = 10.0
 
-  private def tsUs(t: Timestamp): Long = t.getTime * 1000L
+  /** True microseconds since epoch — ms from getTime PLUS the sub-ms
+    * nanos field, exactly `unix_micros`. The earlier `getTime * 1000`
+    * truncated to ms, so a sub-ms timestamp made the streaming span
+    * diverge from [[decideBatch]]'s `unix_micros` span at the Latency
+    * policy boundary.
+    */
+  private[graft] def tsUs(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  /** Fields `numeric_attribute` may target — the match arms in
+    * [[evaluate]] and the rollup columns in [[decideBatch]], kept in sync
+    * so the two paths accept exactly the same policy configs.
+    */
+  private[graft] val NumericFields: Set[String] =
+    Set("n_turns", "n_errors", "n_tools_distinct", "sum_latency_ms")
 
   /** The reference's tail-sampling policy set as data (ref fork-era
     * `tail_sampling_processor.go` policy evaluators: `status_code`,
@@ -150,6 +164,10 @@ object TailSample {
       case (TailPolicy.Probabilistic(pct, seed), _) =>
         Sampler.keepPredicate(col("conv_id"), pct, seed)
       case (TailPolicy.NumericAttribute(f, min, max), _) =>
+        // same whitelist as evaluate(): without it the batch twin would
+        // accept field names the streaming evaluator rejects (or resolve
+        // an unintended non-numeric rollup column)
+        require(NumericFields(f), s"numeric_attribute: unknown field '$f'")
         col(f) >= min && col(f) <= max
       case (TailPolicy.StringAttribute(_), i) => col(s"_p$i")
     }.reduceOption(_ || _).getOrElse(lit(false))

@@ -61,7 +61,6 @@ class Round3Spec extends SparkTestBase {
     }
     // each policy must actually fire somewhere on this corpus (otherwise
     // the parity above proves nothing about it)
-    states.foreach { _ => () }
     val fired = policies.map(p => states.count { r =>
       val st = TailSample.ConvState(r.getLong(1), r.getLong(2),
         r.getSeq[String](3).toSet, r.getLong(4), r.getLong(5), r.getLong(6))
@@ -144,6 +143,31 @@ class Round3Spec extends SparkTestBase {
       .as[(String, String, String)].collect().toSet
     assert(merged === Set(("a", "", "E503"), ("b", "bash", "OK"),
       ("c", null, null)))
+  }
+
+  test("streaming tsUs carries sub-ms precision ≡ unix_micros (Latency parity)") {
+    import spark.implicits._
+    // 00:00:00.000400 → span vs 00:00:02.000900 is 2_000_500 µs; the old
+    // getTime*1000 truncation made the streaming span 2_000_000 and
+    // flipped a Latency(2_000_400) decision against decideBatch
+    val t0 = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+    t0.setNanos(400000)
+    val t1 = java.sql.Timestamp.valueOf("2025-01-01 00:00:02")
+    t1.setNanos(900000)
+    val us = Seq(t0, t1).toDF("ts")
+      .select(unix_micros(col("ts"))).as[Long].collect()
+    assert(TailSample.tsUs(t0) === us(0))
+    assert(TailSample.tsUs(t1) === us(1))
+    assert(TailSample.tsUs(t1) - TailSample.tsUs(t0) === 2000500L)
+  }
+
+  test("decideBatch rejects unknown numeric_attribute fields like evaluate") {
+    val parsed = Parse.parseGrok(TranscriptGen.turnsDs(spark, 10).toDF())
+    val ex = intercept[IllegalArgumentException] {
+      TailSample.decideBatch(parsed,
+        Seq(TailSample.TailPolicy.NumericAttribute("first_ts", 0, 100)))
+    }
+    assert(ex.getMessage.contains("unknown field"))
   }
 
   test("plan gates: decideBatch is one aggregate exchange; to_attributes is narrow") {

@@ -97,6 +97,28 @@ class ClusterSpec extends SparkTestBase {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L }, s"$pairs")
   }
 
+  test("incremental dedup: re-submitted id yields no duplicate pairs; new text wins") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (3L, "completely different content about spark query engines and shuffles")
+    ).toDF("doc_id", "text")
+    val index = Dedup.minhashIndex(corpus, "doc_id", "text")
+    val fresh = Seq(
+      // id 0 re-crawled with CHANGED text (now matches nothing)
+      (0L, "entirely rewritten page with none of the original fox wording left"),
+      // near-dup of the ORIGINAL indexed doc-0 text
+      (7L, "the quick brown fox jumps over the lazy dog near the river shore")
+    ).toDF("doc_id", "text")
+    val rows = Dedup.minhashNearDupsAgainst(index, fresh, "doc_id", "text",
+      threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    // each surviving pair appears exactly once (the pre-fix union carried
+    // id 0 twice and duplicated every pair touching it)
+    assert(rows.size === rows.toSet.size, s"duplicate pairs: $rows")
+    // the NEW doc-0 text is authoritative: it no longer matches doc 7
+    assert(!rows.contains((0L, 7L)), s"stale index text resurfaced: $rows")
+  }
+
   test("hot-bucket cap overflow surfaces in the obs dropped counter") {
     val metrics = new graft.ObsMetrics(spark)
     val listener = new graft.ObsQueryListener(metrics)

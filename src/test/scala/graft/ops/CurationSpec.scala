@@ -116,6 +116,17 @@ class CurationSpec extends SparkTestBase {
     assert(sampled === baseline)
   }
 
+  test("sampleRank: raises on ids outside [0, 2^31) instead of wrapping") {
+    val ok = Seq(0L, 1L, (1L << 31) - 1).toDF("id")
+      .select(Curation.sampleRank($"id")).as[Long].collect()
+    assert(ok.distinct.length === 3)
+    val ex = intercept[Exception] {
+      Seq(1L << 31).toDF("id")
+        .select(Curation.sampleRank($"id")).collect()
+    }
+    assert(ex.getMessage.contains("sampleRank id out of"))
+  }
+
   test("quotaSample plan: bounded partial aggregate, no window sort funnel") {
     val docs = (0L until 100L).map(i => (i, s"lang${i % 3}")).toDF("doc_id", "lang")
     val q = Curation.quotaSample(docs, Seq("lang"), "doc_id", k = 5)
