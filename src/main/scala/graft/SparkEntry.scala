@@ -453,6 +453,14 @@ object SparkEntry {
       graft.ops.Curation.quotaSample(t(s, d, "documents"),
         Seq("lang"), "doc_id", k = 20)),
 
+    // deterministic training-shard + train/val/test assignment — pure
+    // per-row arithmetic on doc_id, replayed verbatim by the oracle
+    "q_corpus_shards" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        graft.ops.Curation.shardAssign(col("doc_id"), 8).as("shard"),
+        graft.ops.Curation.splitAssign(col("doc_id"),
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)).as("split"))),
+
     // ---------------- multimodal plumbing (stubbed codec; rows-only)
     "q_media_decode" -> ((s, _) => {
       val media = graft.ops.Multimodal.syntheticMedia(s, 300)
@@ -787,6 +795,20 @@ object SparkEntry {
         |    '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b')) AS BIGINT) AS n_ips,
         |  CAST(len(regexp_extract_all(ti, '\b[0-9]{7,}\b')) AS BIGINT) AS n_nums
         |FROM r2""".stripMargin,
+
+    // shard/split assignment: thresholds are the Scala-side
+    // round(cum_weight × 2^32) constants inlined as literals (0.9 →
+    // 3865470566, 0.95 → 4080218931) so both engines compare the same
+    // integers
+    "q_corpus_shards" ->
+      """SELECT doc_id,
+        |  CAST((doc_id * 2654435761) % 4294967296 % 8 AS BIGINT) AS shard,
+        |  CASE WHEN (doc_id * 2654435761) % 4294967296 < 3865470566
+        |         THEN 'train'
+        |       WHEN (doc_id * 2654435761) % 4294967296 < 4080218931
+        |         THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
 
     // quotaSample's multiplicative-hash rank is plain BIGINT arithmetic,
     // so the deterministic sample replays as a window rank

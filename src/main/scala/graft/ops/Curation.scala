@@ -177,6 +177,38 @@ object Curation {
         lit("sampleRank id out of [0, 2^31): "), idL.cast("string"))))
   }
 
+  /** Deterministic shard assignment for training-data writes:
+    * `sampleRank(id) mod nShards` — a stable pseudo-random spread, so a
+    * re-run, a retry, or a different engine shards identically. Write
+    * with `.partitionBy("shard")` for fixed-count training shards; the
+    * narrow column costs one multiply+mod per row.
+    */
+  def shardAssign(id: Column, nShards: Int): Column =
+    pmod(sampleRank(id), lit(nShards.toLong))
+
+  /** Deterministic weighted corpus split (train/val/test …): the id's
+    * [[sampleRank]] falls into consecutive [0, 2^32) ranges proportional
+    * to the weights, so split membership is a pure function of the id —
+    * stable across runs, partitionings, and engines, and disjoint-
+    * covering by construction. Weights must sum to 1.
+    */
+  def splitAssign(id: Column, splits: Seq[(String, Double)]): Column = {
+    require(splits.nonEmpty, "at least one split")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1: $splits")
+    if (splits.size == 1) lit(splits.head._1)
+    else {
+      val r = sampleRank(id)
+      val thresholds = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+        .map(c => math.round(c * 4294967296.0))
+      val cases = splits.init.zip(thresholds.init)
+      val first = when(r < lit(cases.head._2), lit(cases.head._1._1))
+      cases.tail.foldLeft(first) { case (acc, ((name, _), t)) =>
+        acc.when(r < lit(t), lit(name))
+      }.otherwise(lit(splits.last._1))
+    }
+  }
+
   /** Per-group quota sample: the k rows of each group with the smallest
     * [[sampleRank]] — a deterministic uniform sample per (e.g.) language
     * or source quota. Implemented as bounded TopKByScore partial buffers

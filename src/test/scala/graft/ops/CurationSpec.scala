@@ -127,6 +127,33 @@ class CurationSpec extends SparkTestBase {
     assert(ex.getMessage.contains("sampleRank id out of"))
   }
 
+  test("shardAssign/splitAssign: deterministic, in-range, weight-proportional") {
+    val docs = (0L until 2000L).toDF("id")
+    val assigned = docs.select($"id",
+      Curation.shardAssign($"id", 8).as("shard"),
+      Curation.splitAssign($"id",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)).as("split"))
+      .as[(Long, Long, String)].collect()
+    assert(assigned.forall(r => r._2 >= 0 && r._2 < 8))
+    assert(assigned.map(_._3).toSet === Set("train", "val", "test"))
+    val bySplit = assigned.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(bySplit("train") > 1600 && bySplit("train") < 1950)
+    assert(bySplit("val") > 30 && bySplit("test") > 30)
+    // pure function of id: a repartitioned re-run assigns identically
+    val again = docs.repartition(7).select($"id",
+      Curation.shardAssign($"id", 8).as("shard"),
+      Curation.splitAssign($"id",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)).as("split"))
+      .as[(Long, Long, String)].collect()
+    assert(assigned.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+    // manual arithmetic spot-check
+    val r0 = Math.floorMod(7L * 2654435761L, 4294967296L)
+    assert(assigned.find(_._1 == 7L).get._2 === Math.floorMod(r0, 8L))
+    intercept[IllegalArgumentException] {
+      Curation.splitAssign($"id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
   test("quotaSample plan: bounded partial aggregate, no window sort funnel") {
     val docs = (0L until 100L).map(i => (i, s"lang${i % 3}")).toDF("doc_id", "lang")
     val q = Curation.quotaSample(docs, Seq("lang"), "doc_id", k = 5)
