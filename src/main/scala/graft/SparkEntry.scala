@@ -461,7 +461,18 @@ object SparkEntry {
         graft.ops.Curation.splitAssign(col("doc_id"),
           Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)).as("split"))),
 
-    // ---------------- multimodal plumbing (stubbed codec; rows-only)
+    // deterministic domain-mixture rebalancing: per-lang keep fractions
+    // via sampleRank cutoffs — pure id arithmetic, replayed by the oracle
+    "q_mixture_sample" -> ((s, d) =>
+      graft.ops.Curation.mixtureSample(
+        t(s, d, "documents").select(col("doc_id"), col("lang")),
+        "lang", "doc_id",
+        Seq("en" -> 0.5, "zh" -> 0.25, "es" -> 0.1),
+        defaultFraction = 0.05)
+        .select(col("doc_id"), col("lang"))),
+
+    // ---------------- multimodal plumbing (stubbed codec; the decode
+    // arithmetic is oracled from the dumped payload-hash primitive)
     "q_media_decode" -> ((s, _) => {
       val media = graft.ops.Multimodal.syntheticMedia(s, 300)
       graft.ops.Multimodal.decodeAndFeaturize(media).toDF()
@@ -810,6 +821,18 @@ object SparkEntry {
         |       ELSE 'test' END AS split
         |FROM documents""".stripMargin,
 
+    // mixture cutoffs are the Scala-side round(fraction × 2^32) constants
+    // (0.5 → 2147483648, 0.25 → 1073741824, 0.1 → 429496730,
+    //  default 0.05 → 214748365) inlined so both engines compare the same
+    // integers
+    "q_mixture_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (doc_id * 2654435761) % 4294967296 <
+        |  CASE lang WHEN 'en' THEN 2147483648
+        |            WHEN 'zh' THEN 1073741824
+        |            WHEN 'es' THEN 429496730
+        |            ELSE 214748365 END""".stripMargin,
+
     // quotaSample's multiplicative-hash rank is plain BIGINT arithmetic,
     // so the deterministic sample replays as a window rank
     "q_quota_sample" ->
@@ -820,6 +843,18 @@ object SparkEntry {
         |)
         |SELECT lang, CAST(doc_id AS BIGINT) AS doc_id FROM r
         |WHERE rk <= 20""".stripMargin,
+
+    // decode stage: the stub codec's payload hash (`base`) is the dumped
+    // primitive; the width/height/frame-count arithmetic is replayed
+    // entirely in SQL (base >= 0 by construction, so >> ≡ >>> here)
+    "q_media_decode" ->
+      """SELECT media_id, kind,
+        |  CAST(64 + (base % 1920) AS INT) AS width,
+        |  CAST(64 + ((base >> 16) % 1080) AS INT) AS height,
+        |  CAST(CASE kind WHEN 'image' THEN 1
+        |       WHEN 'audio' THEN 1 + ((base >> 24) % 4096)
+        |       ELSE 1 + ((base >> 24) % 240) END AS INT) AS n_frames
+        |FROM read_parquet('__OUT__/_input_media/*.parquet')""".stripMargin,
 
     // downstream media stages verified from the dumped decode output
     // (the codec itself is the documented sandbox stub)

@@ -30,12 +30,18 @@ object Verify {
     // Decoded-media metadata dump: the codec is a sandbox stub, but the
     // DOWNSTREAM stages (frame sampling, resize planning) are real column
     // math — dumping the decode output lets DuckDB verify them
-    // independently.
-    graft.ops.Multimodal.decodeAndFeaturize(
-        graft.ops.Multimodal.syntheticMedia(spark, 300)).toDF()
-      .select(col("media_id"), col("kind"), col("width"), col("height"),
-        col("n_frames"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_input_media")
+    // independently. `base` is the stub's payload-hash PRIMITIVE: with it
+    // dumped, the decode stage's width/height/frame arithmetic itself is
+    // replayable in SQL (q_media_decode), same trick as sample_bucket.
+    locally {
+      import spark.implicits._
+      graft.ops.Multimodal.syntheticMedia(spark, 300).map { r =>
+        val (w, h, f) = graft.ops.Multimodal.StubCodec.decode(r.payload, r.kind)
+        (r.media_id, r.kind, w, h, f,
+          graft.ops.Multimodal.StubCodec.baseHash(r.payload))
+      }.toDF("media_id", "kind", "width", "height", "n_frames", "base")
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_input_media")
+    }
     // Precomputed-hash dumps for the dedup/similarity oracles (same trick
     // as sample_bucket): DuckDB has no xxhash64, so the HASH PRIMITIVES
     // (minhash band hashes, word hashes, fingerprints, LSH buckets) are

@@ -209,6 +209,38 @@ object Curation {
     }
   }
 
+  /** Deterministic domain-mixture sampling: keep each row of group g with
+    * probability `fractions(g)` (groups absent from the map fall back to
+    * `defaultFraction`), decided by comparing the row's [[sampleRank]]
+    * against an integer cutoff `round(fraction × 2^32)`. Membership is a
+    * pure function of the id, so the mixture is identical across retries,
+    * partitionings, and engines — the scale-safe way to rebalance a corpus
+    * toward target domain proportions (upsampling is out of scope: a
+    * fraction must be ≤ 1).
+    *
+    * Scale shape: the fractions table is a broadcast dim (hundreds of
+    * domains at most) — one narrow broadcast join plus a codegen'd filter;
+    * no shuffle of the corpus.
+    */
+  def mixtureSample(df: DataFrame, groupCol: String, idCol: String,
+                    fractions: Seq[(String, Double)],
+                    defaultFraction: Double = 0.0): DataFrame = {
+    require((defaultFraction +: fractions.map(_._2))
+      .forall(f => f >= 0.0 && f <= 1.0),
+      s"fractions must be in [0, 1]: $fractions default=$defaultFraction")
+    require(fractions.map(_._1).distinct.size == fractions.size,
+      s"duplicate group in fractions: $fractions")
+    val spark = df.sparkSession
+    def cutoff(f: Double): Long = math.round(f * 4294967296.0)
+    import spark.implicits._
+    val cuts = fractions.map { case (g, f) => (g, cutoff(f)) }
+      .toDF(groupCol, "_cutoff")
+    df.join(broadcast(cuts), Seq(groupCol), "left")
+      .where(sampleRank(col(idCol)) <
+        coalesce(col("_cutoff"), lit(cutoff(defaultFraction))))
+      .drop("_cutoff")
+  }
+
   /** Per-group quota sample: the k rows of each group with the smallest
     * [[sampleRank]] — a deterministic uniform sample per (e.g.) language
     * or source quota. Implemented as bounded TopKByScore partial buffers

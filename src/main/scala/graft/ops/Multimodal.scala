@@ -53,8 +53,14 @@ object Multimodal {
       while (i < bytes.length) { acc = 31 * acc + bytes(i); i += 1 }
       acc
     }
+    /** The decode hash primitive, exposed so Verify can dump it per row:
+      * the DuckDB oracle then replays the width/height/frame arithmetic of
+      * [[decode]] independently in SQL (the same dump-the-hash-primitive
+      * pattern as the minhash band and sampler bucket oracles).
+      */
+    def baseHash(payload: Array[Byte]): Long = math.abs(h(payload, 1L))
     def decode(payload: Array[Byte], kind: String): (Int, Int, Int) = {
-      val base = math.abs(h(payload, 1L))
+      val base = baseHash(payload)
       val w = 64 + (base % 1920).toInt
       val hh = 64 + ((base >>> 16) % 1080).toInt
       val frames = kind match {

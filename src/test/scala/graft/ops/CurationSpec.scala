@@ -154,6 +154,52 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("mixtureSample: per-group fractions, default, determinism, ≡ baseline") {
+    val docs = (0L until 3000L).map(i => (i, s"lang${i % 5}"))
+      .toDF("doc_id", "lang")
+    val fr = Seq("lang0" -> 0.5, "lang1" -> 0.25, "lang2" -> 0.0)
+    val picked = Curation.mixtureSample(docs, "lang", "doc_id", fr,
+      defaultFraction = 0.1).select($"doc_id", $"lang")
+      .as[(Long, String)].collect().toSet
+    // subset of the input; zero-fraction group absent
+    assert(picked.forall { case (id, l) => l == s"lang${id % 5}" })
+    assert(!picked.exists(_._2 == "lang2"))
+    // per-group counts track the fraction (600 rows per group)
+    val byLang = picked.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byLang("lang0") > 240 && byLang("lang0") < 360)
+    assert(byLang("lang1") > 100 && byLang("lang1") < 200)
+    assert(byLang.getOrElse("lang3", 0) > 25 && byLang("lang3") < 95)
+    // ≡ the direct per-row cutoff definition
+    val baseline = docs.where(Curation.sampleRank($"doc_id") <
+        when($"lang" === "lang0", 2147483648L)
+          .when($"lang" === "lang1", 1073741824L)
+          .when($"lang" === "lang2", 0L)
+          .otherwise(math.round(0.1 * 4294967296.0)))
+      .as[(Long, String)].collect().toSet
+    assert(picked === baseline)
+    // pure function of the id: stable under a different partitioning
+    val again = Curation.mixtureSample(docs.repartition(7, $"doc_id"),
+      "lang", "doc_id", fr, defaultFraction = 0.1)
+      .select($"doc_id", $"lang").as[(Long, String)].collect().toSet
+    assert(picked === again)
+    intercept[IllegalArgumentException] {
+      Curation.mixtureSample(docs, "lang", "doc_id", Seq("lang0" -> 1.5))
+    }
+    intercept[IllegalArgumentException] {
+      Curation.mixtureSample(docs, "lang", "doc_id",
+        Seq("lang0" -> 0.5, "lang0" -> 0.2))
+    }
+  }
+
+  test("mixtureSample plan: fractions dim broadcast, corpus never shuffles") {
+    val docs = (0L until 100L).map(i => (i, s"lang${i % 3}")).toDF("doc_id", "lang")
+    val q = Curation.mixtureSample(docs, "lang", "doc_id", Seq("lang0" -> 0.5))
+    q.count()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
   test("quotaSample plan: bounded partial aggregate, no window sort funnel") {
     val docs = (0L until 100L).map(i => (i, s"lang${i % 3}")).toDF("doc_id", "lang")
     val q = Curation.quotaSample(docs, Seq("lang"), "doc_id", k = 5)
