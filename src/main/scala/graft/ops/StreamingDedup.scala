@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Dedup at ingest time, as Structured Streaming — the continuous twin of
+  * the batch [[Dedup]] operators for a corpus that arrives as a stream of
+  * files rather than one frozen snapshot.
+  *
+  * Two surfaces:
+  *
+  *  1. '''Exact content dedup''' (`startExactDedup`):
+  *     `dropDuplicatesWithinWatermark` on a content key. The
+  *     within-watermark variant is the 100 TB-scale choice — plain
+  *     streaming `dropDuplicates` keeps EVERY key ever seen in the state
+  *     store (state grows with the corpus, unbounded), while the
+  *     watermarked form evicts keys once the watermark passes, bounding
+  *     state to the duplicate-arrival window (re-crawls and retry storms
+  *     cluster in time; a re-crawl months later is the batch dedup job's
+  *     problem, not the ingest path's).
+  *
+  *  2. '''Incremental near-dup vs a durable minhash index'''
+  *     (`startMinhashIngest`): each micro-batch runs
+  *     [[Dedup.minhashNearDupsAgainst]] against the signature index built
+  *     by all PRIOR batches, then appends its own signatures as a new
+  *     `batch_id=` partition. Both writes are per-batch-directory
+  *     overwrites, and the index read excludes partitions ≥ the current
+  *     batch id, so a post-crash replay of a half-committed batch reads
+  *     exactly the pre-crash index, rewrites identical bytes, and never
+  *     pairs a document against its own replayed signatures — the same
+  *     idempotence discipline as the routing pipeline's sinks.
+  *
+  * Scale: per micro-batch the index side is band-shuffled only (never
+  * self-joined) and the new side is small; index growth is one narrow
+  * `(id, sig, sh)` partition per batch, compactable offline like any
+  * partitioned table.
+  */
+object StreamingDedup {
+
+  /** Exact dedup on `keyCols` with state bounded by the watermark on
+    * `tsCol`. Emits first-arrival survivors (append mode) to
+    * `outDir/deduped`.
+    */
+  def startExactDedup(spark: SparkSession, inputDir: String, outDir: String,
+                      checkpointDir: String, schema: StructType,
+                      keyCols: Seq[String], tsCol: String,
+                      watermark: String = "10 minutes",
+                      triggerMs: Long = 200L,
+                      maxFilesPerTrigger: Int = 4): StreamingQuery =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inputDir)
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .format("parquet")
+      .option("path", s"$outDir/deduped")
+      .start()
+
+  /** Continuous near-dup detection: per micro-batch, near-dup pairs
+    * against everything ingested before it land in
+    * `outDir/pairs/batch_id=<id>`, and the batch's signatures join the
+    * index at `outDir/index/batch_id=<id>`. The union of all pair
+    * partitions equals the batch-mode [[Dedup.minhashNearDups]] over the
+    * whole corpus (below caps), because every unordered pair is emitted by
+    * exactly one batch — the one whose side arrived later.
+    */
+  def startMinhashIngest(spark: SparkSession, inputDir: String,
+                         outDir: String, checkpointDir: String,
+                         schema: StructType, idCol: String, textCol: String,
+                         threshold: Double = 0.8, numHashes: Int = 64,
+                         bands: Int = 16, shingleK: Int = 3,
+                         triggerMs: Long = 200L,
+                         maxFilesPerTrigger: Int = 4): StreamingQuery =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inputDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(batch, batchId, outDir, idCol, textCol, threshold,
+          numHashes, bands, shingleK)
+        ()
+      }
+      .start()
+
+  /** One idempotent ingest step — public so the replay/parity specs can
+    * drive it directly. Reads the index strictly BELOW `batchId` (replay
+    * guard), writes pairs and the batch's index partition as deterministic
+    * per-batch overwrites.
+    */
+  def ingestBatch(batch: DataFrame, batchId: Long, outDir: String,
+                  idCol: String, textCol: String, threshold: Double = 0.8,
+                  numHashes: Int = 64, bands: Int = 16,
+                  shingleK: Int = 3): Unit = {
+    val spark = batch.sparkSession
+    val index = priorIndex(spark, batch, s"$outDir/index", batchId,
+      idCol, textCol, numHashes, shingleK)
+    Dedup.minhashNearDupsAgainst(index, batch, idCol, textCol, threshold,
+        numHashes, bands, shingleK)
+      .write.mode("overwrite").parquet(s"$outDir/pairs/batch_id=$batchId")
+    Dedup.minhashIndex(batch, idCol, textCol, numHashes, shingleK)
+      .write.mode("overwrite").parquet(s"$outDir/index/batch_id=$batchId")
+  }
+
+  /** All near-dup pairs found so far (union of every batch's partition). */
+  def readPairs(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.option("basePath", s"$outDir/pairs")
+      .parquet(s"$outDir/pairs/batch_id=*")
+      .drop("batch_id")
+
+  /** The signature index partitions strictly older than `batchId` — a
+    * replayed batch must never see its own (possibly half-written)
+    * partition, or every replayed document would pair against itself.
+    */
+  private def priorIndex(spark: SparkSession, batch: DataFrame,
+                         indexDir: String, batchId: Long, idCol: String,
+                         textCol: String, numHashes: Int,
+                         shingleK: Int): DataFrame = {
+    val empty = Dedup.minhashIndex(batch.limit(0), idCol, textCol,
+      numHashes, shingleK)
+    val path = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return empty
+    val prior = fs.listStatus(path).map(_.getPath)
+      .filter { p =>
+        p.getName.startsWith("batch_id=") &&
+          scala.util.Try(p.getName.stripPrefix("batch_id=").toLong)
+            .toOption.exists(_ < batchId)
+      }
+    if (prior.isEmpty) empty
+    else spark.read.parquet(prior.map(_.toString).toIndexedSeq: _*)
+  }
+}

@@ -1,0 +1,96 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamingDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+
+  test("streaming exact dedup: one survivor per content key across batches") {
+    val inputDir = tmpDir("sdedup-in")
+    val outDir = tmpDir("sdedup-out")
+    val ckptDir = tmpDir("sdedup-ckpt")
+
+    // 2 files × 50 docs over 20 distinct contents → duplicates both within
+    // a micro-batch and across micro-batches, all within the watermark
+    def mk(ids: Range) = ids.map(i =>
+      (i.toLong, s"content-${i % 20}", ts(i % 8))).toDF("doc_id", "content", "ts")
+    mk(0 until 50).repartition(1).write.mode("append").parquet(inputDir)
+    mk(50 until 100).repartition(1).write.mode("append").parquet(inputDir)
+
+    val q = StreamingDedup.startExactDedup(spark, inputDir, outDir, ckptDir,
+      mk(0 until 1).schema, keyCols = Seq("content"), tsCol = "ts",
+      maxFilesPerTrigger = 1)
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.read.parquet(s"$outDir/deduped")
+    assert(out.count() === 20)
+    assert(out.select("content").as[String].collect().toSet ===
+      (0 until 20).map(i => s"content-$i").toSet)
+    // survivors are input rows (first arrival per key, whole row intact)
+    val in = mk(0 until 100)
+    assert(out.join(in, Seq("doc_id", "content", "ts"), "left_anti").isEmpty)
+  }
+
+  // near-dup corpus: (0,1) near-identical within batch A; 10 ≡ 0 across
+  // batches; everything else distinct
+  private val baseWords = (0 until 50).map(i => s"w$i")
+  private def corpusA = Seq(
+    (0L, baseWords.mkString(" ")),
+    (1L, (baseWords.init :+ "changed").mkString(" ")),
+    (2L, (50 until 100).map(i => s"x$i").mkString(" "))
+  ).toDF("doc_id", "text")
+  private def corpusB = Seq(
+    (10L, baseWords.mkString(" ")),
+    (11L, (200 until 250).map(i => s"y$i").mkString(" "))
+  ).toDF("doc_id", "text")
+
+  test("streaming minhash ingest ≡ batch near-dup over the full corpus") {
+    val inputDir = tmpDir("sminhash-in")
+    val outDir = tmpDir("sminhash-out")
+    val ckptDir = tmpDir("sminhash-ckpt")
+    corpusA.repartition(1).write.mode("append").parquet(inputDir)
+    corpusB.repartition(1).write.mode("append").parquet(inputDir)
+
+    val q = StreamingDedup.startMinhashIngest(spark, inputDir, outDir,
+      ckptDir, corpusA.schema, "doc_id", "text", maxFilesPerTrigger = 1)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = StreamingDedup.readPairs(spark, outDir)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val batch = Dedup.minhashNearDups(corpusA.unionByName(corpusB),
+        "doc_id", "text")
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.map(p => (p._1, p._2)).contains((0L, 10L))) // cross-batch
+    assert(streamed.map(p => (p._1, p._2)).contains((0L, 1L)))  // intra-batch
+    // index holds every ingested doc exactly once
+    val idx = spark.read.option("basePath", s"$outDir/index")
+      .parquet(s"$outDir/index/batch_id=*")
+    assert(idx.select("id").as[Long].collect().sorted.toSeq ===
+      Seq(0L, 1L, 2L, 10L, 11L))
+  }
+
+  test("ingestBatch replay: identical pairs, no self-pairs from own index") {
+    val outDir = tmpDir("sminhash-replay")
+    StreamingDedup.ingestBatch(corpusA, 0L, outDir, "doc_id", "text")
+    StreamingDedup.ingestBatch(corpusB, 1L, outDir, "doc_id", "text")
+    val first = StreamingDedup.readPairs(spark, outDir)
+      .as[(Long, Long, Double, Double)].collect().sorted.toSeq
+    // crash stand-in: batch 1 replays after its outputs were already
+    // committed — the replay must read only the PRE-batch-1 index (its own
+    // batch_id=1 signatures exist on disk and must be excluded)
+    StreamingDedup.ingestBatch(corpusB, 1L, outDir, "doc_id", "text")
+    val replayed = StreamingDedup.readPairs(spark, outDir)
+      .as[(Long, Long, Double, Double)].collect().sorted.toSeq
+    assert(replayed === first)
+    assert(first.forall(p => p._1 < p._2)) // never a doc paired with itself
+  }
+}
