@@ -218,9 +218,10 @@ object Curation {
     * toward target domain proportions (upsampling is out of scope: a
     * fraction must be ≤ 1).
     *
-    * Scale shape: the fractions table is a broadcast dim (hundreds of
-    * domains at most) — one narrow broadcast join plus a codegen'd filter;
-    * no shuffle of the corpus.
+    * Scale shape: the fractions are driver-known config (hundreds of
+    * domains at most), so the cutoff compiles to a codegen'd when-chain
+    * inside the filter — the [[splitAssign]] pattern: no join, no
+    * shuffle, schema passed through untouched.
     */
   def mixtureSample(df: DataFrame, groupCol: String, idCol: String,
                     fractions: Seq[(String, Double)],
@@ -230,15 +231,12 @@ object Curation {
       s"fractions must be in [0, 1]: $fractions default=$defaultFraction")
     require(fractions.map(_._1).distinct.size == fractions.size,
       s"duplicate group in fractions: $fractions")
-    val spark = df.sparkSession
     def cutoff(f: Double): Long = math.round(f * 4294967296.0)
-    import spark.implicits._
-    val cuts = fractions.map { case (g, f) => (g, cutoff(f)) }
-      .toDF(groupCol, "_cutoff")
-    df.join(broadcast(cuts), Seq(groupCol), "left")
-      .where(sampleRank(col(idCol)) <
-        coalesce(col("_cutoff"), lit(cutoff(defaultFraction))))
-      .drop("_cutoff")
+    val cutoffCol = fractions.foldLeft(lit(cutoff(defaultFraction))) {
+      case (acc, (g, f)) => when(col(groupCol) === g, lit(cutoff(f)))
+        .otherwise(acc)
+    }
+    df.where(sampleRank(col(idCol)) < cutoffCol)
   }
 
   /** Per-group quota sample: the k rows of each group with the smallest

@@ -330,9 +330,23 @@ object Dedup {
                              threshold: Double = 0.8, numHashes: Int = 64,
                              bands: Int = 16, shingleK: Int = 3,
                              bucketCap: Int = DefaultBucketCap,
-                             obsTag: Option[String] = None): DataFrame = {
-    val newSigs = minhashIndex(newDocs, idCol, textCol, numHashes, shingleK)
-      .localCheckpoint(true)
+                             obsTag: Option[String] = None): DataFrame =
+    minhashNearDupsAgainstSigs(index,
+      minhashIndex(newDocs, idCol, textCol, numHashes, shingleK)
+        .localCheckpoint(true),
+      threshold, numHashes, bands, bucketCap, obsTag)
+
+  /** [[minhashNearDupsAgainst]] over an ALREADY-COMPUTED new-batch
+    * signature frame `(id, sig, sh)` (shape of [[minhashIndex]], ideally
+    * localCheckpointed by the caller). Callers that also persist the
+    * signatures — the streaming ingest path — use this to shingle and
+    * sign each batch exactly once instead of once per consumer.
+    */
+  def minhashNearDupsAgainstSigs(index: DataFrame, newSigs: DataFrame,
+                                 threshold: Double = 0.8, numHashes: Int = 64,
+                                 bands: Int = 16,
+                                 bucketCap: Int = DefaultBucketCap,
+                                 obsTag: Option[String] = None): DataFrame = {
     // candidate pairs: (new × index) ∪ (new × new); the index side is the
     // big one — it is only shuffled on the band key, never self-joined.
     // BOTH sides are capped: a boilerplate-heavy NEW batch is exactly the

@@ -75,6 +75,8 @@ object StreamingDedup {
                          schema: StructType, idCol: String, textCol: String,
                          threshold: Double = 0.8, numHashes: Int = 64,
                          bands: Int = 16, shingleK: Int = 3,
+                         bucketCap: Int = Dedup.DefaultBucketCap,
+                         obsTag: Option[String] = None,
                          triggerMs: Long = 200L,
                          maxFilesPerTrigger: Int = 4): StreamingQuery =
     spark.readStream.schema(schema)
@@ -85,7 +87,7 @@ object StreamingDedup {
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestBatch(batch, batchId, outDir, idCol, textCol, threshold,
-          numHashes, bands, shingleK)
+          numHashes, bands, shingleK, bucketCap, obsTag)
         ()
       }
       .start()
@@ -93,20 +95,23 @@ object StreamingDedup {
   /** One idempotent ingest step — public so the replay/parity specs can
     * drive it directly. Reads the index strictly BELOW `batchId` (replay
     * guard), writes pairs and the batch's index partition as deterministic
-    * per-batch overwrites.
+    * per-batch overwrites. The batch is shingled and signed exactly ONCE —
+    * the localCheckpointed signature frame feeds both the pair search and
+    * the index write.
     */
   def ingestBatch(batch: DataFrame, batchId: Long, outDir: String,
                   idCol: String, textCol: String, threshold: Double = 0.8,
                   numHashes: Int = 64, bands: Int = 16,
-                  shingleK: Int = 3): Unit = {
+                  shingleK: Int = 3, bucketCap: Int = Dedup.DefaultBucketCap,
+                  obsTag: Option[String] = None): Unit = {
     val spark = batch.sparkSession
-    val index = priorIndex(spark, batch, s"$outDir/index", batchId,
-      idCol, textCol, numHashes, shingleK)
-    Dedup.minhashNearDupsAgainst(index, batch, idCol, textCol, threshold,
-        numHashes, bands, shingleK)
+    val newSigs = Dedup.minhashIndex(batch, idCol, textCol, numHashes,
+      shingleK).localCheckpoint(true)
+    val index = priorIndex(spark, newSigs, s"$outDir/index", batchId)
+    Dedup.minhashNearDupsAgainstSigs(index, newSigs, threshold,
+        numHashes, bands, bucketCap, obsTag)
       .write.mode("overwrite").parquet(s"$outDir/pairs/batch_id=$batchId")
-    Dedup.minhashIndex(batch, idCol, textCol, numHashes, shingleK)
-      .write.mode("overwrite").parquet(s"$outDir/index/batch_id=$batchId")
+    newSigs.write.mode("overwrite").parquet(s"$outDir/index/batch_id=$batchId")
   }
 
   /** All near-dup pairs found so far (union of every batch's partition). */
@@ -118,13 +123,19 @@ object StreamingDedup {
   /** The signature index partitions strictly older than `batchId` — a
     * replayed batch must never see its own (possibly half-written)
     * partition, or every replayed document would pair against itself.
+    *
+    * Re-crawled ids (the same id ingested by two different prior batches)
+    * are resolved last-writer-wins by batch id, because
+    * [[Dedup.minhashNearDupsAgainstSigs]] requires one sig per id — a
+    * duplicated id would band-join each of its candidate pairs twice. On
+    * a real table format this is a MERGE at write time; the parquet
+    * stand-in pays one hash-aggregate of the index per batch instead,
+    * which is no worse asymptotically than the band shuffle the index
+    * takes in the pair search anyway.
     */
-  private def priorIndex(spark: SparkSession, batch: DataFrame,
-                         indexDir: String, batchId: Long, idCol: String,
-                         textCol: String, numHashes: Int,
-                         shingleK: Int): DataFrame = {
-    val empty = Dedup.minhashIndex(batch.limit(0), idCol, textCol,
-      numHashes, shingleK)
+  private def priorIndex(spark: SparkSession, emptyLike: DataFrame,
+                         indexDir: String, batchId: Long): DataFrame = {
+    val empty = emptyLike.limit(0)
     val path = new org.apache.hadoop.fs.Path(indexDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) return empty
@@ -135,6 +146,10 @@ object StreamingDedup {
             .toOption.exists(_ < batchId)
       }
     if (prior.isEmpty) empty
-    else spark.read.parquet(prior.map(_.toString).toIndexedSeq: _*)
+    else spark.read.option("basePath", indexDir)
+      .parquet(prior.map(_.toString).toIndexedSeq: _*)
+      .groupBy(col("id"))
+      .agg(max_by(struct(col("sig"), col("sh")), col("batch_id")).as("_s"))
+      .select(col("id"), col("_s.sig").as("sig"), col("_s.sh").as("sh"))
   }
 }

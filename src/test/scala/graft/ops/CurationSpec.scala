@@ -191,13 +191,15 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
-  test("mixtureSample plan: fractions dim broadcast, corpus never shuffles") {
+  test("mixtureSample plan: pure when-chain filter — no join, no shuffle") {
     val docs = (0L until 100L).map(i => (i, s"lang${i % 3}")).toDF("doc_id", "lang")
     val q = Curation.mixtureSample(docs, "lang", "doc_id", Seq("lang0" -> 0.5))
     q.count()
     val plan = q.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
-    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+    assert(!plan.contains("Join"), plan.take(2000))
+    assert(!plan.contains("Exchange"), plan.take(2000))
+    // schema passes through untouched (no column reorder)
+    assert(q.columns.toSeq === docs.columns.toSeq)
   }
 
   test("quotaSample plan: bounded partial aggregate, no window sort funnel") {

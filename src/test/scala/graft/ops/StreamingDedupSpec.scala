@@ -93,4 +93,24 @@ class StreamingDedupSpec extends SparkTestBase {
     assert(replayed === first)
     assert(first.forall(p => p._1 < p._2)) // never a doc paired with itself
   }
+
+  test("re-crawled id: later batch's text wins, no duplicate index pairs") {
+    val outDir = tmpDir("sminhash-recrawl")
+    val textA = baseWords.mkString(" ")
+    val textB = (300 until 350).map(i => s"z$i").mkString(" ")
+    // doc 7 crawled as textA, re-crawled as textB in a later batch; then a
+    // third batch ingests doc 20 identical to the CURRENT (textB) version
+    StreamingDedup.ingestBatch(Seq((7L, textA)).toDF("doc_id", "text"),
+      0L, outDir, "doc_id", "text")
+    StreamingDedup.ingestBatch(Seq((7L, textB)).toDF("doc_id", "text"),
+      1L, outDir, "doc_id", "text")
+    StreamingDedup.ingestBatch(Seq((20L, textB)).toDF("doc_id", "text"),
+      2L, outDir, "doc_id", "text")
+    val batch2 = spark.read.parquet(s"$outDir/pairs/batch_id=2")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    // exactly ONE (7, 20) pair, scored against the re-crawled text
+    // (jaccard 1.0) — a stale-sig duplicate would add a second row with a
+    // conflicting jaccard
+    assert(batch2 === Seq((7L, 20L, 1.0, 1.0)))
+  }
 }
