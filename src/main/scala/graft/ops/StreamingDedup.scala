@@ -114,6 +114,45 @@ object StreamingDedup {
     newSigs.write.mode("overwrite").parquet(s"$outDir/index/batch_id=$batchId")
   }
 
+  /** Offline index maintenance: fold every `batch_id=` partition into ONE
+    * partition keyed by the highest batch id seen, resolving re-crawled
+    * ids last-writer-wins (same rule as the per-batch read). Run while the
+    * ingest stream is STOPPED: long streams otherwise accumulate one small
+    * partition per micro-batch (the classic small-files problem), and the
+    * per-batch last-writer-wins aggregate grows with partition count.
+    * Keying the compacted partition by the MAX id keeps the replay guard
+    * sound — any future batch id is strictly greater, so the compacted
+    * partition is always visible to it and never to a replay of itself.
+    *
+    * The local-FS swap (write temp → delete old → rename) is not
+    * crash-atomic; a real deployment holds the index in a table format
+    * whose compaction/MERGE commits atomically (the temp dir retains all
+    * data if the swap is interrupted).
+    */
+  def compactIndex(spark: SparkSession, outDir: String): Unit = {
+    val indexDir = s"$outDir/index"
+    val path = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return
+    val parts = fs.listStatus(path).map(_.getPath).flatMap { p =>
+      scala.util.Try(p.getName.stripPrefix("batch_id=").toLong).toOption
+        .filter(_ => p.getName.startsWith("batch_id="))
+        .map(id => id -> p)
+    }
+    if (parts.length <= 1) return
+    val maxId = parts.map(_._1).max
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir.compact-tmp")
+    spark.read.option("basePath", indexDir)
+      .parquet(parts.map(_._2.toString).toIndexedSeq: _*)
+      .groupBy(col("id"))
+      .agg(max_by(struct(col("sig"), col("sh")), col("batch_id")).as("_s"))
+      .select(col("id"), col("_s.sig").as("sig"), col("_s.sh").as("sh"))
+      .write.mode("overwrite").parquet(tmp.toString)
+    parts.foreach { case (_, p) => fs.delete(p, true) }
+    require(fs.rename(tmp, new org.apache.hadoop.fs.Path(path, s"batch_id=$maxId")),
+      s"compaction swap failed: $tmp -> $indexDir/batch_id=$maxId")
+  }
+
   /** All near-dup pairs found so far (union of every batch's partition). */
   def readPairs(spark: SparkSession, outDir: String): DataFrame =
     spark.read.option("basePath", s"$outDir/pairs")

@@ -113,4 +113,38 @@ class StreamingDedupSpec extends SparkTestBase {
     // conflicting jaccard
     assert(batch2 === Seq((7L, 20L, 1.0, 1.0)))
   }
+
+  test("compactIndex: one deduped partition, ingest continues identically") {
+    val outA = tmpDir("sminhash-compact")
+    val outB = tmpDir("sminhash-nocompact")
+    val textB = (300 until 350).map(i => s"z$i").mkString(" ")
+    val b0 = Seq((7L, baseWords.mkString(" "))).toDF("doc_id", "text")
+    val b1 = Seq((7L, textB), (8L, "some other words entirely here"))
+      .toDF("doc_id", "text")
+    val b2 = Seq((20L, textB)).toDF("doc_id", "text")
+    for (out <- Seq(outA, outB)) {
+      StreamingDedup.ingestBatch(b0, 0L, out, "doc_id", "text")
+      StreamingDedup.ingestBatch(b1, 1L, out, "doc_id", "text")
+    }
+    StreamingDedup.compactIndex(spark, outA)
+    // one partition, keyed by the max batch id, re-crawl resolved lww
+    val dirs = new java.io.File(s"$outA/index").listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).toSeq
+    assert(dirs === Seq("batch_id=1"))
+    assert(spark.read.parquet(s"$outA/index/batch_id=1")
+      .select("id").as[Long].collect().sorted.toSeq === Seq(7L, 8L))
+    // a later batch sees exactly the same index either way
+    StreamingDedup.ingestBatch(b2, 2L, outA, "doc_id", "text")
+    StreamingDedup.ingestBatch(b2, 2L, outB, "doc_id", "text")
+    val pa = spark.read.parquet(s"$outA/pairs/batch_id=2")
+      .as[(Long, Long, Double, Double)].collect().sorted.toSeq
+    val pb = spark.read.parquet(s"$outB/pairs/batch_id=2")
+      .as[(Long, Long, Double, Double)].collect().sorted.toSeq
+    assert(pa === pb)
+    assert(pa === Seq((7L, 20L, 1.0, 1.0)))
+    // repeated maintenance folds into the new max id; nothing lost
+    StreamingDedup.compactIndex(spark, outA)
+    assert(spark.read.parquet(s"$outA/index/batch_id=2")
+      .select("id").as[Long].collect().sorted.toSeq === Seq(7L, 8L, 20L))
+  }
 }
