@@ -231,12 +231,22 @@ object Curation {
       s"fractions must be in [0, 1]: $fractions default=$defaultFraction")
     require(fractions.map(_._1).distinct.size == fractions.size,
       s"duplicate group in fractions: $fractions")
+    df.where(mixtureKeep(col(groupCol), col(idCol), fractions,
+      defaultFraction))
+  }
+
+  /** The [[mixtureSample]] keep predicate as a reusable Column — so a
+    * composed pipeline can evaluate it as one flag among several in a
+    * single pass instead of filtering eagerly.
+    */
+  def mixtureKeep(group: Column, id: Column,
+                  fractions: Seq[(String, Double)],
+                  defaultFraction: Double): Column = {
     def cutoff(f: Double): Long = math.round(f * 4294967296.0)
     val cutoffCol = fractions.foldLeft(lit(cutoff(defaultFraction))) {
-      case (acc, (g, f)) => when(col(groupCol) === g, lit(cutoff(f)))
-        .otherwise(acc)
+      case (acc, (g, f)) => when(group === g, lit(cutoff(f))).otherwise(acc)
     }
-    df.where(sampleRank(col(idCol)) < cutoffCol)
+    sampleRank(id) < cutoffCol
   }
 
   /** Per-group quota sample: the k rows of each group with the smallest

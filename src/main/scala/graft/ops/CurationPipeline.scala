@@ -1,0 +1,157 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation: the composition of the training-data
+  * operators into the shape a real pre-training pipeline runs —
+  *
+  *   exact dedup → near-dup cluster resolution → benchmark
+  *   decontamination → quality gates (repetition / length) → domain
+  *   mixture rebalancing → PII redaction → shard + split assignment.
+  *
+  * Every stage is expressed as a boolean KEEP FLAG on the input frame and
+  * the flags are AND-ed cumulatively, so (a) the survivor set needs ONE
+  * filter pass, and (b) the per-stage attrition report is ONE aggregation
+  * over the flag columns — no per-stage count() actions, no per-stage
+  * materialization. The only extra passes are the ones the dedup operators
+  * inherently need (the signature/cluster frames, which are
+  * localCheckpointed inside [[Dedup]]).
+  *
+  * Determinism: every stage is a pure function of the input rows (hash
+  * ranks, not `rand()`), so a retry, a different partitioning, or a
+  * different engine curates identically — the property the split/shard
+  * assignments already guarantee row-wise, extended to the whole pipeline.
+  */
+object CurationPipeline {
+
+  final case class CurationConfig(
+      shingleK: Int = 3,
+      nearDupThreshold: Double = 0.8,
+      decontaminateN: Int = 13,
+      maxDupWordRatio: Double = 0.5,
+      maxDupNgramRatio: Double = 0.5,
+      minTokens: Int = 5,
+      maxTokens: Int = 1 << 20,
+      redactPii: Boolean = true,
+      mixture: Seq[(String, Double)] = Nil, // empty → keep every domain
+      defaultFraction: Double = 1.0,
+      nShards: Int = 64,
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01))
+
+  /** Stage names in pipeline order (report rows appear in this order). */
+  val Stages: Seq[String] =
+    Seq("input", "exact", "neardup", "decontaminated", "quality", "mixture")
+
+  /** Curate `docs`. Returns (curated frame, per-stage survivor counts).
+    *
+    * The curated frame keeps the input columns (text redacted when
+    * configured) plus `shard` and `split`; the report counts survivors
+    * after each cumulative stage, starting with the raw input count.
+    */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+             langCol: String, evalSet: Option[DataFrame] = None,
+             evalTextCol: String = "text",
+             cfg: CurationConfig = CurationConfig())
+      : (DataFrame, Seq[(String, Long)]) = {
+    import org.apache.spark.sql.expressions.Window
+    val id = col(idCol)
+    val text = col(textCol)
+
+    // stage 1 — exact dedup on normalized content (smallest id survives):
+    // one hash shuffle on the content key
+    val contentKey = array_join(Curation.normWords(text), " ")
+    val exactFlag = row_number().over(
+      Window.partitionBy(contentKey).orderBy(id)) === 1
+
+    val flagged0 = docs.withColumn("_k_exact", exactFlag)
+
+    // stage 2 — near-dup clusters among the exact survivors (running it on
+    // the pre-dedup corpus would only re-discover the exact duplicates);
+    // clusters() emits (id, keep) for every survivor, keep = is the
+    // canonical (min-id) member of its component
+    val keepSet = Dedup.nearDupClusters(
+        flagged0.where(col("_k_exact")).select(id, text),
+        idCol, textCol, cfg.nearDupThreshold, shingleK = cfg.shingleK)
+      .select(id.cast("long").as("_nd_id"), col("keep").as("_nd_keep"))
+    val flagged1 = flagged0
+      .join(keepSet, id.cast("long") === col("_nd_id"), "left")
+      .drop("_nd_id")
+      .withColumn("_k_neardup", coalesce(col("_nd_keep"), lit(false)))
+      .drop("_nd_keep")
+
+    // stage 3 — benchmark decontamination: the hit set is tiny (rare by
+    // construction), broadcast back as an anti-flag
+    val flagged2 = evalSet match {
+      case Some(ev) =>
+        val hits = Curation.decontaminate(docs, idCol, textCol, ev,
+            evalTextCol, cfg.decontaminateN)
+          .select(col("doc_id").as("_dc_id"))
+        flagged1.join(broadcast(hits), id.cast("long") === col("_dc_id"), "left")
+          .withColumn("_k_decontaminated", col("_dc_id").isNull)
+          .drop("_dc_id")
+      case None => flagged1.withColumn("_k_decontaminated", lit(true))
+    }
+
+    // stage 4 — quality gates: pure per-row column math. The word array is
+    // MATERIALIZED as a projected column first — dupNgramRatioFromWords'
+    // transform lambda must capture an attribute reference, never the
+    // normWords expression tree, or the interpreted HOF path re-runs the
+    // regex/split/filter chain once per n-gram (the measured-13.7× trap
+    // documented on ngramsFromWords)
+    val words = col("_words")
+    val qualityFlag =
+      Curation.dupWordRatioFromWords(words) <= cfg.maxDupWordRatio &&
+        Curation.dupNgramRatioFromWords(words, 2) <= cfg.maxDupNgramRatio &&
+        TextAnalysis.tokenCountWs(text).between(cfg.minTokens, cfg.maxTokens)
+
+    // stage 5 — domain mixture rebalancing (pure id arithmetic)
+    val mixtureFlag =
+      if (cfg.mixture.isEmpty) lit(true)
+      else Curation.mixtureKeep(col(langCol), id, cfg.mixture,
+        cfg.defaultFraction)
+
+    val flagged = flagged2
+      .withColumn("_words", Curation.normWords(text))
+      .withColumn("_k_quality", qualityFlag)
+      .withColumn("_k_mixture", mixtureFlag)
+      .drop("_words")
+      .localCheckpoint(true) // report + survivors read the flags once each
+
+    // ONE aggregation for the whole attrition report
+    val cum = Stages.tail.scanLeft(lit(true)) {
+      case (acc, s) => acc && col(s"_k_$s")
+    }.tail
+    val row = flagged.agg(
+      count(lit(1)).as("input"),
+      Stages.tail.zip(cum).map { case (s, c) =>
+        sum(when(c, 1L).otherwise(0L)).as(s)
+      }: _*).head()
+    val report = Stages.zipWithIndex.map { case (s, i) => s -> row.getLong(i) }
+
+    val survivors = flagged.where(cum.last)
+      .select(docs.columns.map(col): _*)
+    val redacted =
+      if (cfg.redactPii)
+        survivors.withColumn(textCol, Curation.redactPii(text))
+      else survivors
+    val curated = redacted
+      .withColumn("shard", Curation.shardAssign(id, cfg.nShards))
+      .withColumn("split", Curation.splitAssign(id, cfg.splits))
+    (curated, report)
+  }
+
+  /** Write the curated corpus as fixed training shards: `split=` is the
+    * partition key (consumers read one split), `shard` stays a column used
+    * to bucket files within each split via repartition — a stable layout a
+    * trainer can address as (split, shard).
+    */
+  def writeCurated(curated: DataFrame, outDir: String): Unit =
+    curated
+      .repartition(col("split"), col("shard"))
+      .sortWithinPartitions(col("shard"))
+      .write.mode("overwrite")
+      .partitionBy("split")
+      .parquet(outDir)
+}

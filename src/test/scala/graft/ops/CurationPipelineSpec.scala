@@ -1,0 +1,75 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class CurationPipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // one doc engineered to fall at each stage, three survivors
+  private val base50 = (0 until 50).map(i => s"w$i").mkString(" ")
+  private val evalText = (0 until 15).map(i => s"e$i").mkString(" ")
+  private def corpus = Seq(
+    (0L, "en", base50),                                   // survives
+    (1L, "en", base50),                                   // exact dup of 0
+    (2L, "en", base50 + " extra"),                        // near-dup of 0
+    (3L, "en", (0 until 13).map(i => s"e$i").mkString(" ") +
+      " " + (0 until 7).map(i => s"f$i").mkString(" ")),  // contaminated
+    (4L, "en", "spam spam spam spam spam spam"),          // repetition gate
+    (5L, "en", "tiny doc"),                               // min-token gate
+    (6L, "zz", (100 until 150).map(i => s"q$i").mkString(" ")), // mixture 0
+    (7L, "en", (200 until 250).map(i => s"r$i").mkString(" ")), // survives
+    (8L, "en", "please contact a@b.com for further details today") // PII
+  ).toDF("doc_id", "lang", "text")
+
+  private val cfg = CurationPipeline.CurationConfig(
+    mixture = Seq("en" -> 1.0), defaultFraction = 0.0, nShards = 4)
+
+  test("curate: per-stage attrition report and survivor set") {
+    val (curated, report) = CurationPipeline.curate(corpus, "doc_id",
+      "text", "lang", Some(Seq(evalText).toDF("text")), "text", cfg)
+    assert(report === Seq("input" -> 9L, "exact" -> 8L, "neardup" -> 7L,
+      "decontaminated" -> 6L, "quality" -> 4L, "mixture" -> 3L))
+    val rows = curated.orderBy("doc_id")
+      .select("doc_id", "text", "shard", "split")
+      .as[(Long, String, Long, String)].collect()
+    assert(rows.map(_._1).toSeq === Seq(0L, 7L, 8L))
+    // PII redacted in the surviving text; shard/split assigned in range
+    assert(rows.find(_._1 == 8L).get._2.contains("<EMAIL>"))
+    assert(rows.forall(r => r._3 >= 0 && r._3 < 4))
+    assert(rows.forall(r => Set("train", "val", "test").contains(r._4)))
+    // input schema preserved (+ the two assignment columns)
+    assert(curated.columns.toSeq ===
+      Seq("doc_id", "lang", "text", "shard", "split"))
+  }
+
+  test("curate is deterministic across partitionings; write round-trips") {
+    val ev = Some(Seq(evalText).toDF("text"))
+    val (a, _) = CurationPipeline.curate(corpus, "doc_id", "text", "lang",
+      ev, "text", cfg)
+    val (b, _) = CurationPipeline.curate(corpus.repartition(7, $"doc_id"),
+      "doc_id", "text", "lang", ev, "text", cfg)
+    val sa = a.as[(Long, String, String, Long, String)].collect().toSet
+    val sb = b.as[(Long, String, String, Long, String)].collect().toSet
+    assert(sa === sb)
+    val outDir = tmpDir("curated")
+    CurationPipeline.writeCurated(a, outDir)
+    val back = spark.read.parquet(outDir)
+      .select("doc_id", "lang", "text", "shard", "split")
+      .as[(Long, String, String, Long, String)].collect().toSet
+    assert(back === sa)
+  }
+
+  test("stages degrade gracefully: no eval set, no mixture config") {
+    val (curated, report) = CurationPipeline.curate(corpus, "doc_id",
+      "text", "lang", evalSet = None,
+      cfg = CurationPipeline.CurationConfig(nShards = 4))
+    // contamination and mixture stages become pass-throughs
+    assert(report.toMap.apply("decontaminated") ===
+      report.toMap.apply("neardup"))
+    assert(report.toMap.apply("mixture") === report.toMap.apply("quality"))
+    // doc 3 (contaminated) and doc 6 (zz) now survive
+    assert(curated.select("doc_id").as[Long].collect().sorted.toSeq ===
+      Seq(0L, 3L, 6L, 7L, 8L))
+  }
+}
