@@ -15,6 +15,24 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Deliberately SQL-expressible near-dup pair rule (same first word OR
+    * same n_chars ⇒ edge) shared by the cluster-resolution and
+    * leakage-safe-split queries, so DuckDB's recursive CTE can compute the
+    * transitive closure independently; the minhash-pair composition is
+    * nearDupClusters (spec-verified).
+    */
+  private def sqlPairEdges(docs: DataFrame): DataFrame = {
+    def edges(key: Column): DataFrame = {
+      val k = docs.select(col("doc_id"), key.as("k"))
+      k.select(col("doc_id").as("id_a"), col("k"))
+        .join(k.select(col("doc_id").as("id_b"), col("k")), "k")
+        .where(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+    }
+    edges(regexp_extract(col("text"), "^(\\w+)", 1))
+      .unionByName(edges(col("n_chars").cast("string")))
+  }
+
   /** Flagship: full transcript pipeline (parse→enrich→route→aggregate) on a
     * deterministic synthetic corpus; driver smoke-checks rows>0.
     */
@@ -322,16 +340,17 @@ object SparkEntry {
     // nearDupClusters (spec-verified on a chained corpus).
     "q_dedup_clusters" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      def edges(key: Column): DataFrame = {
-        val k = docs.select(col("doc_id"), key.as("k"))
-        k.select(col("doc_id").as("id_a"), col("k"))
-          .join(k.select(col("doc_id").as("id_b"), col("k")), "k")
-          .where(col("id_a") < col("id_b"))
-          .select("id_a", "id_b")
-      }
-      val pairs = edges(regexp_extract(col("text"), "^(\\w+)", 1))
-        .unionByName(edges(col("n_chars").cast("string")))
-      graft.ops.Dedup.clusters(docs, "doc_id", pairs)
+      graft.ops.Dedup.clusters(docs, "doc_id", sqlPairEdges(docs))
+    }),
+
+    // Leakage-safe splits: train/val/test decided by the near-dup CLUSTER
+    // representative (same SQL-expressible pair rule as q_dedup_clusters so
+    // DuckDB recomputes the components independently), so near-duplicates
+    // never straddle train and test.
+    "q_split_leakage" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.ops.Curation.leakageSafeSplit(docs, "doc_id", sqlPairEdges(docs),
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
     }),
 
     "q_dedup_normalized" -> ((s, d) =>
@@ -470,6 +489,45 @@ object SparkEntry {
         Seq("en" -> 0.5, "zh" -> 0.25, "es" -> 0.1),
         defaultFraction = 0.05)
         .select(col("doc_id"), col("lang"))),
+
+    // Intra-corpus duplicate-span signal (cross-doc 13-gram windows; a
+    // doc repeating itself does NOT count — that's q_repetition's job)
+    "q_dup_spans" -> ((s, d) =>
+      graft.ops.Curation.dupSpans(t(s, d, "documents"), "doc_id", "text")),
+
+    // Sequence packing (concat-and-chunk): per-shard running token offset
+    // cut into 512-token packs; docs may straddle pack boundaries
+    "q_pack_chunks" -> ((s, d) =>
+      graft.ops.Packing.packChunks(
+        t(s, d, "documents").select(col("doc_id"),
+          graft.ops.TextAnalysis.tokenCountWs(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", budget = 512, nShards = 8)),
+
+    // Per-pack manifest: one row per (doc, pack) span with the doc's token
+    // range inside the pack — the pack reader's seek list
+    "q_pack_manifest" -> ((s, d) =>
+      graft.ops.Packing.packManifest(
+        graft.ops.Packing.packChunks(
+          t(s, d, "documents").select(col("doc_id"),
+            graft.ops.TextAnalysis.tokenCountWs(col("text")).as("n_tokens")),
+          "doc_id", "n_tokens", budget = 512, nShards = 8),
+        "doc_id", budget = 512)),
+
+    // As-of join: enrich every event with the user's latest click at or
+    // before the event time (union + running-window strategy; DuckDB's
+    // native ASOF JOIN is the independent oracle)
+    "q_asof_join" -> ((s, d) => {
+      val events = t(s, d, "events")
+      val clicks = events.where(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id"),
+          round(max_by(col("value"), col("event_id")), 4).as("click_value"))
+      AsOfJoin.asofUnion(
+        events.select(col("event_id"), col("user_id"), col("ts")),
+        clicks, Seq("user_id"), "ts", "ts", Seq("click_id", "click_value"))
+        .select(col("event_id"), col("user_id"),
+          col("click_id"), col("click_value"))
+    }),
 
     // ---------------- multimodal plumbing (stubbed codec; the decode
     // arithmetic is oracled from the dumped payload-hash primitive)
@@ -832,6 +890,112 @@ object SparkEntry {
         |            WHEN 'zh' THEN 1073741824
         |            WHEN 'es' THEN 429496730
         |            ELSE 214748365 END""".stripMargin,
+
+    // Leakage-safe split: the q_dedup_clusters recursive-CTE transitive
+    // closure, then the split arithmetic applied to the COMPONENT id
+    // (thresholds 0.9 → 3865470566, 0.95 → 4080218931, as q_corpus_shards)
+    "q_split_leakage" ->
+      """WITH RECURSIVE
+        |k1 AS (SELECT doc_id, regexp_extract(text, '^(\w+)', 1) AS k FROM documents),
+        |e AS (
+        |  SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM k1 a JOIN k1 b ON a.k = b.k AND a.doc_id <> b.doc_id
+        |  UNION
+        |  SELECT a.doc_id, b.doc_id
+        |  FROM documents a JOIN documents b
+        |    ON a.n_chars = b.n_chars AND a.doc_id <> b.doc_id
+        |),
+        |walk(id, comp) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, w.comp FROM walk w JOIN e ON e.src = w.id
+        |),
+        |cc AS (SELECT CAST(id AS BIGINT) AS doc_id,
+        |         CAST(MIN(comp) AS BIGINT) AS comp
+        |       FROM walk GROUP BY id)
+        |SELECT doc_id, comp,
+        |  CASE WHEN (comp * 2654435761) % 4294967296 < 3865470566 THEN 'train'
+        |       WHEN (comp * 2654435761) % 4294967296 < 4080218931 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM cc""".stripMargin,
+
+    // Duplicate-span signal: per-position 13-grams, the shared set
+    // (n-grams in ≥2 distinct docs), LEFT-join mark, per-doc ratio. The
+    // engine joins on xxhash64(ngram); the oracle on the string — counts
+    // agree by hash injectivity on this dictionary (CurationSpec pattern).
+    "q_dup_spans" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(
+        |    regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '),
+        |    x -> x <> '') AS words
+        |  FROM documents
+        |), cng AS (
+        |  SELECT doc_id, array_to_string(words[i:i+12], ' ') AS ng
+        |  FROM w, LATERAL (SELECT unnest(range(1, len(words) - 11)) AS i) t
+        |  WHERE len(words) >= 13
+        |), sh AS (
+        |  SELECT ng FROM cng GROUP BY ng HAVING COUNT(DISTINCT doc_id) >= 2
+        |), pd AS (
+        |  SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+        |    CAST(COUNT(s.ng) AS BIGINT) AS n_shared
+        |  FROM cng c LEFT JOIN sh s USING (ng) GROUP BY c.doc_id
+        |)
+        |SELECT d.doc_id, COALESCE(pd.n_windows, 0) AS n_windows,
+        |  COALESCE(pd.n_shared, 0) AS n_shared,
+        |  CASE WHEN COALESCE(pd.n_windows, 0) = 0 THEN 0.0
+        |       ELSE ROUND(CAST(pd.n_shared AS DOUBLE) / pd.n_windows, 4)
+        |  END AS dup_span_ratio
+        |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
+
+    // Sequence packing: shard hash (q_corpus_shards arithmetic), per-shard
+    // running token offset, 512-token chunk ids
+    "q_pack_chunks" ->
+      """WITH t AS (SELECT doc_id,
+        |    (doc_id * 2654435761) % 4294967296 % 8 AS shard,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, shard, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+        |  FROM t)
+        |SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+        |  CAST(start_off AS BIGINT) AS start_off,
+        |  CAST(FLOOR(start_off / 512) AS BIGINT) AS first_pack,
+        |  CAST(CASE WHEN n_tokens = 0 THEN FLOOR(start_off / 512)
+        |       ELSE FLOOR((start_off + n_tokens - 1) / 512)
+        |  END AS BIGINT) AS last_pack
+        |FROM c""".stripMargin,
+
+    "q_pack_manifest" ->
+      """WITH t AS (SELECT doc_id,
+        |    (doc_id * 2654435761) % 4294967296 % 8 AS shard,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, shard, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+        |  FROM t),
+        |ch AS (SELECT doc_id, shard, n_tokens, start_off,
+        |    CAST(FLOOR(start_off / 512) AS BIGINT) AS first_pack,
+        |    CAST(FLOOR((start_off + n_tokens - 1) / 512) AS BIGINT) AS last_pack
+        |  FROM c WHERE n_tokens > 0),
+        |x AS (SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+        |    start_off, unnest(range(first_pack, last_pack + 1)) AS pack
+        |  FROM ch)
+        |SELECT doc_id, shard, pack,
+        |  CAST(GREATEST(start_off - pack * 512, 0) AS BIGINT) AS begin,
+        |  CAST(LEAST(start_off + n_tokens - pack * 512, 512) AS BIGINT) AS "end"
+        |FROM x""".stripMargin,
+
+    // As-of join oracled by DuckDB's NATIVE ASOF JOIN (an independent
+    // implementation of the same inclusive backward-match semantics)
+    "q_asof_join" ->
+      """WITH c AS (SELECT user_id, ts, MAX(event_id) AS click_id,
+        |    ROUND(arg_max(value, event_id), 4) AS click_value
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+        |SELECT e.event_id, e.user_id, c.click_id, c.click_value
+        |FROM events e ASOF LEFT JOIN c
+        |  ON e.user_id = c.user_id AND e.ts >= c.ts""".stripMargin,
 
     // quotaSample's multiplicative-hash rank is plain BIGINT arithmetic,
     // so the deterministic sample replays as a window rank

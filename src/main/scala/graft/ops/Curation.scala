@@ -69,31 +69,94 @@ object Curation {
   def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
                     evalSet: DataFrame, evalTextCol: String,
                     n: Int = 13, hashed: Boolean = true): DataFrame = {
-    def key(c: Column): Column = if (hashed) xxhash64(c) else c
-    // n-gram generation without any higher-order function: explode the
-    // start-position sequence, then slice+join the materialized word
-    // array per output row — every expression here codegens, vs the
-    // transform-lambda form whose interpreted path dominated the runtime
-    // (measured 1.17 s → 0.79 s at bench scale for 190k n-grams; 10.7 s
-    // for the original form that captured the normWords subtree).
-    def ngRows(df: DataFrame, ids: Seq[String], textCol: String): DataFrame = {
-      val idc = ids.map(col)
-      df.select(idc :+ normWords(col(textCol)).as("_w"): _*)
-        .select(idc :+ col("_w") :+
-          explode(when(size(col("_w")) >= n,
-            sequence(lit(1), size(col("_w")) - (n - 1)))
-            .otherwise(array().cast("array<int>"))).as("_i"): _*)
-        .select(idc :+
-          key(array_join(slice(col("_w"), col("_i"), lit(n)), " ")).as("ng"): _*)
-    }
-    val evalNg = ngRows(evalSet.select(col(evalTextCol)), Nil, evalTextCol)
+    val evalNg = ngramRows(evalSet.select(col(evalTextCol)), Nil, evalTextCol,
+        n, hashed)
       .distinct()
-    ngRows(corpus.select(col(idCol).as("doc_id"), col(textCol)),
-        Seq("doc_id"), textCol)
+    ngramRows(corpus.select(col(idCol).as("doc_id"), col(textCol)),
+        Seq("doc_id"), textCol, n, hashed)
       .join(broadcast(evalNg), Seq("ng"))
       .groupBy(col("doc_id"))
       .agg(count_distinct(col("ng")).as("n_hits"))
   }
+
+  /** One row per n-gram POSITION of each document: (ids..., ng). n-gram
+    * generation without any higher-order function: explode the
+    * start-position sequence, then slice+join the materialized word
+    * array per output row — every expression here codegens, vs the
+    * transform-lambda form whose interpreted path dominated the runtime
+    * (measured 1.17 s → 0.79 s at bench scale for 190k n-grams; 10.7 s
+    * for the original form that captured the normWords subtree).
+    * `hashed=true` emits xxhash64 of the n-gram (8-byte keys through every
+    * downstream exchange).
+    */
+  private def ngramRows(df: DataFrame, ids: Seq[String], textCol: String,
+                        n: Int, hashed: Boolean): DataFrame = {
+    def key(c: Column): Column = if (hashed) xxhash64(c) else c
+    val idc = ids.map(col)
+    df.select(idc :+ normWords(col(textCol)).as("_w"): _*)
+      .select(idc :+ col("_w") :+
+        explode(when(size(col("_w")) >= n,
+          sequence(lit(1), size(col("_w")) - (n - 1)))
+          .otherwise(array().cast("array<int>"))).as("_i"): _*)
+      .select(idc :+
+        key(array_join(slice(col("_w"), col("_i"), lit(n)), " ")).as("ng"): _*)
+  }
+
+  /** Intra-corpus duplicate-span signal (the cross-document exact-substring
+    * dedup of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", approximated at n-gram granularity): for every
+    * document, the fraction of its word n-gram windows that also occur in
+    * at least one OTHER document. Self-repetition inside a document does
+    * NOT count (that is [[dupWordRatio]]'s job) — a window is "shared" iff
+    * its n-gram appears in ≥ 2 distinct documents. Returns every corpus
+    * row: (doc_id, n_windows, n_shared, dup_span_ratio), zeros for
+    * documents shorter than n words.
+    *
+    * Scale shape: two shuffles of the n-gram stream, both on 8-byte hashed
+    * keys (`hashed=true`) — one groupBy(ng) to find the shared set, one
+    * join marking each position — then a per-doc hash aggregate. The
+    * shared-ngram frame is only the DUPLICATED n-grams (rare in a healthy
+    * corpus), so AQE turns the mark join into a broadcast when it is small.
+    * No all-pairs doc×doc comparison anywhere.
+    */
+  def dupSpans(corpus: DataFrame, idCol: String, textCol: String,
+               n: Int = 13, hashed: Boolean = true): DataFrame = {
+    val ng = ngramRows(corpus.select(col(idCol).as("doc_id"), col(textCol)),
+      Seq("doc_id"), textCol, n, hashed)
+    val shared = ng.groupBy(col("ng"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2)
+      .select(col("ng"), lit(1).as("_hit"))
+    val perDoc = ng.join(shared, Seq("ng"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"), count(col("_hit")).as("n_shared"))
+    corpus.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        when(coalesce(col("n_windows"), lit(0L)) === 0, lit(0.0))
+          .otherwise(round(col("n_shared").cast("double") /
+            col("n_windows").cast("double"), 4)).as("dup_span_ratio"))
+  }
+
+  /** Leakage-safe train/val/test assignment: split membership is decided
+    * by the near-dup CLUSTER representative, not the document id, so two
+    * near-duplicates can never straddle train and test (the eval-leakage
+    * failure mode of naive per-doc splitting). `pairs` is any near-dup
+    * pair frame (minhash/simhash/embedding); components come from
+    * [[Dedup.clusters]] (singletons form their own), and the component's
+    * minimum id feeds the same deterministic [[splitAssign]] arithmetic as
+    * per-doc splitting — so the assignment stays stable when new documents
+    * join an existing cluster. Output: (idCol, comp, split).
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+                       splits: Seq[(String, Double)],
+                       aCol: String = "id_a",
+                       bCol: String = "id_b"): DataFrame =
+    Dedup.clusters(df, idCol, pairs, aCol, bCol)
+      .select(col(idCol), col("comp"),
+        splitAssign(col("comp"), splits).as("split"))
 
   /** Gopher-style repetition signal over a materialized word array:
     * fraction of word occurrences that are repeats of an earlier word

@@ -210,4 +210,61 @@ class CurationSpec extends SparkTestBase {
     assert(!plan.contains("Window"), plan.take(2000))
     assert(!plan.contains("SinglePartition"), plan.take(2000))
   }
+
+  test("dupSpans: cross-doc windows count, self-repetition does not") {
+    val w13 = evalWords.take(13).mkString(" ")
+    val corpus = Seq(
+      (0L, evalWords.take(14).mkString(" ")), // 2 windows, 1 shared (w13)
+      (1L, w13),                              // 1 window, shared with 0 and 3
+      (2L, "totally different words that appear nowhere else at all " +
+        "padding padding padding padding"),   // windows, none shared
+      (3L, w13 + " " + w13),                  // self-repeat AND cross-doc
+      (4L, "short doc")                       // < 13 words → zeros
+    ).toDF("doc_id", "text")
+    val got = Curation.dupSpans(corpus, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // doc 3 has 14 windows (26 words); windows containing only its own
+    // doubled text still match doc 0/1's w13 only when the exact 13-gram
+    // recurs across docs — the first window and the window starting at
+    // word 14 equal w13; intermediate windows wrap around the seam and
+    // exist nowhere else.
+    assert(got(0) === ((0L, 2L, 1L, 0.5)))
+    assert(got(1) === ((1L, 1L, 1L, 1.0)))
+    assert(got(2)._3 === 0L && got(2)._4 === 0.0)
+    val d3 = got(3)
+    assert(d3._2 === 14L && d3._3 === 2L &&
+      d3._4 === math.rint(2.0 / 14.0 * 10000) / 10000)
+    assert(got(4) === ((4L, 0L, 0L, 0.0)))
+  }
+
+  test("dupSpans: hashed ≡ string keys on real docs; all rows covered") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val h = Curation.dupSpans(docs, "doc_id", "text", hashed = true)
+      .orderBy("doc_id").collect().toSeq
+    val s = Curation.dupSpans(docs, "doc_id", "text", hashed = false)
+      .orderBy("doc_id").collect().toSeq
+    assert(h === s)
+    assert(h.size === docs.count())
+  }
+
+  test("leakageSafeSplit: clusters land whole in one split") {
+    val docs = (0L until 40L).toDF("doc_id")
+    // chain 0-1-2, pair 10-11, the rest singletons
+    val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Curation.leakageSafeSplit(docs, "doc_id", pairs,
+      Seq("train" -> 0.5, "test" -> 0.5))
+      .as[(Long, Long, String)].collect().toSeq
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(0L)._2 === 0L && byId(1L)._2 === 0L && byId(2L)._2 === 0L)
+    assert(byId(0L)._3 === byId(1L)._3 && byId(1L)._3 === byId(2L)._3)
+    assert(byId(10L)._3 === byId(11L)._3)
+    // split of a clustered doc == split its representative would get alone
+    val solo = Curation.splitAssign(col("doc_id"),
+      Seq("train" -> 0.5, "test" -> 0.5))
+    val rep = docs.where($"doc_id" === 0L).select(solo).head().getString(0)
+    assert(byId(2L)._3 === rep)
+    // singletons cover both splits on 40 ids (sanity: not all one bucket)
+    assert(out.map(_._3).distinct.size === 2)
+  }
 }

@@ -1,0 +1,81 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class PackingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // one shard so the stream is a single deterministic sequence
+  private lazy val docs = Seq(
+    (0L, 100L), (1L, 500L), (2L, 0L), (3L, 512L), (4L, 1L)
+  ).toDF("doc_id", "n_tokens")
+
+  test("packChunks: offsets are the running sum, chunk ids bracket the span") {
+    val out = Packing.packChunks(docs, "doc_id", "n_tokens",
+      budget = 512, nShards = 1)
+      .orderBy("doc_id")
+      .select("doc_id", "start_off", "first_pack", "last_pack")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (0L, 0L, 0L, 0L),     // [0,100) in pack 0
+      (1L, 100L, 0L, 1L),   // [100,600) straddles packs 0-1
+      (2L, 600L, 1L, 1L),   // empty doc sits at its offset
+      (3L, 600L, 1L, 2L),   // [600,1112) straddles 1-2
+      (4L, 1112L, 2L, 2L))) // [1112,1113)
+  }
+
+  test("packChunks is deterministic across partitionings") {
+    val big = spark.range(0, 1000)
+      .select($"id".as("doc_id"), ($"id" % 97 + 1).as("n_tokens"))
+    val a = Packing.packChunks(big, "doc_id", "n_tokens", 256, 8)
+      .orderBy("doc_id").collect().toSeq
+    val b = Packing.packChunks(big.repartition(13), "doc_id", "n_tokens",
+      256, 8).orderBy("doc_id").collect().toSeq
+    assert(a === b)
+    // shard-local streams are contiguous: per shard, offsets are the
+    // running sum in doc_id order with no gaps
+    val byShard = a.groupBy(_.getLong(1))
+    byShard.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(0))
+      var off = 0L
+      sorted.foreach { r =>
+        assert(r.getLong(3) === off, s"offset gap at doc ${r.getLong(0)}")
+        off += r.getLong(2) // n_tokens
+      }
+    }
+  }
+
+  test("packManifest: spans partition each pack, boundaries at the budget") {
+    val m = Packing.packManifest(
+      Packing.packChunks(docs, "doc_id", "n_tokens", 512, 1), "doc_id", 512)
+      .orderBy("doc_id", "pack")
+      .select("doc_id", "pack", "begin", "end")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(m === Seq(
+      (0L, 0L, 0L, 100L),
+      (1L, 0L, 100L, 512L), (1L, 1L, 0L, 88L),
+      (3L, 1L, 88L, 512L), (3L, 2L, 0L, 88L),
+      (4L, 2L, 88L, 89L)))
+    // every pack's spans tile [0, fill) without overlap
+    m.groupBy(_._2).foreach { case (_, spans) =>
+      val sorted = spans.sortBy(_._3)
+      sorted.sliding(2).foreach {
+        case Seq((_, _, _, e), (_, _, b, _)) => assert(e === b)
+        case _ =>
+      }
+    }
+    // zero-token docs emit no manifest rows
+    assert(!m.exists(_._1 == 2L))
+  }
+
+  test("total manifest tokens == total corpus tokens") {
+    val big = spark.range(0, 500)
+      .select($"id".as("doc_id"), ($"id" % 37).as("n_tokens"))
+    val packed = Packing.packChunks(big, "doc_id", "n_tokens", 128, 4)
+    val manifestTokens = Packing.packManifest(packed, "doc_id", 128)
+      .agg(sum($"end" - $"begin")).head().getLong(0)
+    val corpusTokens = big.agg(sum($"n_tokens")).head().getLong(0)
+    assert(manifestTokens === corpusTokens)
+  }
+}
