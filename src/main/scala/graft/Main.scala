@@ -19,6 +19,10 @@ object Main {
     val spark = Pipeline.defaultSession(
       master = sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
     spark.sparkContext.setLogLevel("WARN")
+    // config-driven sink predicates may call the library's SQL functions
+    // (grok_extract, topk_by_score); on a cluster the same registration
+    // comes from --conf spark.sql.extensions=graft.GraftExtensions
+    GraftFunctions.registerAll(spark)
 
     // a config with a "pipelines" object is a multi-pipeline service
     // topology (reference: service/builder); run it and exit

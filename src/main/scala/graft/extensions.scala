@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL registration for the library's custom Catalyst functions, so
+  * config-driven predicates (`PipelineConfig` sink SQL) and plain
+  * `spark.sql(...)` can call them — not just the Column API:
+  *
+  *  - `grok_extract(text, pattern)` → struct of named groups
+  *    ([[graft.expr.GrokExtract]], codegen'd one-pass multi-group regex)
+  *  - `topk_by_score(score, id, k)` → array<struct<id,score>>
+  *    ([[graft.expr.TopKByScore]], bounded k-entry partial aggregate)
+  */
+object GraftFunctions {
+
+  private def arity(name: String, exprs: Seq[Expression], n: Int): Unit =
+    require(exprs.length == n,
+      s"$name expects $n arguments, got ${exprs.length}")
+
+  val grokExtract: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("grok_extract"),
+    new ExpressionInfo(classOf[graft.expr.GrokExtract].getName, "grok_extract"),
+    { exprs =>
+      arity("grok_extract", exprs, 2)
+      graft.expr.GrokExtract(exprs.head, exprs(1))
+    })
+
+  val topkByScore: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("topk_by_score"),
+    new ExpressionInfo(classOf[graft.expr.TopKByScore].getName, "topk_by_score"),
+    { exprs =>
+      arity("topk_by_score", exprs, 3)
+      // k parameterizes the aggregation BUFFER, so it must be a compile-
+      // time constant, exactly like approx_percentile's accuracy argument
+      require(exprs(2).foldable,
+        "topk_by_score: k must be a literal integer")
+      val k = exprs(2).eval() match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"topk_by_score: k must be an integer literal, got $other")
+      }
+      // bare AggregateFunction: the analyzer wraps it in AggregateExpression
+      graft.expr.TopKByScore(exprs.head, exprs(1), k)
+    })
+
+  /** Register both functions on an existing session (the `Main`/test
+    * path; temp functions live for the session).
+    */
+  def registerAll(spark: SparkSession): Unit =
+    Seq(grokExtract, topkByScore).foreach { case (id, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(id.funcName, builder, "built-in")
+    }
+}
+
+/** Deployment entry point for clusters: ship the jar and set
+  * `spark-submit --conf spark.sql.extensions=graft.GraftExtensions` — every
+  * session then has the library's SQL functions without any code calling
+  * a register method (the standard Spark extension-injection contract).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftFunctions.grokExtract)
+    ext.injectFunction(GraftFunctions.topkByScore)
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+class ExtensionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("registerAll: SQL grok_extract ≡ Column API") {
+    GraftFunctions.registerAll(spark)
+    Seq("tool=search status=E500 latency=31ms", "no match here")
+      .toDF("text").createOrReplaceTempView("ext_turns")
+    val viaSql = spark.sql(
+      """SELECT grok_extract(text,
+        |  'tool=(?<tname>[a-z]+) status=(?<stat>E[0-9]{3})').tname AS tname
+        |FROM ext_turns""".stripMargin)
+      .as[String].collect().toSeq
+    val viaCol = spark.table("ext_turns")
+      .select(graft.expr.GrokExtract.grok_extract($"text",
+        "tool=(?<tname>[a-z]+) status=(?<stat>E[0-9]{3})")
+        .getField("tname").as("tname"))
+      .as[String].collect().toSeq
+    assert(viaSql === viaCol)
+    assert(viaSql === Seq("search", null))
+  }
+
+  test("registerAll: SQL topk_by_score aggregate ≡ Column API") {
+    GraftFunctions.registerAll(spark)
+    (0L until 100L).map(i => (i % 3, i, (i % 17).toDouble))
+      .toDF("g", "id", "score").createOrReplaceTempView("ext_scores")
+    val viaSql = spark.sql(
+      "SELECT g, topk_by_score(score, id, 4) AS picks FROM ext_scores GROUP BY g")
+      .orderBy("g").collect().toSeq
+    val viaCol = spark.table("ext_scores")
+      .groupBy($"g")
+      .agg(graft.expr.TopKByScore.topk_by_score($"score", $"id", 4).as("picks"))
+      .orderBy("g").collect().toSeq
+    assert(viaSql === viaCol)
+    // non-literal k is rejected with the contract message
+    val e = intercept[Exception] {
+      spark.sql("SELECT topk_by_score(score, id, id + 1) FROM ext_scores").collect()
+    }
+    assert(e.getMessage.contains("k must be a literal"))
+  }
+
+  test("GraftExtensions injects both functions into a fresh session") {
+    // build a sibling session over the same SparkContext with the
+    // extension applied the way spark-submit's spark.sql.extensions does
+    val prior = spark // keep the shared session object alive
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val withExt = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions())
+        .getOrCreate()
+      try {
+        import withExt.implicits._
+        val got = withExt.sql(
+          "SELECT grok_extract('a=7', 'a=(?<v>[0-9]+)').v AS v").as[String].head()
+        assert(got === "7")
+        Seq((1L, 2.0), (2L, 1.0), (3L, 3.0)).toDF("id", "score")
+          .createOrReplaceTempView("ext2")
+        val top = withExt.sql(
+          "SELECT topk_by_score(score, id, 1) AS p FROM ext2")
+          .select(element_at($"p", 1).getField("id")).head().getLong(0)
+        assert(top === 3L)
+      } finally {
+        // the sibling shares the SparkContext — do not stop() it
+      }
+    } finally {
+      SparkSession.setDefaultSession(prior)
+      SparkSession.setActiveSession(prior)
+    }
+  }
+}
