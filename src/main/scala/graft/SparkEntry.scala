@@ -513,6 +513,15 @@ object SparkEntry {
           "doc_id", "n_tokens", budget = 512, nShards = 8),
         "doc_id", budget = 512)),
 
+    // Greedy whole-doc packing (first-fit in id order per shard; docs
+    // never split) — the sequential-recurrence variant, oracled by a
+    // DuckDB recursive CTE replaying the same fill state
+    "q_pack_greedy" -> ((s, d) =>
+      graft.ops.Packing.packGreedy(
+        t(s, d, "documents").select(col("doc_id"),
+          graft.ops.TextAnalysis.tokenCountWs(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", budget = 512, nShards = 8)),
+
     // As-of join: enrich every event with the user's latest click at or
     // before the event time (union + running-window strategy; DuckDB's
     // native ASOF JOIN is the independent oracle)
@@ -986,6 +995,33 @@ object SparkEntry {
         |  CAST(GREATEST(start_off - pack * 512, 0) AS BIGINT) AS begin,
         |  CAST(LEAST(start_off + n_tokens - pack * 512, 512) AS BIGINT) AS "end"
         |FROM x""".stripMargin,
+
+    // Greedy packing: the first-fit fill recurrence replayed row-by-row
+    // with a recursive CTE stepping each shard's rank order in lockstep
+    "q_pack_greedy" ->
+      """WITH RECURSIVE t AS (SELECT doc_id,
+        |    (doc_id * 2654435761) % 4294967296 % 8 AS shard,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |s AS (SELECT doc_id, shard, n_tokens,
+        |    ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+        |  FROM t),
+        |g(shard, rn, doc_id, n_tokens, pack, fill) AS (
+        |  SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+        |  FROM s WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.shard, s.rn, s.doc_id, s.n_tokens,
+        |    CASE WHEN g.fill > 0 AND s.n_tokens > 0
+        |              AND g.fill + s.n_tokens > 512
+        |         THEN g.pack + 1 ELSE g.pack END,
+        |    CASE WHEN g.fill > 0 AND s.n_tokens > 0
+        |              AND g.fill + s.n_tokens > 512
+        |         THEN s.n_tokens ELSE g.fill + s.n_tokens END
+        |  FROM g JOIN s ON s.shard = g.shard AND s.rn = g.rn + 1
+        |)
+        |SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens, pack,
+        |  fill - n_tokens AS pack_off
+        |FROM g""".stripMargin,
 
     // As-of join oracled by DuckDB's NATIVE ASOF JOIN (an independent
     // implementation of the same inclusive backward-match semantics)

@@ -49,6 +49,50 @@ object Packing {
           .as("last_pack"))
   }
 
+  /** Greedy whole-document packing (first-fit in id order): documents are
+    * never split — a doc that would overflow the current pack starts a new
+    * one (the SFT-example layout, where an example must stay contiguous).
+    * An oversized doc (> budget) gets a pack to itself. Zero-token docs
+    * join the current pack without ever forcing a new one. Output:
+    * (idCol, shard, n_tokens, pack, pack_off) with pack ids shard-local
+    * and pack_off = the doc's token offset within its pack.
+    *
+    * The fill state is a SEQUENTIAL recurrence (each doc's pack depends on
+    * every predecessor's fit decision), not a prefix sum — so no window
+    * expresses it, and this is the one place in the library that earns
+    * `mapPartitions`: repartition by shard, sort within partitions by
+    * (shard, id), and stream each partition once with O(1) state, resetting
+    * at shard boundaries. Same scale shape as [[packChunks]]: shards bound
+    * both the sort and the sequential scan, and are independent.
+    */
+  def packGreedy(df: DataFrame, idCol: String, tokenCol: String,
+                 budget: Int, nShards: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df
+      .select(col(idCol).cast("long").as("_1"),
+        Curation.shardAssign(col(idCol), nShards).as("_2"),
+        col(tokenCol).cast("long").as("_3"))
+      .as[(Long, Long, Long)]
+      .repartition(col("_2"))
+      .sortWithinPartitions("_2", "_1")
+      .mapPartitions { rows =>
+        var shard = -1L
+        var pack = 0L
+        var fill = 0L
+        rows.map { case (id, sh, n) =>
+          if (sh != shard) { shard = sh; pack = 0L; fill = 0L }
+          if (fill > 0 && n > 0 && fill + n > budget) { pack += 1; fill = 0L }
+          val off = fill
+          fill += n
+          (id, sh, n, pack, off)
+        }
+      }
+      .toDF(idCol, "shard", "n_tokens", "pack", "pack_off")
+  }
+
   /** Per-pack manifest: explode [[packChunks]] into one row per
     * (shard, pack, document) span — `begin`/`end` are the document's token
     * range WITHIN the pack (end exclusive; the pack reader's seek list).

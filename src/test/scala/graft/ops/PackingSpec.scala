@@ -69,6 +69,43 @@ class PackingSpec extends SparkTestBase {
     assert(!m.exists(_._1 == 2L))
   }
 
+  test("packGreedy: first-fit, oversized doc isolated, zero-token joins") {
+    val seq = Seq(
+      (0L, 300L), // pack 0, off 0
+      (1L, 200L), // fits: pack 0, off 300 (fill 500)
+      (2L, 100L), // 500+100 > 512 → pack 1, off 0
+      (3L, 0L),   // zero-token: stays in pack 1, off 100
+      (4L, 700L), // oversized: 100+700 > 512 → pack 2 alone, off 0
+      (5L, 10L),  // 700+10 > 512 → pack 3, off 0
+      (6L, 502L)  // 10+502 = 512 fits exactly: pack 3, off 10
+    ).toDF("doc_id", "n_tokens")
+    val got = Packing.packGreedy(seq, "doc_id", "n_tokens", 512, 1)
+      .orderBy("doc_id")
+      .select("doc_id", "pack", "pack_off")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((0L, 0L, 0L), (1L, 0L, 300L), (2L, 1L, 0L),
+      (3L, 1L, 100L), (4L, 2L, 0L), (5L, 3L, 0L), (6L, 3L, 10L)))
+  }
+
+  test("packGreedy: deterministic, packs within budget, ids contiguous") {
+    val big = spark.range(0, 2000)
+      .select($"id".as("doc_id"), ($"id" % 213).as("n_tokens"))
+    val a = Packing.packGreedy(big, "doc_id", "n_tokens", 256, 8)
+      .orderBy("doc_id").collect().toSeq
+    val b = Packing.packGreedy(big.repartition(17), "doc_id", "n_tokens",
+      256, 8).orderBy("doc_id").collect().toSeq
+    assert(a === b)
+    // no doc here exceeds the budget → every pack's fill ≤ budget,
+    // and each pack's docs form a contiguous id run within the shard
+    a.groupBy(r => (r.getLong(1), r.getLong(3))).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(2)).sum <= 256)
+    }
+    a.groupBy(_.getLong(1)).foreach { case (_, rows) =>
+      val packsInIdOrder = rows.sortBy(_.getLong(0)).map(_.getLong(3))
+      assert(packsInIdOrder === packsInIdOrder.sorted)
+    }
+  }
+
   test("total manifest tokens == total corpus tokens") {
     val big = spark.range(0, 500)
       .select($"id".as("doc_id"), ($"id" % 37).as("n_tokens"))
