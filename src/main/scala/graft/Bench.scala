@@ -130,7 +130,27 @@ object Bench {
       (s, b)
     } catch { case _: Throwable => (-1.0, (0L, 0L, 0L)) }
 
-    val all = results :+ ("pipeline_e2e" -> pipeSec) :+
+    // corpus-curation end-to-end: dedup → clusters → decontamination →
+    // quality → mixture → redaction → shard/split, one survivor filter
+    // pass + one attrition aggregation (CurationPipeline's design claim,
+    // timed here as a whole)
+    def curationRun(): Double = {
+      import org.apache.spark.sql.functions.col
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      time {
+        val (curated, _) = graft.ops.CurationPipeline.curate(
+          docs, "doc_id", "text", "lang",
+          evalSet = Some(docs.where(col("doc_id") % 7 === 0)))
+        curated.count()
+      }
+    }
+    val curSec = try {
+      curationRun() // warm
+      math.min(curationRun(), curationRun())
+    } catch { case _: Throwable => -1.0 }
+
+    val all = results :+ ("curation_e2e" -> curSec) :+
+      ("pipeline_e2e" -> pipeSec) :+
       ("pipeline_bucketed" -> bktSec)
     val qs = all.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

@@ -94,6 +94,31 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(eB.getMessage.contains("duplicate snapshot"))
   }
 
+  test("asofBroadcast enriches a STREAM: micro-batched ≡ batch") {
+    // the broadcast strategy is stateless per row, so it drops straight
+    // into a streaming pipeline (the slowly-changing-dim enrich at ingest)
+    val inputDir = tmpDir("asof-in")
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val left = events.select($"event_id", $"user_id", $"ts")
+    left.repartition(4).write.mode("overwrite").parquet(inputDir)
+    val clicks = events.where($"event_type" === "click")
+      .groupBy($"user_id", $"ts").agg(max($"event_id").as("click_id"))
+    val stream = spark.readStream.schema(left.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inputDir)
+    val q = AsOfJoin.asofBroadcast(stream, clicks, Seq("user_id"),
+        "ts", "ts", Seq("click_id"))
+      .writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("asof_stream").orderBy("event_id")
+      .collect().toSeq
+    val batch = AsOfJoin.asofBroadcast(left, clicks, Seq("user_id"),
+      "ts", "ts", Seq("click_id")).orderBy("event_id").collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("asofBroadcast plan: BroadcastHashJoin, no fact-side exchange") {
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val clicks = events.where($"event_type" === "click")
