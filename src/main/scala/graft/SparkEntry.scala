@@ -511,7 +511,7 @@ object SparkEntry {
           t(s, d, "documents").select(col("doc_id"),
             graft.ops.TextAnalysis.tokenCountWs(col("text")).as("n_tokens")),
           "doc_id", "n_tokens", budget = 512, nShards = 8),
-        "doc_id", budget = 512)),
+        "doc_id")),
 
     // Greedy whole-doc packing (first-fit in id order per shard; docs
     // never split) — the sequential-recurrence variant, oracled by a
@@ -972,7 +972,8 @@ object SparkEntry {
         |  CAST(FLOOR(start_off / 512) AS BIGINT) AS first_pack,
         |  CAST(CASE WHEN n_tokens = 0 THEN FLOOR(start_off / 512)
         |       ELSE FLOOR((start_off + n_tokens - 1) / 512)
-        |  END AS BIGINT) AS last_pack
+        |  END AS BIGINT) AS last_pack,
+        |  CAST(512 AS INT) AS budget
         |FROM c""".stripMargin,
 
     "q_pack_manifest" ->

@@ -30,8 +30,11 @@ import org.apache.spark.sql.functions._
   * (key, rightTime): a duplicate snapshot instant would make the winner
   * order-dependent, so both paths `raise_error` on one instead of
   * returning whichever row a task happened to see last — pre-aggregate
-  * snapshots to one row per instant. Left rows with a null time never
-  * match (nulls-first window order puts them before every snapshot).
+  * snapshots to one row per instant. A NULL snapshot instant is rejected
+  * the same way (a timeless snapshot has no place on a timeline; silently
+  * dropping it — or matching it to everything, which is what a naive
+  * nulls-first window would do — both hide a data bug). Left rows with a
+  * null time never match.
   */
 object AsOfJoin {
 
@@ -53,8 +56,11 @@ object AsOfJoin {
     val lPart = left.select(keyed :+ col(leftTime).as("_t") :+
       lit(1).as("_side") :+ lStruct.as("_l") :+
       lit(null).cast(pType).as("_p"): _*)
+    // null snapshot instants rejected inline: _t is consumed by the window
+    // sort, so the guard cannot be pruned away
     val rPart = right
-      .select(keyed :+ col(rightTime).as("_t") :+ lit(0).as("_side") :+
+      .select(keyed :+ nullGuard(col(rightTime)).as("_t") :+
+        lit(0).as("_side") :+
         lit(null).cast(lType).as("_l") :+ pStruct.as("_p"): _*)
     // right sorts before left at equal _t (side 0 < 1) → inclusive match.
     // The duplicate-instant guard rides the SAME partitioning + sort: a lag
@@ -67,8 +73,10 @@ object AsOfJoin {
     // no result could have depended on it.
     val w = Window.partitionBy(keyed: _*).orderBy(col("_t"), col("_side"))
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // <=> (null-safe) for defense in depth — nulls can't reach here past
+    // the nullGuard, but a plain === would silently skip them if they did
     val dupSnapshot = col("_side") === 0 && lag(col("_side"), 1).over(w) === 0 &&
-      lag(col("_t"), 1).over(w) === col("_t")
+      (lag(col("_t"), 1).over(w) <=> col("_t"))
     val checked = when(col("_dupSeen") === 1, raise_error(lit(
         "as-of right side has duplicate snapshot instants")).cast(pType))
       .otherwise(col("_asof"))
@@ -92,7 +100,7 @@ object AsOfJoin {
     require(keyCols.nonEmpty, "as-of join needs at least one key column")
     // sort_array orders structs lexicographically — _rt first ⇒ time order
     val sortedTl = sort_array(collect_list(
-      struct(col(rightTime).as("_rt") +: payloadCols.map(col): _*)))
+      struct(nullGuard(col(rightTime)).as("_rt") +: payloadCols.map(col): _*)))
     // duplicate-instant guard on the (tiny) aggregated frame: the sorted
     // timeline must have as many distinct instants as entries
     val timeline = right
@@ -113,4 +121,11 @@ object AsOfJoin {
       .select(left.columns.map(col).toSeq ++
         payloadCols.map(c => col("_asof").getField(c).as(c)): _*)
   }
+
+  /** Reject null snapshot instants in place (the value is consumed
+    * downstream, so the check survives column pruning).
+    */
+  private def nullGuard(rt: Column): Column =
+    when(rt.isNull, raise_error(lit(
+      "as-of right side has a NULL snapshot instant"))).otherwise(rt)
 }

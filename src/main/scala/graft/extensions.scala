@@ -38,7 +38,9 @@ object GraftFunctions {
         "topk_by_score: k must be a literal integer")
       val k = exprs(2).eval() match {
         case i: Int => i
-        case l: Long => l.toInt
+        case l: Long if l >= 1 && l <= Int.MaxValue => l.toInt
+        case l: Long => throw new IllegalArgumentException(
+          s"topk_by_score: k out of range [1, ${Int.MaxValue}]: $l")
         case other => throw new IllegalArgumentException(
           s"topk_by_score: k must be an integer literal, got $other")
       }

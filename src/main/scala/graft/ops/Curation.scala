@@ -112,24 +112,31 @@ object Curation {
     * row: (doc_id, n_windows, n_shared, dup_span_ratio), zeros for
     * documents shorter than n words.
     *
-    * Scale shape: two shuffles of the n-gram stream, both on 8-byte hashed
-    * keys (`hashed=true`) — one groupBy(ng) to find the shared set, one
-    * join marking each position — then a per-doc hash aggregate. The
-    * shared-ngram frame is only the DUPLICATED n-grams (rare in a healthy
-    * corpus), so AQE turns the mark join into a broadcast when it is small.
-    * No all-pairs doc×doc comparison anywhere.
+    * Scale shape: ONE shingling pass, one LINEAR plan — no self-branch
+    * over the n-gram frame (a branch would re-run the shingle/hash
+    * pipeline, the measured cost center, once per consumer: ReuseExchange
+    * does not fire across the differing sub-aggregations). The stream
+    * collapses to (ng, doc_id, n_pos) with one shuffle; a count window
+    * partitioned by ng marks each collapsed row with its n-gram's distinct-
+    * doc count; a final per-doc aggregate sums windows and shared windows.
+    * Three exchanges total, all of the COLLAPSED frame (≤ one row per
+    * (doc, distinct n-gram), 8-byte hashed keys), never a second corpus
+    * scan. No all-pairs doc×doc comparison anywhere.
     */
   def dupSpans(corpus: DataFrame, idCol: String, textCol: String,
                n: Int = 13, hashed: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ng = ngramRows(corpus.select(col(idCol).as("doc_id"), col(textCol)),
       Seq("doc_id"), textCol, n, hashed)
-    val shared = ng.groupBy(col("ng"))
-      .agg(count_distinct(col("doc_id")).as("nd"))
-      .where(col("nd") >= 2)
-      .select(col("ng"), lit(1).as("_hit"))
-    val perDoc = ng.join(shared, Seq("ng"), "left")
+    val perDocNg = ng.groupBy(col("ng"), col("doc_id"))
+      .agg(count(lit(1)).as("n_pos"))
+    val withNd = perDocNg.withColumn("nd",
+      count(lit(1)).over(Window.partitionBy(col("ng"))))
+    val perDoc = withNd
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_windows"), count(col("_hit")).as("n_shared"))
+      .agg(sum(col("n_pos")).as("n_windows"),
+        sum(when(col("nd") >= 2, col("n_pos")).otherwise(0L))
+          .as("n_shared"))
     corpus.select(col(idCol).as("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -25,7 +25,9 @@ object Packing {
     * `budget`-token chunks of the shard's concatenated stream. A zero-token
     * document gets first_pack = last_pack at its offset. Deterministic in
     * (id, token count) only — identical across runs, partitionings, and
-    * engines.
+    * engines. The budget is stamped into the output (`budget` column) so
+    * downstream consumers ([[packManifest]]) read the value the chunk ids
+    * were actually built with instead of trusting a re-passed parameter.
     *
     * `tokenCol` is any non-negative integer column (e.g.
     * [[TextAnalysis.tokenCountWs]] projected beforehand).
@@ -46,7 +48,8 @@ object Packing {
         floor(col("start_off") / budget).as("first_pack"),
         when(col("_n") === 0, floor(col("start_off") / budget))
           .otherwise(floor((col("start_off") + col("_n") - 1) / budget))
-          .as("last_pack"))
+          .as("last_pack"),
+        lit(budget).as("budget"))
   }
 
   /** Greedy whole-document packing (first-fit in id order): documents are
@@ -97,18 +100,20 @@ object Packing {
     * (shard, pack, document) span — `begin`/`end` are the document's token
     * range WITHIN the pack (end exclusive; the pack reader's seek list).
     * Row count is Σ chunks-per-doc ≈ corpus_tokens/budget + n_docs, so the
-    * explode never amplifies beyond one row per boundary crossed.
+    * explode never amplifies beyond one row per boundary crossed. The
+    * budget comes from the [[packChunks]] output's stamped column — a
+    * re-passed parameter could silently disagree with the chunk ids and
+    * corrupt every span.
     */
-  def packManifest(packed: DataFrame, idCol: String,
-                   budget: Int): DataFrame = {
-    require(budget > 0, s"budget must be positive: $budget")
+  def packManifest(packed: DataFrame, idCol: String): DataFrame =
     packed
       .where(col("n_tokens") > 0)
       .select(col(idCol), col("shard"), col("start_off"), col("n_tokens"),
+        col("budget").cast("long").as("_b"),
         explode(sequence(col("first_pack"), col("last_pack"))).as("pack"))
       .select(col(idCol), col("shard"), col("pack"),
-        greatest(col("start_off") - col("pack") * budget, lit(0L)).as("begin"),
-        least(col("start_off") + col("n_tokens") - col("pack") * budget,
-          lit(budget.toLong)).as("end"))
-  }
+        greatest(col("start_off") - col("pack") * col("_b"), lit(0L))
+          .as("begin"),
+        least(col("start_off") + col("n_tokens") - col("pack") * col("_b"),
+          col("_b")).as("end"))
 }

@@ -94,6 +94,23 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(eB.getMessage.contains("duplicate snapshot"))
   }
 
+  test("a NULL snapshot instant raises on both strategies") {
+    val nullRt = Seq(
+      ("a", null.asInstanceOf[Timestamp], "v0", 0.0),
+      ("a", ts("2024-01-01 11:00:00"), "v1", 1.0)
+    ).toDF("key", "rt", "ver", "x")
+    val eU = intercept[Exception] {
+      AsOfJoin.asofUnion(left, nullRt, Seq("key"), "t", "rt", Seq("ver", "x"))
+        .collect()
+    }
+    assert(eU.getMessage.contains("NULL snapshot instant"))
+    val eB = intercept[Exception] {
+      AsOfJoin.asofBroadcast(left, nullRt, Seq("key"), "t", "rt",
+        Seq("ver", "x")).collect()
+    }
+    assert(eB.getMessage.contains("NULL snapshot instant"))
+  }
+
   test("asofBroadcast enriches a STREAM: micro-batched ≡ batch") {
     // the broadcast strategy is stateless per row, so it drops straight
     // into a streaming pipeline (the slowly-changing-dim enrich at ingest)

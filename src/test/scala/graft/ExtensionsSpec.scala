@@ -41,6 +41,13 @@ class ExtensionsSpec extends SparkTestBase {
       spark.sql("SELECT topk_by_score(score, id, id + 1) FROM ext_scores").collect()
     }
     assert(e.getMessage.contains("k must be a literal"))
+    // an out-of-Int-range BIGINT k is rejected, never silently truncated
+    val e2 = intercept[Exception] {
+      spark.sql(
+        "SELECT topk_by_score(score, id, CAST(4294967297 AS BIGINT)) FROM ext_scores")
+        .collect()
+    }
+    assert(e2.getMessage.contains("k out of range"))
   }
 
   test("GraftExtensions injects both functions into a fresh session") {

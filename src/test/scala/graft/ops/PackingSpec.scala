@@ -48,7 +48,7 @@ class PackingSpec extends SparkTestBase {
 
   test("packManifest: spans partition each pack, boundaries at the budget") {
     val m = Packing.packManifest(
-      Packing.packChunks(docs, "doc_id", "n_tokens", 512, 1), "doc_id", 512)
+      Packing.packChunks(docs, "doc_id", "n_tokens", 512, 1), "doc_id")
       .orderBy("doc_id", "pack")
       .select("doc_id", "pack", "begin", "end")
       .as[(Long, Long, Long, Long)].collect().toSeq
@@ -110,7 +110,7 @@ class PackingSpec extends SparkTestBase {
     val big = spark.range(0, 500)
       .select($"id".as("doc_id"), ($"id" % 37).as("n_tokens"))
     val packed = Packing.packChunks(big, "doc_id", "n_tokens", 128, 4)
-    val manifestTokens = Packing.packManifest(packed, "doc_id", 128)
+    val manifestTokens = Packing.packManifest(packed, "doc_id")
       .agg(sum($"end" - $"begin")).head().getLong(0)
     val corpusTokens = big.agg(sum($"n_tokens")).head().getLong(0)
     assert(manifestTokens === corpusTokens)
