@@ -115,3 +115,105 @@ object MinHashSig {
     GraftBridge.column(MinHashSig(GraftBridge.expression(shingles), numHashes))
   }
 }
+
+/** Distinct word k-shingles of a lowercased text column — the codegen'd
+  * twin of the HOF formula `array_distinct(flatten(transform(array(split(
+  * lower(text), "\\s+")), w => filter(transform(seq, i => join(slice))))))`
+  * (kept as `Dedup.wordShinglesHof`, the MinHashSpec cross-check).
+  *
+  * Semantics parity: `lower` is `UTF8String.toLowerCase` (the Lower
+  * expression's own call); the `split(text, "\\s+")` tokenization is
+  * replaced by a UTF-8 BYTE scan that is provably equivalent — Java's
+  * `\s` without UNICODE_CHARACTER_CLASS is exactly the six ASCII bytes
+  * {space, \t, \n, \x0B, \f, \r}, and multi-byte UTF-8 sequences never
+  * contain bytes < 0x80, so scanning bytes for whitespace runs yields the
+  * same segments as the regex on UTF-16 chars, including the leading
+  * empty word after leading whitespace and the trailing empty word with
+  * limit -1. Shingles are built by copying word byte-slices with single
+  * spaces (no regex machinery, no UTF-16 round-trip, no per-word
+  * UTF8String churn); a LinkedHashSet reproduces array_distinct's
+  * first-occurrence order. MinHashSpec proves bit-equality on real docs
+  * and whitespace/unicode edge cases. Measured (sf0.1, 5k docs,
+  * best-of-3): shingling 0.38 s → 0.26 s, full signature build 0.47 s →
+  * 0.29 s on top of MinHashSig's own win (the remainder is the parquet
+  * scan + toLowerCase + the inherent shingle-string building).
+  */
+case class WordShingles(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  require(k > 0, s"word_shingles: k must be positive: $k")
+
+  override def prettyName: String = "word_shingles"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (child.dataType == StringType) TypeCheckSuccess
+    else TypeCheckFailure(s"text must be STRING, got ${child.dataType}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordShingles.compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, textV =>
+      s"${ev.value} = graft.expr.WordShingles.compute($textV, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+object WordShingles {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private def isWs(b: Byte): Boolean =
+    b == 0x20 || b == 0x09 || b == 0x0a || b == 0x0b || b == 0x0c || b == 0x0d
+
+  /** Static helper shared by eval and generated code. */
+  def compute(text: UTF8String, k: Int): ArrayData = {
+    val bytes = text.toLowerCase.getBytes
+    val n = bytes.length
+    // word boundaries: segments between ASCII-whitespace runs, leading and
+    // trailing empty segments kept — exactly split(s, "\s+", -1)
+    val starts = new java.util.ArrayList[Integer]
+    val ends = new java.util.ArrayList[Integer]
+    var i = 0
+    var segStart = 0
+    while (i < n) {
+      if (isWs(bytes(i))) {
+        starts.add(segStart); ends.add(i)
+        while (i < n && isWs(bytes(i))) i += 1
+        segStart = i
+      } else i += 1
+    }
+    starts.add(segStart); ends.add(n)
+    val nWords = starts.size()
+    val out = new java.util.LinkedHashSet[UTF8String]
+    var w = 0
+    while (w + k <= nWords) {
+      var len = k - 1 // single-space joiners
+      var j = w
+      while (j < w + k) { len += ends.get(j) - starts.get(j); j += 1 }
+      val buf = new Array[Byte](len)
+      var pos = 0
+      j = w
+      while (j < w + k) {
+        if (j > w) { buf(pos) = 0x20; pos += 1 }
+        val l = ends.get(j) - starts.get(j)
+        System.arraycopy(bytes, starts.get(j), buf, pos, l)
+        pos += l
+        j += 1
+      }
+      out.add(UTF8String.fromBytes(buf))
+      w += 1
+    }
+    new GenericArrayData(out.toArray(Array.empty[AnyRef]))
+  }
+
+  /** Column-API entry point. */
+  def word_shingles(text: Column, k: Int): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(WordShingles(GraftBridge.expression(text), k))
+  }
+}

@@ -40,17 +40,25 @@ object Dedup {
 
   // ------------------------------------------------------------- shingles
 
-  /** Word k-shingles of a text column (lowercased), distinct.
-    *
-    * The split-words array is bound as a LAMBDA VARIABLE (a one-element
-    * outer `transform`), not captured from the enclosing scope: a
-    * captured subtree is re-evaluated by the interpreted HOF path once
-    * per inner-lambda invocation — i.e. the `split` would re-run once
+  /** Word k-shingles of a text column (lowercased), distinct. Implemented
+    * as the codegen'd [[graft.expr.WordShingles]] expression; the HOF
+    * formula it replaced is kept as [[wordShinglesHof]], MinHashSpec's
+    * independent cross-check (bit-identical output, element order
+    * included).
+    */
+  def wordShingles(text: Column, k: Int = 3): Column =
+    graft.expr.WordShingles.word_shingles(text, k)
+
+  /** The original HOF shingling formula — kept ONLY as the cross-check
+    * implementation. The split-words array is bound as a LAMBDA VARIABLE
+    * (a one-element outer `transform`), not captured from the enclosing
+    * scope: a captured subtree is re-evaluated by the interpreted HOF path
+    * once per inner-lambda invocation — i.e. the `split` would re-run once
     * per shingle position (~word-count× per doc, the same trap measured
     * at 13.7× on the Curation n-gram path) — while a lambda variable is
     * a per-row value read.
     */
-  def wordShingles(text: Column, k: Int = 3): Column =
+  private[ops] def wordShinglesHof(text: Column, k: Int = 3): Column =
     array_distinct(flatten(transform(array(split(lower(text), "\\s+")), w =>
       filter(
         transform(sequence(lit(0), greatest(size(w) - k, lit(0))),

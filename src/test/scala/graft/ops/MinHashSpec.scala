@@ -25,6 +25,32 @@ class MinHashSpec extends SparkTestBase {
     assert(w5.where($"fast" =!= $"hof").isEmpty)
   }
 
+  test("WordShingles ≡ HOF formula on real documents (order included)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (k <- Seq(1, 3, 5)) {
+      val both = docs.select($"doc_id",
+        Dedup.wordShingles($"text", k).as("fast"),
+        Dedup.wordShinglesHof($"text", k).as("hof"))
+      assert(both.where($"fast" =!= $"hof").isEmpty, s"k=$k")
+    }
+    // edge cases: leading/trailing whitespace (split keeps the leading
+    // empty word), repeated shingles (distinct, first-occurrence order),
+    // unicode case mapping, short/empty text
+    val edge = Seq(
+      "  leading space text here",
+      "trailing space text here  ",
+      "a b c a b c a b c",
+      "ÉCOLE Straße ΣΙΓΜΑ mixed case",
+      "two words",
+      "",
+      "one")
+    val e = edge.toDF("text").select(
+      Dedup.wordShingles($"text", 3).as("fast"),
+      Dedup.wordShinglesHof($"text", 3).as("hof"))
+    e.collect().foreach(r =>
+      assert(r.getSeq[String](0) === r.getSeq[String](1), r.toString))
+  }
+
   test("interpreted and codegen paths agree") {
     val data = Seq(
       "alpha beta gamma delta epsilon zeta",
