@@ -48,11 +48,41 @@ object GraftFunctions {
       graft.expr.TopKByScore(exprs.head, exprs(1), k)
     })
 
-  /** Register both functions on an existing session (the `Main`/test
+  private def literalInt(name: String, arg: String, e: Expression): Int = {
+    require(e.foldable, s"$name: $arg must be a literal integer")
+    e.eval() match {
+      case i: Int => i
+      case l: Long if l >= 1 && l <= Int.MaxValue => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$name: $arg must be an integer literal in [1, ${Int.MaxValue}], got $other")
+    }
+  }
+
+  val wordShingles: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("word_shingles"),
+    new ExpressionInfo(classOf[graft.expr.WordShingles].getName, "word_shingles"),
+    { exprs =>
+      arity("word_shingles", exprs, 2)
+      graft.expr.WordShingles(exprs.head,
+        literalInt("word_shingles", "k", exprs(1)))
+    })
+
+  val minhashSig: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("minhash_sig"),
+    new ExpressionInfo(classOf[graft.expr.MinHashSig].getName, "minhash_sig"),
+    { exprs =>
+      arity("minhash_sig", exprs, 2)
+      graft.expr.MinHashSig(exprs.head,
+        literalInt("minhash_sig", "numHashes", exprs(1)))
+    })
+
+  private def all = Seq(grokExtract, topkByScore, wordShingles, minhashSig)
+
+  /** Register every function on an existing session (the `Main`/test
     * path; temp functions live for the session).
     */
   def registerAll(spark: SparkSession): Unit =
-    Seq(grokExtract, topkByScore).foreach { case (id, _, builder) =>
+    all.foreach { case (id, _, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(id.funcName, builder, "built-in")
     }
@@ -67,5 +97,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.grokExtract)
     ext.injectFunction(GraftFunctions.topkByScore)
+    ext.injectFunction(GraftFunctions.wordShingles)
+    ext.injectFunction(GraftFunctions.minhashSig)
   }
 }

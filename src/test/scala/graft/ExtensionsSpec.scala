@@ -50,6 +50,20 @@ class ExtensionsSpec extends SparkTestBase {
     assert(e2.getMessage.contains("k out of range"))
   }
 
+  test("registerAll: SQL word_shingles + minhash_sig ≡ Column API") {
+    GraftFunctions.registerAll(spark)
+    Seq("alpha beta gamma delta", "short").toDF("text")
+      .createOrReplaceTempView("ext_docs")
+    val viaSql = spark.sql(
+      "SELECT minhash_sig(word_shingles(text, 3), 8) AS sig FROM ext_docs")
+      .collect().map(_.getSeq[Long](0)).toSeq
+    val viaCol = spark.table("ext_docs")
+      .select(graft.ops.Dedup.minhashSignature(
+        graft.ops.Dedup.wordShingles($"text", 3), 8).as("sig"))
+      .collect().map(_.getSeq[Long](0)).toSeq
+    assert(viaSql === viaCol)
+  }
+
   test("GraftExtensions injects both functions into a fresh session") {
     // build a sibling session over the same SparkContext with the
     // extension applied the way spark-submit's spark.sql.extensions does
