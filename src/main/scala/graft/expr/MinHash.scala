@@ -170,38 +170,46 @@ object WordShingles {
   private def isWs(b: Byte): Boolean =
     b == 0x20 || b == 0x09 || b == 0x0a || b == 0x0b || b == 0x0c || b == 0x0d
 
-  /** Static helper shared by eval and generated code. */
+  /** Static helper shared by eval and generated code. Word boundaries are
+    * tracked in a growable interleaved int[] (start, end, start, end, …) —
+    * this is the per-row hot path, so no boxed collections.
+    */
   def compute(text: UTF8String, k: Int): ArrayData = {
     val bytes = text.toLowerCase.getBytes
     val n = bytes.length
     // word boundaries: segments between ASCII-whitespace runs, leading and
     // trailing empty segments kept — exactly split(s, "\s+", -1)
-    val starts = new java.util.ArrayList[Integer]
-    val ends = new java.util.ArrayList[Integer]
+    var bounds = new Array[Int](32)
+    var nb = 0
+    def addSeg(s: Int, e: Int): Unit = {
+      if (nb == bounds.length)
+        bounds = java.util.Arrays.copyOf(bounds, nb * 2)
+      bounds(nb) = s; bounds(nb + 1) = e; nb += 2
+    }
     var i = 0
     var segStart = 0
     while (i < n) {
       if (isWs(bytes(i))) {
-        starts.add(segStart); ends.add(i)
+        addSeg(segStart, i)
         while (i < n && isWs(bytes(i))) i += 1
         segStart = i
       } else i += 1
     }
-    starts.add(segStart); ends.add(n)
-    val nWords = starts.size()
+    addSeg(segStart, n)
+    val nWords = nb / 2
     val out = new java.util.LinkedHashSet[UTF8String]
     var w = 0
     while (w + k <= nWords) {
       var len = k - 1 // single-space joiners
       var j = w
-      while (j < w + k) { len += ends.get(j) - starts.get(j); j += 1 }
+      while (j < w + k) { len += bounds(2 * j + 1) - bounds(2 * j); j += 1 }
       val buf = new Array[Byte](len)
       var pos = 0
       j = w
       while (j < w + k) {
         if (j > w) { buf(pos) = 0x20; pos += 1 }
-        val l = ends.get(j) - starts.get(j)
-        System.arraycopy(bytes, starts.get(j), buf, pos, l)
+        val l = bounds(2 * j + 1) - bounds(2 * j)
+        System.arraycopy(bytes, bounds(2 * j), buf, pos, l)
         pos += l
         j += 1
       }

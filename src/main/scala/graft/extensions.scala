@@ -33,28 +33,24 @@ object GraftFunctions {
     { exprs =>
       arity("topk_by_score", exprs, 3)
       // k parameterizes the aggregation BUFFER, so it must be a compile-
-      // time constant, exactly like approx_percentile's accuracy argument
-      require(exprs(2).foldable,
-        "topk_by_score: k must be a literal integer")
-      val k = exprs(2).eval() match {
-        case i: Int => i
-        case l: Long if l >= 1 && l <= Int.MaxValue => l.toInt
-        case l: Long => throw new IllegalArgumentException(
-          s"topk_by_score: k out of range [1, ${Int.MaxValue}]: $l")
-        case other => throw new IllegalArgumentException(
-          s"topk_by_score: k must be an integer literal, got $other")
-      }
-      // bare AggregateFunction: the analyzer wraps it in AggregateExpression
-      graft.expr.TopKByScore(exprs.head, exprs(1), k)
+      // time constant, exactly like approx_percentile's accuracy argument.
+      // Bare AggregateFunction: the analyzer wraps it in AggregateExpression
+      graft.expr.TopKByScore(exprs.head, exprs(1),
+        literalInt("topk_by_score", "k", exprs(2)))
     })
 
+  /** The ONE literal-int argument parser every builder shares (a
+    * second inline copy would drift on the next range/type fix).
+    */
   private def literalInt(name: String, arg: String, e: Expression): Int = {
     require(e.foldable, s"$name: $arg must be a literal integer")
     e.eval() match {
       case i: Int => i
       case l: Long if l >= 1 && l <= Int.MaxValue => l.toInt
+      case l: Long => throw new IllegalArgumentException(
+        s"$name: $arg out of range [1, ${Int.MaxValue}]: $l")
       case other => throw new IllegalArgumentException(
-        s"$name: $arg must be an integer literal in [1, ${Int.MaxValue}], got $other")
+        s"$name: $arg must be an integer literal, got $other")
     }
   }
 

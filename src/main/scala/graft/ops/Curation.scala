@@ -112,30 +112,46 @@ object Curation {
     * row: (doc_id, n_windows, n_shared, dup_span_ratio), zeros for
     * documents shorter than n words.
     *
-    * Scale shape: ONE shingling pass, one LINEAR plan — no self-branch
-    * over the n-gram frame (a branch would re-run the shingle/hash
-    * pipeline, the measured cost center, once per consumer: ReuseExchange
-    * does not fire across the differing sub-aggregations). The stream
-    * collapses to (ng, doc_id, n_pos) with one shuffle; a count window
-    * partitioned by ng marks each collapsed row with its n-gram's distinct-
-    * doc count; a final per-doc aggregate sums windows and shared windows.
-    * Three exchanges total, all of the COLLAPSED frame (≤ one row per
-    * (doc, distinct n-gram), 8-byte hashed keys), never a second corpus
-    * scan. No all-pairs doc×doc comparison anywhere.
+    * Scale shape: ONE shingling pass and NO hot-key funnel. The n-gram
+    * stream collapses to (ng, doc_id, n_pos) behind one exchange; both
+    * consumers — the shared-set aggregation (partial-agg'd groupBy(ng),
+    * skew-safe) and the mark join probe — read that SAME exchange, which
+    * AQE deduplicates at runtime (CurationSpec gates a ReusedExchange in
+    * the final adaptive plan; the reuse needs the two subtrees canonically
+    * IDENTICAL — see the two guards below), so the shingle/hash pipeline
+    * (the measured cost center) never runs twice. A count WINDOW partitioned
+    * by ng would be the linear-plan alternative, but it funnels every
+    * (hot-ngram, doc) row into one task — a boilerplate n-gram shared by
+    * millions of docs becomes a straggler/OOM — while the groupBy's
+    * map-side partials never concentrate a key. The shared frame is only
+    * the DUPLICATED n-grams (rare in a healthy corpus), so AQE broadcasts
+    * the mark join. No all-pairs doc×doc comparison anywhere.
     */
   def dupSpans(corpus: DataFrame, idCol: String, textCol: String,
                n: Int = 13, hashed: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val ng = ngramRows(corpus.select(col(idCol).as("doc_id"), col(textCol)),
+    // explicit isnotnull(doc_id): the final coverage join infers it into
+    // ONE consumer's scan otherwise, making the two branches' exchange
+    // subtrees non-identical (reuse requires exact canonical equality)
+    val ng = ngramRows(
+      corpus.select(col(idCol).as("doc_id"), col(textCol))
+        .where(col("doc_id").isNotNull),
       Seq("doc_id"), textCol, n, hashed)
     val perDocNg = ng.groupBy(col("ng"), col("doc_id"))
       .agg(count(lit(1)).as("n_pos"))
-    val withNd = perDocNg.withColumn("nd",
-      count(lit(1)).over(Window.partitionBy(col("ng"))))
-    val perDoc = withNd
+    // the n_pos > 0 filter is vacuously true (count ≥ 1 per group) but the
+    // optimizer cannot prove it, so THIS branch keeps the collapsed
+    // aggregate's count instead of pruning it to a bare distinct — which
+    // would make the two consumers' exchanges non-identical and defeat
+    // the ReuseExchange that guarantees the single shingling pass
+    val shared = perDocNg.where(col("n_pos") > 0)
+      .groupBy(col("ng"))
+      .agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= 2)
+      .select(col("ng"), lit(1).as("_hit"))
+    val perDoc = perDocNg.join(shared, Seq("ng"), "left")
       .groupBy(col("doc_id"))
       .agg(sum(col("n_pos")).as("n_windows"),
-        sum(when(col("nd") >= 2, col("n_pos")).otherwise(0L))
+        sum(when(col("_hit").isNotNull, col("n_pos")).otherwise(0L))
           .as("n_shared"))
     corpus.select(col(idCol).as("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")

@@ -64,7 +64,7 @@ class ExtensionsSpec extends SparkTestBase {
     assert(viaSql === viaCol)
   }
 
-  test("GraftExtensions injects both functions into a fresh session") {
+  test("GraftExtensions injects all four functions into a fresh session") {
     // build a sibling session over the same SparkContext with the
     // extension applied the way spark-submit's spark.sql.extensions does
     val prior = spark // keep the shared session object alive
@@ -86,6 +86,10 @@ class ExtensionsSpec extends SparkTestBase {
           "SELECT topk_by_score(score, id, 1) AS p FROM ext2")
           .select(element_at($"p", 1).getField("id")).head().getLong(0)
         assert(top === 3L)
+        val sig = withExt.sql(
+          "SELECT minhash_sig(word_shingles('a b c d', 2), 4) AS s")
+          .head().getSeq[Long](0)
+        assert(sig.length === 4 && sig.forall(_ != Long.MaxValue))
       } finally {
         // the sibling shares the SparkContext — do not stop() it
       }

@@ -42,15 +42,23 @@ class GrokExtractSpec extends SparkTestBase {
       else if (i % 3 == 1) s"garbage $i"
       else s"tool=x_$i status=OK latency=${i * 7}ms trailing"
     }
-    def run(mode: String) = {
+    // wholeStage must ALSO be off for the interpreted leg — factoryMode
+    // only governs projection factories; WSCG calls doGenCode regardless,
+    // so without it this would compare codegen against codegen
+    def run(mode: String, wholeStage: Boolean) = {
       spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      spark.conf.set("spark.sql.codegen.wholeStage", wholeStage)
       try data.toDF("text")
         .withColumn("g", GrokExtract.grok_extract(col("text"), pat))
         .select("text", "g.tool_name", "g.status", "g.latency_ms")
         .collect().map(_.toSeq).toSeq
-      finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      finally {
+        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+        spark.conf.set("spark.sql.codegen.wholeStage", true)
+      }
     }
-    assert(run("NO_CODEGEN") === run("CODEGEN_ONLY"))
+    assert(run("NO_CODEGEN", wholeStage = false) ===
+      run("CODEGEN_ONLY", wholeStage = true))
   }
 
   test("SQL registration works") {

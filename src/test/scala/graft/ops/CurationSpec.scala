@@ -248,6 +248,18 @@ class CurationSpec extends SparkTestBase {
     assert(h.size === docs.count())
   }
 
+  test("dupSpans plan: ONE shingling pass (AQE reuses the n-gram exchange)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val q = Curation.dupSpans(docs, "doc_id", "text")
+    q.collect() // materialize the adaptive plan
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.next().contains("isFinalPlan=true"), plan.take(500))
+    // the (ng, doc_id) collapse exchange must serve BOTH consumers
+    assert(plan.contains("ReusedExchange"), plan.take(4000))
+    // and no per-ng window funnel anywhere
+    assert(!plan.contains("Window"), plan.take(4000))
+  }
+
   test("leakageSafeSplit: clusters land whole in one split") {
     val docs = (0L until 40L).toDF("doc_id")
     // chain 0-1-2, pair 10-11, the rest singletons

@@ -58,14 +58,23 @@ class MinHashSpec extends SparkTestBase {
       "alpha beta gamma",
       "short",
       "")
-    def run(mode: String) = {
+    // wholeStage must ALSO be disabled for the interpreted leg:
+    // factoryMode only governs projection factories, and WSCG calls
+    // doGenCode regardless — without this the test compares codegen
+    // against codegen and nullSafeEval never runs
+    def run(mode: String, wholeStage: Boolean) = {
       spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      spark.conf.set("spark.sql.codegen.wholeStage", wholeStage)
       try data.toDF("text")
         .select(Dedup.minhashSignature(Dedup.wordShingles($"text", 3), 16))
         .collect().map(_.getSeq[Long](0)).toSeq
-      finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      finally {
+        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+        spark.conf.set("spark.sql.codegen.wholeStage", true)
+      }
     }
-    assert(run("NO_CODEGEN") === run("CODEGEN_ONLY"))
+    assert(run("NO_CODEGEN", wholeStage = false) ===
+      run("CODEGEN_ONLY", wholeStage = true))
   }
 
   test("edge cases: empty shingles, null array, null element ≡ HOF") {
