@@ -522,6 +522,21 @@ object SparkEntry {
           graft.ops.TextAnalysis.tokenCountWs(col("text")).as("n_tokens")),
         "doc_id", "n_tokens", budget = 512, nShards = 8)),
 
+    // Range join: point-in-interval via granule bucketing (equi-join on
+    // the granule + exact containment filter — never a nested loop);
+    // oracle is DuckDB's plain non-equi join
+    "q_range_join" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val points = orders.where(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey").as("p_key"), col("o_totalprice").as("price"))
+      val intervals = orders.where(col("o_orderkey") % 37 === 0)
+        .select(col("o_orderkey").as("i_key"), col("o_totalprice").as("lo"),
+          (col("o_totalprice") + lit(5000.0)).as("hi"))
+      RangeJoin.pointInInterval(points, "price", intervals, "lo", "hi",
+          granule = 1000.0)
+        .select(col("p_key"), col("i_key"))
+    }),
+
     // As-of join: enrich every event with the user's latest click at or
     // before the event time (union + running-window strategy; DuckDB's
     // native ASOF JOIN is the independent oracle)
@@ -1023,6 +1038,15 @@ object SparkEntry {
         |SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens, pack,
         |  fill - n_tokens AS pack_off
         |FROM g""".stripMargin,
+
+    // Range join: the granule bucketing is an implementation detail —
+    // the oracle states the semantics directly as a non-equi join
+    "q_range_join" ->
+      """SELECT p.o_orderkey AS p_key, i.o_orderkey AS i_key
+        |FROM orders p JOIN orders i
+        |  ON p.o_totalprice >= i.o_totalprice
+        | AND p.o_totalprice <= i.o_totalprice + 5000.0
+        |WHERE p.o_orderkey % 100 = 0 AND i.o_orderkey % 37 = 0""".stripMargin,
 
     // As-of join oracled by DuckDB's NATIVE ASOF JOIN (an independent
     // implementation of the same inclusive backward-match semantics)
