@@ -179,23 +179,25 @@ object WordShingles {
     val n = bytes.length
     // word boundaries: segments between ASCII-whitespace runs, leading and
     // trailing empty segments kept — exactly split(s, "\s+", -1)
+    // grow-and-store is inlined at both call sites: a nested def capturing
+    // the mutated locals would lift bounds/nb into ObjectRef/IntRef heap
+    // boxes — per-row allocations in exactly this hot path
     var bounds = new Array[Int](32)
     var nb = 0
-    def addSeg(s: Int, e: Int): Unit = {
-      if (nb == bounds.length)
-        bounds = java.util.Arrays.copyOf(bounds, nb * 2)
-      bounds(nb) = s; bounds(nb + 1) = e; nb += 2
-    }
     var i = 0
     var segStart = 0
     while (i < n) {
       if (isWs(bytes(i))) {
-        addSeg(segStart, i)
+        if (nb == bounds.length)
+          bounds = java.util.Arrays.copyOf(bounds, nb * 2)
+        bounds(nb) = segStart; bounds(nb + 1) = i; nb += 2
         while (i < n && isWs(bytes(i))) i += 1
         segStart = i
       } else i += 1
     }
-    addSeg(segStart, n)
+    if (nb == bounds.length)
+      bounds = java.util.Arrays.copyOf(bounds, nb * 2)
+    bounds(nb) = segStart; bounds(nb + 1) = n; nb += 2
     val nWords = nb / 2
     val out = new java.util.LinkedHashSet[UTF8String]
     var w = 0

@@ -24,7 +24,13 @@ import org.apache.spark.sql.functions._
   *
   * Semantics: inclusive on both ends; rows with a null point, start, or
   * end never match (inner-join convention); an interval with end < start
-  * fails fast (raise_error) rather than silently vanishing.
+  * or a non-finite floating bound fails fast (raise_error) rather than
+  * silently vanishing — floor(NaN) lands every-NaN in granule 0 and
+  * floor(±Inf) makes sequence() explode, so a NaN/Inf bound would
+  * otherwise LOSE matches or kill the job where the naive non-equi join
+  * succeeds. Non-finite POINTS need no guard: their granule matches no
+  * interval and the containment filter (Spark's NaN-safe comparisons)
+  * agrees with the naive form.
   */
 object RangeJoin {
 
@@ -33,21 +39,39 @@ object RangeJoin {
                       granule: Double,
                       keyCols: Seq[String] = Nil): DataFrame = {
     require(granule > 0, s"granule must be positive: $granule")
-    val overlap = (keyCols.toSet + pointCol)
+    // symmetric collision check: ANY shared non-key name breaks the join
+    // output (ambiguous references or silent duplicate columns), not just
+    // pointCol; `_g` is reserved for the granule
+    val shared = (points.columns.toSet -- keyCols)
       .intersect(intervals.columns.toSet -- keyCols)
-    require(overlap.isEmpty,
-      s"column collision between sides (rename first): $overlap")
+    require(shared.isEmpty,
+      s"column collision between sides (rename first): $shared")
+    require(!points.columns.contains("_g") && !intervals.columns.contains("_g"),
+      "column name _g is reserved by the range join")
 
     def g(c: Column): Column = floor(c / granule)
+    def finiteBound(df: DataFrame, name: String): Column = {
+      val c = col(name)
+      df.schema(name).dataType match {
+        case org.apache.spark.sql.types.DoubleType |
+             org.apache.spark.sql.types.FloatType =>
+          when(isnan(c) || abs(c) === Double.PositiveInfinity,
+            raise_error(concat(lit(s"range join bound $name is not finite: "),
+              c.cast("string"))).cast(df.schema(name).dataType))
+            .otherwise(c)
+        case _ => c
+      }
+    }
+    val start = finiteBound(intervals, startCol)
     // end < start is a data bug: the guard rides the exploded granule
     // computation so it cannot be pruned
     val gEnd = when(col(endCol) < col(startCol), raise_error(concat(
         lit("range join interval has end < start: "),
         col(startCol).cast("string"), lit(" > "), col(endCol).cast("string")))
         .cast("long"))
-      .otherwise(g(col(endCol)))
+      .otherwise(g(finiteBound(intervals, endCol)))
     val exploded = intervals.withColumn("_g",
-      explode(sequence(g(col(startCol)), gEnd)))
+      explode(sequence(g(start), gEnd)))
     val keyed = points.withColumn("_g", g(col(pointCol)))
     keyed.join(exploded, keyCols :+ "_g")
       .where(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))

@@ -59,6 +59,32 @@ class RangeJoinSpec extends SparkTestBase {
         intervals.withColumnRenamed("i_id", "p"), "lo", "hi", 1.0)
     }
     assert(clash.getMessage.contains("collision"))
+    // symmetric: a points-side column named like an interval bound
+    val clash2 = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(points.withColumn("lo", lit(0.0)), "p",
+        intervals, "lo", "hi", 1.0)
+    }
+    assert(clash2.getMessage.contains("collision"))
+    val reserved = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(points.withColumn("_g", lit(1L)), "p",
+        intervals, "lo", "hi", 1.0)
+    }
+    assert(reserved.getMessage.contains("reserved"))
+  }
+
+  test("non-finite interval bounds fail fast instead of losing matches") {
+    for (badHi <- Seq(Double.NaN, Double.PositiveInfinity)) {
+      val iv = Seq((1L, 0.0, badHi)).toDF("i_id", "lo", "hi")
+      val e = intercept[Exception] {
+        RangeJoin.pointInInterval(points, "p", iv, "lo", "hi", 1.0).collect()
+      }
+      assert(e.getMessage.contains("not finite"), s"hi=$badHi: ${e.getMessage}")
+    }
+    // non-finite POINTS are fine and match nothing, like the naive join
+    val weird = Seq((7L, Double.PositiveInfinity), (8L, Double.NaN))
+      .toDF("p_id", "p")
+    val got = RangeJoin.pointInInterval(weird, "p", intervals, "lo", "hi", 1.0)
+    assert(got.isEmpty)
   }
 
   test("plan: equi-join on the granule, no nested loop / cartesian") {
