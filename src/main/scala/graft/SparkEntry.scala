@@ -537,6 +537,21 @@ object SparkEntry {
         .select(col("p_key"), col("i_key"))
     }),
 
+    // Interval-overlap join (sessions × incidents shape): both sides
+    // granule-exploded, dedup by first-shared-granule arithmetic
+    "q_overlap_join" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val lft = orders.where(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey").as("l_key"), col("o_totalprice").as("ls"),
+          (col("o_totalprice") + lit(2000.0)).as("le"))
+      val rgt = orders.where(col("o_orderkey") % 37 === 0)
+        .select(col("o_orderkey").as("r_key"), col("o_totalprice").as("rs"),
+          (col("o_totalprice") + lit(5000.0)).as("re"))
+      RangeJoin.intervalOverlap(lft, "ls", "le", rgt, "rs", "re",
+          granule = 1000.0)
+        .select(col("l_key"), col("r_key"))
+    }),
+
     // As-of join: enrich every event with the user's latest click at or
     // before the event time (union + running-window strategy; DuckDB's
     // native ASOF JOIN is the independent oracle)
@@ -1047,6 +1062,13 @@ object SparkEntry {
         |  ON p.o_totalprice >= i.o_totalprice
         | AND p.o_totalprice <= i.o_totalprice + 5000.0
         |WHERE p.o_orderkey % 100 = 0 AND i.o_orderkey % 37 = 0""".stripMargin,
+
+    "q_overlap_join" ->
+      """SELECT l.o_orderkey AS l_key, r.o_orderkey AS r_key
+        |FROM orders l JOIN orders r
+        |  ON l.o_totalprice <= r.o_totalprice + 5000.0
+        | AND r.o_totalprice <= l.o_totalprice + 2000.0
+        |WHERE l.o_orderkey % 100 = 0 AND r.o_orderkey % 37 = 0""".stripMargin,
 
     // As-of join oracled by DuckDB's NATIVE ASOF JOIN (an independent
     // implementation of the same inclusive backward-match semantics)

@@ -35,6 +35,12 @@ import org.apache.spark.sql.functions._
   * dropping it — or matching it to everything, which is what a naive
   * nulls-first window would do — both hide a data bug). Left rows with a
   * null time never match.
+  *
+  * Staleness bounds (QuestDB's ASOF TOLERANCE analog): include `rightTime`
+  * in `payloadCols` — the matched snapshot's own time comes back as a
+  * column, and a post-filter like `when(t - matched_rt <= tol, v)`
+  * expresses any max-staleness rule without a dedicated operator
+  * (AsOfJoinSpec shows the pattern).
   */
 object AsOfJoin {
 

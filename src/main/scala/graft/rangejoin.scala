@@ -77,4 +77,58 @@ object RangeJoin {
       .where(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("_g")
   }
+
+  /** Interval-overlap join: every (left, right) pair whose CLOSED intervals
+    * intersect (`aStart ≤ bEnd && bStart ≤ aEnd`) — sessions × incidents,
+    * conversations × deploy windows. Same granule trick as
+    * [[pointInInterval]]: both sides explode to covered granules and
+    * equi-join; a pair overlapping several shared granules would surface
+    * once per granule, so the candidate is kept only where the granule is
+    * the FIRST shared one (`max` of the two start granules) — dedup by
+    * arithmetic, no distinct exchange. Same guards: non-finite or inverted
+    * bounds raise; null bounds never match; `granule` ≈ typical width.
+    */
+  def intervalOverlap(left: DataFrame, lStartCol: String, lEndCol: String,
+                      right: DataFrame, rStartCol: String, rEndCol: String,
+                      granule: Double,
+                      keyCols: Seq[String] = Nil): DataFrame = {
+    require(granule > 0, s"granule must be positive: $granule")
+    val shared = (left.columns.toSet -- keyCols)
+      .intersect(right.columns.toSet -- keyCols)
+    require(shared.isEmpty,
+      s"column collision between sides (rename first): $shared")
+    require(!left.columns.contains("_g") && !right.columns.contains("_g"),
+      "column name _g is reserved by the range join")
+
+    def g(c: Column): Column = floor(c / granule)
+    def side(df: DataFrame, startCol: String, endCol: String): DataFrame = {
+      def finiteBound(name: String): Column = {
+        val c = col(name)
+        df.schema(name).dataType match {
+          case org.apache.spark.sql.types.DoubleType |
+               org.apache.spark.sql.types.FloatType =>
+            when(isnan(c) || abs(c) === Double.PositiveInfinity,
+              raise_error(concat(
+                lit(s"range join bound $name is not finite: "),
+                c.cast("string"))).cast(df.schema(name).dataType))
+              .otherwise(c)
+          case _ => c
+        }
+      }
+      val gEnd = when(col(endCol) < col(startCol), raise_error(concat(
+          lit("range join interval has end < start: "),
+          col(startCol).cast("string"), lit(" > "),
+          col(endCol).cast("string"))).cast("long"))
+        .otherwise(g(finiteBound(endCol)))
+      df.withColumn("_g", explode(sequence(g(finiteBound(startCol)), gEnd)))
+    }
+    side(left, lStartCol, lEndCol)
+      .join(side(right, rStartCol, rEndCol), keyCols :+ "_g")
+      .where(col(lStartCol) <= col(rEndCol) &&
+        col(rStartCol) <= col(lEndCol) &&
+        // emit each overlapping pair exactly once: at the first granule
+        // both cover (overlap ⇒ that granule is shared)
+        col("_g") === greatest(g(col(lStartCol)), g(col(rStartCol))))
+      .drop("_g")
+  }
 }

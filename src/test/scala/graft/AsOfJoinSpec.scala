@@ -94,6 +94,27 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(eB.getMessage.contains("duplicate snapshot"))
   }
 
+  test("staleness bound: rightTime as payload + post-filter (TOLERANCE)") {
+    // events 2h after the last snapshot should reject the stale match
+    val u = AsOfJoin.asofUnion(left, right, Seq("key"), "t", "rt",
+        Seq("rt", "ver"))
+      .withColumn("fresh_ver",
+        when(unix_micros($"t") - unix_micros($"rt") <= 3600L * 1000000L,
+          $"ver"))
+      .select($"event_id", $"fresh_ver").as[(Long, String)].collect().toMap
+    // event 5 (23:00) matched v2 (12:00) but it is 11h stale → null;
+    // events 2/3/4/6 are within an hour of their snapshot
+    assert(u(5L) === null)
+    assert(u(2L) === "v1" && u(3L) === "v1" && u(4L) === "v2")
+    val b = AsOfJoin.asofBroadcast(left, right, Seq("key"), "t", "rt",
+        Seq("rt", "ver"))
+      .withColumn("fresh_ver",
+        when(unix_micros($"t") - unix_micros($"rt") <= 3600L * 1000000L,
+          $"ver"))
+      .select($"event_id", $"fresh_ver").as[(Long, String)].collect().toMap
+    assert(b === u)
+  }
+
   test("a NULL snapshot instant raises on both strategies") {
     val nullRt = Seq(
       ("a", null.asInstanceOf[Timestamp], "v0", 0.0),

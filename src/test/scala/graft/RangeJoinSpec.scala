@@ -87,6 +87,30 @@ class RangeJoinSpec extends SparkTestBase {
     assert(got.isEmpty)
   }
 
+  test("intervalOverlap ≡ naive filter; each pair exactly once") {
+    val a = Seq(
+      (1L, 0.0, 10.0), (2L, 5.0, 6.0), (3L, 20.0, 30.0), (4L, -8.0, -7.0)
+    ).toDF("a_id", "as", "ae")
+    val b = Seq(
+      (10L, 9.0, 25.0),  // overlaps 1 (at 9-10), 3 (20-25)
+      (11L, 5.5, 5.9),   // inside 1 and 2
+      (12L, 30.0, 31.0), // touches 3 at the closed endpoint 30
+      (13L, -100.0, -50.0)
+    ).toDF("b_id", "bs", "be")
+    val naive = a.crossJoin(b)
+      .where($"as" <= $"be" && $"bs" <= $"ae")
+      .select($"a_id", $"b_id").orderBy("a_id", "b_id").collect().toSeq
+    for (granule <- Seq(0.5, 7.0, 1000.0)) {
+      val got = RangeJoin.intervalOverlap(a, "as", "ae", b, "bs", "be", granule)
+        .select($"a_id", $"b_id").orderBy("a_id", "b_id").collect().toSeq
+      assert(got === naive, s"granule=$granule")
+      // exactly once: no duplicates even when pairs share many granules
+      assert(got.distinct === got, s"granule=$granule")
+    }
+    assert(naive.map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 10L), (1L, 11L), (2L, 11L), (3L, 10L), (3L, 12L)))
+  }
+
   test("plan: equi-join on the granule, no nested loop / cartesian") {
     val p = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
       .where($"o_orderkey" % 100 === 0)
