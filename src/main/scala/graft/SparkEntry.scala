@@ -282,6 +282,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"))
     }),
 
+    // Native session_window operator (vs q_sessionize's manual lag/cumsum
+    // composition): NOTE the boundary difference — session_window windows
+    // are half-open [t, t+gap), so a gap of EXACTLY 30min starts a new
+    // session, while the lag form's `>` keeps it. The oracle uses >=.
+    "q_session_window" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+          date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("we"),
+          col("n_events"))),
+
     // ---------------- tail-sampling policy set, batch replay shape (§2.13;
     // status_code + numeric_attribute + string_attribute + probabilistic,
     // OR-combined as the reference's policy evaluator does)
@@ -789,6 +802,27 @@ object SparkEntry {
         |  FROM gaps
         |)
         |SELECT user_id, sess_id, CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM sess GROUP BY user_id, sess_id""".stripMargin,
+
+    // session_window replay: same gap sessionization but with >= (the
+    // half-open [t, t+gap) window boundary), session end = last ts + gap
+    "q_session_window" ->
+      """WITH gaps AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM gaps
+        |)
+        |SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS ws,
+        |  strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS we,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM sess GROUP BY user_id, sess_id""".stripMargin,
 
     "q_dedup_keep" ->

@@ -87,6 +87,41 @@ class StreamingSpec extends SparkTestBase {
     turns.unpersist()
   }
 
+  test("streaming session_window ≡ batch session_window") {
+    import spark.implicits._
+    val inputDir = tmpDir("sess-in")
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    events.repartition(3).write.mode("append").parquet(inputDir)
+    def sessions(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("ws"),
+        col("session_window.end").as("we"), col("n_events"))
+    // the sf tables store ts as TIMESTAMP_NTZ; event-time watermarks need
+    // TIMESTAMP — cast inside the stream (session is UTC, values identical)
+    val q = sessions(
+        spark.readStream.schema(events.schema).parquet(inputDir)
+          .withColumn("ts", col("ts").cast("timestamp"))
+          .withWatermark("ts", "0 seconds"))
+      .writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // push the watermark past every real session end so all sessions close
+    Seq((999999L, -1L, "2030-01-01 00:00:00"))
+      .toDF("event_id", "user_id", "s")
+      .select(col("event_id"), col("user_id"),
+        to_timestamp_ntz(col("s")).as("ts"))
+      .write.mode("append").parquet(inputDir)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sess_stream").where(col("ws") < "2029-01-01")
+    val batch = sessions(events.withColumn("ts", col("ts").cast("timestamp")))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      s"streamed=${streamed.count()} batch=${batch.count()}")
+    assert(batch.count() > 0)
+  }
+
   test("restart with no new data is a no-op (idempotent resume)") {
     val inputDir = tmpDir("stream-in2")
     val outDir = tmpDir("stream-out2")
