@@ -38,41 +38,9 @@ object RangeJoin {
                       intervals: DataFrame, startCol: String, endCol: String,
                       granule: Double,
                       keyCols: Seq[String] = Nil): DataFrame = {
-    require(granule > 0, s"granule must be positive: $granule")
-    // symmetric collision check: ANY shared non-key name breaks the join
-    // output (ambiguous references or silent duplicate columns), not just
-    // pointCol; `_g` is reserved for the granule
-    val shared = (points.columns.toSet -- keyCols)
-      .intersect(intervals.columns.toSet -- keyCols)
-    require(shared.isEmpty,
-      s"column collision between sides (rename first): $shared")
-    require(!points.columns.contains("_g") && !intervals.columns.contains("_g"),
-      "column name _g is reserved by the range join")
-
-    def g(c: Column): Column = floor(c / granule)
-    def finiteBound(df: DataFrame, name: String): Column = {
-      val c = col(name)
-      df.schema(name).dataType match {
-        case org.apache.spark.sql.types.DoubleType |
-             org.apache.spark.sql.types.FloatType =>
-          when(isnan(c) || abs(c) === Double.PositiveInfinity,
-            raise_error(concat(lit(s"range join bound $name is not finite: "),
-              c.cast("string"))).cast(df.schema(name).dataType))
-            .otherwise(c)
-        case _ => c
-      }
-    }
-    val start = finiteBound(intervals, startCol)
-    // end < start is a data bug: the guard rides the exploded granule
-    // computation so it cannot be pruned
-    val gEnd = when(col(endCol) < col(startCol), raise_error(concat(
-        lit("range join interval has end < start: "),
-        col(startCol).cast("string"), lit(" > "), col(endCol).cast("string")))
-        .cast("long"))
-      .otherwise(g(finiteBound(intervals, endCol)))
-    val exploded = intervals.withColumn("_g",
-      explode(sequence(g(start), gEnd)))
-    val keyed = points.withColumn("_g", g(col(pointCol)))
+    checkSides(points, intervals, keyCols, granule)
+    val exploded = explodeToGranules(intervals, startCol, endCol, granule)
+    val keyed = points.withColumn("_g", floor(col(pointCol) / granule))
     keyed.join(exploded, keyCols :+ "_g")
       .where(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("_g")
@@ -84,51 +52,66 @@ object RangeJoin {
     * [[pointInInterval]]: both sides explode to covered granules and
     * equi-join; a pair overlapping several shared granules would surface
     * once per granule, so the candidate is kept only where the granule is
-    * the FIRST shared one (`max` of the two start granules) — dedup by
-    * arithmetic, no distinct exchange. Same guards: non-finite or inverted
+    * the FIRST shared one (`max` of the two start granules, which overlap
+    * guarantees both sides cover) — dedup by arithmetic, no distinct
+    * exchange. Same guards as [[pointInInterval]]: non-finite or inverted
     * bounds raise; null bounds never match; `granule` ≈ typical width.
     */
   def intervalOverlap(left: DataFrame, lStartCol: String, lEndCol: String,
                       right: DataFrame, rStartCol: String, rEndCol: String,
                       granule: Double,
                       keyCols: Seq[String] = Nil): DataFrame = {
-    require(granule > 0, s"granule must be positive: $granule")
-    val shared = (left.columns.toSet -- keyCols)
-      .intersect(right.columns.toSet -- keyCols)
-    require(shared.isEmpty,
-      s"column collision between sides (rename first): $shared")
-    require(!left.columns.contains("_g") && !right.columns.contains("_g"),
-      "column name _g is reserved by the range join")
-
+    checkSides(left, right, keyCols, granule)
     def g(c: Column): Column = floor(c / granule)
-    def side(df: DataFrame, startCol: String, endCol: String): DataFrame = {
-      def finiteBound(name: String): Column = {
-        val c = col(name)
-        df.schema(name).dataType match {
-          case org.apache.spark.sql.types.DoubleType |
-               org.apache.spark.sql.types.FloatType =>
-            when(isnan(c) || abs(c) === Double.PositiveInfinity,
-              raise_error(concat(
-                lit(s"range join bound $name is not finite: "),
-                c.cast("string"))).cast(df.schema(name).dataType))
-              .otherwise(c)
-          case _ => c
-        }
-      }
-      val gEnd = when(col(endCol) < col(startCol), raise_error(concat(
-          lit("range join interval has end < start: "),
-          col(startCol).cast("string"), lit(" > "),
-          col(endCol).cast("string"))).cast("long"))
-        .otherwise(g(finiteBound(endCol)))
-      df.withColumn("_g", explode(sequence(g(finiteBound(startCol)), gEnd)))
-    }
-    side(left, lStartCol, lEndCol)
-      .join(side(right, rStartCol, rEndCol), keyCols :+ "_g")
+    explodeToGranules(left, lStartCol, lEndCol, granule)
+      .join(explodeToGranules(right, rStartCol, rEndCol, granule),
+        keyCols :+ "_g")
       .where(col(lStartCol) <= col(rEndCol) &&
         col(rStartCol) <= col(lEndCol) &&
-        // emit each overlapping pair exactly once: at the first granule
-        // both cover (overlap ⇒ that granule is shared)
         col("_g") === greatest(g(col(lStartCol)), g(col(rStartCol))))
       .drop("_g")
+  }
+
+  /** Shared argument validation: symmetric collision check (ANY shared
+    * non-key name breaks the join output — ambiguous references or silent
+    * duplicate columns), `_g` reserved for the granule.
+    */
+  private def checkSides(a: DataFrame, b: DataFrame, keyCols: Seq[String],
+                         granule: Double): Unit = {
+    require(granule > 0, s"granule must be positive: $granule")
+    val shared = (a.columns.toSet -- keyCols)
+      .intersect(b.columns.toSet -- keyCols)
+    require(shared.isEmpty,
+      s"column collision between sides (rename first): $shared")
+    require(!a.columns.contains("_g") && !b.columns.contains("_g"),
+      "column name _g is reserved by the range join")
+  }
+
+  /** One row per integer granule the CLOSED interval [start, end] covers,
+    * as column `_g`. The fail-fast guards (end < start; non-finite
+    * floating bound) ride the granule computation so they cannot be
+    * pruned away.
+    */
+  private def explodeToGranules(df: DataFrame, startCol: String,
+                                endCol: String, granule: Double): DataFrame = {
+    def g(c: Column): Column = floor(c / granule)
+    def finiteBound(name: String): Column = {
+      val c = col(name)
+      df.schema(name).dataType match {
+        case org.apache.spark.sql.types.DoubleType |
+             org.apache.spark.sql.types.FloatType =>
+          when(isnan(c) || abs(c) === Double.PositiveInfinity,
+            raise_error(concat(lit(s"range join bound $name is not finite: "),
+              c.cast("string"))).cast(df.schema(name).dataType))
+            .otherwise(c)
+        case _ => c
+      }
+    }
+    val gEnd = when(col(endCol) < col(startCol), raise_error(concat(
+        lit("range join interval has end < start: "),
+        col(startCol).cast("string"), lit(" > "), col(endCol).cast("string")))
+        .cast("long"))
+      .otherwise(g(finiteBound(endCol)))
+    df.withColumn("_g", explode(sequence(g(finiteBound(startCol)), gEnd)))
   }
 }

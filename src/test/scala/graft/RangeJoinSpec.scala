@@ -111,6 +111,43 @@ class RangeJoinSpec extends SparkTestBase {
       Set((1L, 10L), (1L, 11L), (2L, 11L), (3L, 10L), (3L, 12L)))
   }
 
+  test("intervalOverlap: keyed variant and fail-fast guards") {
+    val a = Seq(("u1", 0.0, 10.0, 1L), ("u2", 0.0, 10.0, 2L))
+      .toDF("user", "as", "ae", "a_id")
+    val b = Seq(("u1", 5.0, 6.0, 10L)).toDF("user", "bs", "be", "b_id")
+    val keyed = RangeJoin.intervalOverlap(a, "as", "ae", b, "bs", "be", 5.0,
+        keyCols = Seq("user"))
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(keyed === Set((1L, 10L)))
+    // inverted and non-finite bounds raise on either side
+    val inverted = Seq((1L, 10.0, 5.0)).toDF("b_id", "bs", "be")
+    val e1 = intercept[Exception] {
+      RangeJoin.intervalOverlap(
+        Seq((1L, 0.0, 10.0)).toDF("a_id", "as", "ae"),
+        "as", "ae", inverted, "bs", "be", 1.0).collect()
+    }
+    assert(e1.getMessage.contains("end < start"))
+    val nan = Seq((1L, 0.0, Double.NaN)).toDF("a_id", "as", "ae")
+    val e2 = intercept[Exception] {
+      RangeJoin.intervalOverlap(nan, "as", "ae",
+        Seq((1L, 0.0, 10.0)).toDF("b_id", "bs", "be"),
+        "bs", "be", 1.0).collect()
+    }
+    assert(e2.getMessage.contains("not finite"))
+    // null bounds never match; collisions rejected
+    val withNull = Seq((1L, Some(0.0), None: Option[Double]))
+      .toDF("a_id", "as", "ae")
+    assert(RangeJoin.intervalOverlap(withNull, "as", "ae",
+      Seq((1L, 0.0, 10.0)).toDF("b_id", "bs", "be"),
+      "bs", "be", 1.0).isEmpty)
+    val clash = intercept[IllegalArgumentException] {
+      RangeJoin.intervalOverlap(
+        Seq((1L, 0.0, 1.0)).toDF("x", "as", "ae"), "as", "ae",
+        Seq((2L, 0.0, 1.0)).toDF("x", "bs", "be"), "bs", "be", 1.0)
+    }
+    assert(clash.getMessage.contains("collision"))
+  }
+
   test("plan: equi-join on the granule, no nested loop / cartesian") {
     val p = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
       .where($"o_orderkey" % 100 === 0)
