@@ -581,6 +581,21 @@ object SparkEntry {
           col("click_id"), col("click_value"))
     }),
 
+    // Same as-of semantics through the BROADCAST strategy — both paths
+    // get official driver verification against the same native-ASOF oracle
+    "q_asof_broadcast" -> ((s, d) => {
+      val events = t(s, d, "events")
+      val clicks = events.where(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id"),
+          round(max_by(col("value"), col("event_id")), 4).as("click_value"))
+      AsOfJoin.asofBroadcast(
+        events.select(col("event_id"), col("user_id"), col("ts")),
+        clicks, Seq("user_id"), "ts", "ts", Seq("click_id", "click_value"))
+        .select(col("event_id"), col("user_id"),
+          col("click_id"), col("click_value"))
+    }),
+
     // ---------------- multimodal plumbing (stubbed codec; the decode
     // arithmetic is oracled from the dumped payload-hash primitive)
     "q_media_decode" -> ((s, _) => {
@@ -1105,14 +1120,10 @@ object SparkEntry {
         |WHERE l.o_orderkey % 100 = 0 AND r.o_orderkey % 37 = 0""".stripMargin,
 
     // As-of join oracled by DuckDB's NATIVE ASOF JOIN (an independent
-    // implementation of the same inclusive backward-match semantics)
-    "q_asof_join" ->
-      """WITH c AS (SELECT user_id, ts, MAX(event_id) AS click_id,
-        |    ROUND(arg_max(value, event_id), 4) AS click_value
-        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
-        |SELECT e.event_id, e.user_id, c.click_id, c.click_value
-        |FROM events e ASOF LEFT JOIN c
-        |  ON e.user_id = c.user_id AND e.ts >= c.ts""".stripMargin,
+    // implementation of the same inclusive backward-match semantics);
+    // both engine strategies share it
+    "q_asof_join" -> SparkEntry.asofOracle,
+    "q_asof_broadcast" -> SparkEntry.asofOracle,
 
     // quotaSample's multiplicative-hash rank is plain BIGINT arithmetic,
     // so the deterministic sample replays as a window rank
@@ -1512,6 +1523,14 @@ object SparkEntry {
       |  + (CASE WHEN mean_word_len BETWEEN 3.0 AND 12.0 THEN 1.0
       |          ELSE 0.3 END) * 0.2, 4) AS quality
       |FROM r""".stripMargin
+
+  private val asofOracle: String =
+    """WITH c AS (SELECT user_id, ts, MAX(event_id) AS click_id,
+      |    ROUND(arg_max(value, event_id), 4) AS click_value
+      |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+      |SELECT e.event_id, e.user_id, c.click_id, c.click_value
+      |FROM events e ASOF LEFT JOIN c
+      |  ON e.user_id = c.user_id AND e.ts >= c.ts""".stripMargin
 
   private val annBruteForceOracle: String =
     """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
