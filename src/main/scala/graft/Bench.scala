@@ -136,13 +136,20 @@ object Bench {
     // pass + one attrition aggregation (CurationPipeline's design claim,
     // timed here as a whole)
     def curationRun(): Double = {
-      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.functions.{bit_xor, col, xxhash64}
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       time {
         val (curated, _) = graft.ops.CurationPipeline.curate(
           docs, "doc_id", "text", "lang",
           evalSet = Some(docs.where(col("doc_id") % 7 === 0)))
-        curated.count()
+        // hash EVERY output column, not count(): count() lets Catalyst
+        // prune every computed column that doesn't feed the survivor
+        // filter (the PII redaction projection, shard/split assignment) —
+        // the known count()-pruning bench trap. The xxhash64-over-all-
+        // columns aggregate forces full materialization of the frame the
+        // row claims to time.
+        curated.select(xxhash64(curated.columns.map(col): _*).as("h"))
+          .agg(bit_xor(col("h"))).head()
       }
     }
     val curSec = try {

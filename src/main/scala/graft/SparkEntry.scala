@@ -859,7 +859,8 @@ object SparkEntry {
 
     "q_token_count" ->
       """SELECT doc_id,
-        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens_ws
+        |  CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens_ws
         |FROM documents""".stripMargin,
 
     "q_lang_stats" ->
@@ -1040,7 +1041,8 @@ object SparkEntry {
     "q_pack_chunks" ->
       """WITH t AS (SELECT doc_id,
         |    (doc_id * 2654435761) % 4294967296 % 8 AS shard,
-        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
         |  FROM documents),
         |c AS (SELECT doc_id, shard, n_tokens,
         |    COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
@@ -1058,7 +1060,8 @@ object SparkEntry {
     "q_pack_manifest" ->
       """WITH t AS (SELECT doc_id,
         |    (doc_id * 2654435761) % 4294967296 % 8 AS shard,
-        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
         |  FROM documents),
         |c AS (SELECT doc_id, shard, n_tokens,
         |    COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
@@ -1081,7 +1084,8 @@ object SparkEntry {
     "q_pack_greedy" ->
       """WITH RECURSIVE t AS (SELECT doc_id,
         |    (doc_id * 2654435761) % 4294967296 % 8 AS shard,
-        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
         |  FROM documents),
         |s AS (SELECT doc_id, shard, n_tokens,
         |    ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn

@@ -50,7 +50,7 @@ object AsOfJoin {
   def asofUnion(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                 leftTime: String, rightTime: String,
                 payloadCols: Seq[String]): DataFrame = {
-    require(keyCols.nonEmpty, "as-of join needs at least one key column")
+    checkSides(left, keyCols, payloadCols)
     val leftCols = left.columns.toSeq
     // payload travels as ONE struct so a legitimately-null payload FIELD
     // still counts as "a snapshot exists here" for last(ignoreNulls)
@@ -103,7 +103,7 @@ object AsOfJoin {
   def asofBroadcast(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                     leftTime: String, rightTime: String,
                     payloadCols: Seq[String]): DataFrame = {
-    require(keyCols.nonEmpty, "as-of join needs at least one key column")
+    checkSides(left, keyCols, payloadCols)
     // sort_array orders structs lexicographically — _rt first ⇒ time order
     val sortedTl = sort_array(collect_list(
       struct(nullGuard(col(rightTime)).as("_rt") +: payloadCols.map(col): _*)))
@@ -126,6 +126,27 @@ object AsOfJoin {
       .withColumn("_asof", picked)
       .select(left.columns.map(col).toSeq ++
         payloadCols.map(c => col("_asof").getField(c).as(c)): _*)
+  }
+
+  /** Argument validation shared by both strategies (the RangeJoin
+    * checkSides pattern): the internal plumbing names must not collide
+    * with user columns (an `_t`/`_asof`/… already on a side becomes an
+    * ambiguous reference or a silently-shadowed value), and a payload
+    * column that duplicates a left column would emit a duplicated output
+    * name the caller can no longer address.
+    */
+  private val InternalNames =
+    Set("_t", "_side", "_l", "_p", "_asof", "_dup", "_dupSeen", "_tl", "_rt")
+
+  private def checkSides(left: DataFrame, keyCols: Seq[String],
+                         payloadCols: Seq[String]): Unit = {
+    require(keyCols.nonEmpty, "as-of join needs at least one key column")
+    val clash = (left.columns.toSet ++ payloadCols).intersect(InternalNames)
+    require(clash.isEmpty,
+      s"as-of join reserves internal column names ${clash.mkString(", ")} — rename them")
+    val dup = payloadCols.toSet.intersect(left.columns.toSet)
+    require(dup.isEmpty,
+      s"as-of payload columns duplicate left columns ${dup.mkString(", ")} — alias the payload")
   }
 
   /** Reject null snapshot instants in place (the value is consumed

@@ -45,7 +45,9 @@ object GraftFunctions {
   private def literalInt(name: String, arg: String, e: Expression): Int = {
     require(e.foldable, s"$name: $arg must be a literal integer")
     e.eval() match {
-      case i: Int => i
+      case i: Int if i >= 1 => i
+      case i: Int => throw new IllegalArgumentException(
+        s"$name: $arg out of range [1, ${Int.MaxValue}]: $i")
       case l: Long if l >= 1 && l <= Int.MaxValue => l.toInt
       case l: Long => throw new IllegalArgumentException(
         s"$name: $arg out of range [1, ${Int.MaxValue}]: $l")

@@ -55,17 +55,27 @@ object CurationPipeline {
              evalTextCol: String = "text",
              cfg: CurationConfig = CurationConfig())
       : (DataFrame, Seq[(String, Long)]) = {
-    import org.apache.spark.sql.expressions.Window
     val id = col(idCol)
     val text = col(textCol)
 
-    // stage 1 — exact dedup on normalized content (smallest id survives):
-    // one hash shuffle on the content key
+    // stage 1 — exact dedup on normalized content (smallest id survives).
+    // The winner set is a hash aggregate (map-side partials collapse a
+    // mass-duplicated key before the shuffle), flagged back via a left
+    // join on the COMPOSITE (content key, id) — both sides unique on it,
+    // so no partition concentrates a hot key. A row_number window over the
+    // content key (the round-3 shape) funnels every copy of a boilerplate
+    // doc through one task — the exactKeep skew lesson (Dedup.scala).
     val contentKey = array_join(Curation.normWords(text), " ")
-    val exactFlag = row_number().over(
-      Window.partitionBy(contentKey).orderBy(id)) === 1
-
-    val flagged0 = docs.withColumn("_k_exact", exactFlag)
+    val winners = docs
+      .select(contentKey.as("_ck"), id.as("_win_id"))
+      .groupBy(col("_ck")).agg(min(col("_win_id")).as("_win_id"))
+      .withColumn("_k_exact", lit(true))
+    val docsCk = docs.withColumn("_ck", contentKey)
+    val flagged0 = docsCk
+      .join(winners,
+        docsCk("_ck") === winners("_ck") && id === col("_win_id"), "left")
+      .drop(winners("_ck")).drop("_ck", "_win_id")
+      .withColumn("_k_exact", coalesce(col("_k_exact"), lit(false)))
 
     // stage 2 — near-dup clusters among the exact survivors (running it on
     // the pre-dedup corpus would only re-discover the exact duplicates);

@@ -31,11 +31,20 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dupes"))
 
-  /** Rows to KEEP after exact dedup (first id wins). */
+  /** Rows to KEEP after exact dedup (first id wins). NOT a
+    * row_number-over-key window: that plan funnels every row of a hot
+    * content key through ONE window task — and a corpus of millions of
+    * byte-identical boilerplate docs is exactly the population an
+    * exact-dedup pass exists for. Instead the winner set comes from
+    * [[exact]] (a hash aggregate whose map-side partials collapse hot keys
+    * before the shuffle) and a semi-join on the COMPOSITE (key, id): both
+    * join sides are unique on that key, so no partition ever concentrates
+    * a duplicated value. Semantics identical (first id wins).
+    */
   def exactKeep(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(idCol))
-    df.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
+    val winners = exact(df, idCol, keyCols).select((keyCols :+ idCol).map(col): _*)
+    df.join(winners, keyCols :+ idCol, "left_semi")
+      .select(df.columns.map(col): _*) // using-join reorders; restore input order
   }
 
   // ------------------------------------------------------------- shingles

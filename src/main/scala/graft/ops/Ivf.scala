@@ -70,31 +70,49 @@ object Ivf {
 
   /** Lloyd-iteration refinement of [[pickCentroids]]: assign every row to
     * its nearest centroid (narrow), then the new centroid is the per-cell
-    * mean — computed as `dim` fixed-width `avg(element_at(v, i))`
-    * aggregates in ONE codegen'd hash aggregate with map-side partials
-    * (no per-cell row collection; one corpus pass per iteration). Empty
-    * cells keep their previous centroid. Deterministic: seeded sample
-    * start, no randomness in iterations.
+    * mean. The mean is computed by position-exploding the vectors —
+    * `posexplode(v)` → groupBy(cell, pos).avg — NOT as `dim` separate
+    * `avg(element_at(v, i))` scalar aggregates: at real embedding dims
+    * (768–4096) the scalar form is thousands of aggregate expressions in
+    * one hash aggregate, silently past `spark.sql.codegen.maxFields` (100)
+    * so whole-stage codegen falls back and the buffer row goes
+    * multi-KB-wide. The exploded form keeps every operator narrow and
+    * codegen'd at ANY dim; map-side partials collapse the (cell, pos)
+    * stream to ≤ nCells×dim rows per task before the shuffle, and the
+    * second (tiny) aggregate reassembles one array per cell. Empty cells
+    * keep their previous centroid. Deterministic: seeded sample start, no
+    * randomness in iterations.
     */
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                       nCells: Int, iters: Int = 2,
                       seed: Long = 11L): Array[(Int, Array[Float])] = {
     var cents = pickCentroids(corpus, idCol, vecCol, nCells, seed)
     if (cents.isEmpty) return cents
-    val dim = cents(0)._2.length
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
     (0 until iters).foreach { _ =>
-      val aggs = (1 to dim).map(i => avg(element_at(col("v"), i)).as(s"m$i"))
-      val means = assignCells(c, "id", "v", cents)
-        .groupBy(col("cell"))
-        .agg(aggs.head, aggs.tail: _*)
+      val means = cellMeans(assignCells(c, "id", "v", cents))
         .collect()
-        .map(r => r.getInt(0) -> (1 to dim).map(i => r.getDouble(i).toFloat).toArray)
+        .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
         .toMap
       cents = cents.map { case (cell, old) => (cell, means.getOrElse(cell, old)) }
     }
     cents
   }
+
+  /** Per-cell mean vector of an assigned `(cell, v, …)` frame as
+    * `(cell, centroid)` — the position-exploded aggregation described on
+    * [[kmeansCentroids]], exposed so IvfSpec can gate its plan shape
+    * (narrow codegen'd operators at any dim).
+    */
+  private[ops] def cellMeans(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(avg(col("x")).as("m"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ms"))
+      .select(col("cell"), transform(col("ms"),
+        e => e.getField("m").cast("float")).as("centroid"))
 
   /** Persist an IVF index: corpus rows written `partitionBy("cell")` (the
     * durable form of the assignment — at scale an Iceberg table

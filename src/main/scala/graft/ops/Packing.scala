@@ -74,8 +74,18 @@ object Packing {
     require(nShards > 0, s"nShards must be positive: $nShards")
     val spark = df.sparkSession
     import spark.implicits._
+    // fail fast on a NULL id: silently packing under one would sort it
+    // first and emit a null id column — against the library's
+    // raise-on-data-bugs convention (asof/rangejoin guards). A
+    // non-numeric string id already raises ANSI CAST_INVALID_INPUT at the
+    // cast itself (Spark 4 default), so NULL input is the only silent
+    // path left. The guard rides the id value so pruning can't drop it.
+    val guardedId = when(col(idCol).isNull, raise_error(lit(
+        s"packGreedy id column '$idCol' is NULL — ids must be non-null integral"))
+        .cast("long"))
+      .otherwise(col(idCol).cast("long"))
     df
-      .select(col(idCol).cast("long").as("_1"),
+      .select(guardedId.as("_1"),
         Curation.shardAssign(col(idCol), nShards).as("_2"),
         col(tokenCol).cast("long").as("_3"))
       .as[(Long, Long, Long)]

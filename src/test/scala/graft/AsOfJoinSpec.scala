@@ -180,4 +180,32 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(!probe.contains("Exchange hashpartitioning") &&
       !probe.contains("ShuffleQueryStage"), s"fact side shuffled:\n$probe")
   }
+
+  test("argument guards: internal-name collisions and duplicate payload names raise") {
+    import spark.implicits._
+    val l = Seq((1L, "k", 10L)).toDF("event_id", "key", "t")
+    val r = Seq(("k", 5L, "v1")).toDF("key", "rt", "ver")
+    // a left column named like the internal plumbing → clear require, not
+    // an AMBIGUOUS_REFERENCE analysis failure mid-plan
+    val lBad = l.withColumn("_asof", lit(1))
+    val e1 = intercept[IllegalArgumentException] {
+      AsOfJoin.asofUnion(lBad, r, Seq("key"), "t", "rt", Seq("ver"))
+    }
+    assert(e1.getMessage.contains("internal column names"))
+    val e1b = intercept[IllegalArgumentException] {
+      AsOfJoin.asofBroadcast(lBad, r, Seq("key"), "t", "rt", Seq("ver"))
+    }
+    assert(e1b.getMessage.contains("internal column names"))
+    // a payload column that duplicates a left column would emit a
+    // silently-duplicated output name
+    val rT = Seq(("k", 5L, "v1")).toDF("key", "rt", "t")
+    val e2 = intercept[IllegalArgumentException] {
+      AsOfJoin.asofUnion(l, rT, Seq("key"), "t", "rt", Seq("t"))
+    }
+    assert(e2.getMessage.contains("duplicate left columns"))
+    val e2b = intercept[IllegalArgumentException] {
+      AsOfJoin.asofBroadcast(l, rT, Seq("key"), "t", "rt", Seq("t"))
+    }
+    assert(e2b.getMessage.contains("duplicate left columns"))
+  }
 }

@@ -48,6 +48,18 @@ class ExtensionsSpec extends SparkTestBase {
         .collect()
     }
     assert(e2.getMessage.contains("k out of range"))
+    // a plain Int literal of 0 hits the SAME shared range check as the
+    // Long path (the round-3 gap: Int literals bypassed the >= 1 bound
+    // and surfaced as each expression's downstream require)
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT topk_by_score(score, id, 0) FROM ext_scores").collect()
+    }
+    assert(e3.getMessage.contains("k out of range"), e3.getMessage)
+    GraftFunctions.registerAll(spark)
+    val e4 = intercept[Exception] {
+      spark.sql("SELECT minhash_sig(word_shingles('a b c', 2), 0)").collect()
+    }
+    assert(e4.getMessage.contains("numHashes out of range"), e4.getMessage)
   }
 
   test("registerAll: SQL word_shingles + minhash_sig ≡ Column API") {

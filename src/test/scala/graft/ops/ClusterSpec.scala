@@ -162,4 +162,29 @@ class ClusterSpec extends SparkTestBase {
     assert(nd.count() === 1225L)
     assert(nd.where($"jaccard" < 1.0).count() === 0L)
   }
+
+  test("exactKeep survives a massively-duplicated key with no window funnel") {
+    // 20k rows, half of them byte-identical boilerplate — exactly the
+    // population an exact-dedup pass exists for. The round-3 row_number
+    // window would land all 10k copies on ONE task; the aggregate +
+    // semi-join shape collapses the hot key map-side. Plan gate: no Window
+    // operator anywhere in the executed plan.
+    val docs = spark.range(0, 20000).select($"id".as("doc_id"),
+      when($"id" % 2 === 0, lit("mass duplicated boilerplate"))
+        .otherwise(concat(lit("unique "), $"id")).as("text"))
+    val kept = Dedup.exactKeep(docs, "doc_id", Seq("text"))
+    kept.count() // materialize the AQE final plan
+    assert(kept.count() === 10001L) // 10k unique + 1 boilerplate survivor
+    assert(kept.where($"text" === "mass duplicated boilerplate")
+      .select("doc_id").as[Long].head() === 0L) // min id wins
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(3000))
+    // semantics check vs the definition on a small frame: one survivor
+    // per distinct key, the minimum id
+    val small = Seq((5L, "a"), (3L, "a"), (9L, "b"), (1L, "a"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exactKeep(small, "doc_id", Seq("text"))
+      .as[(Long, String)].collect().toSet
+    assert(got === Set((1L, "a"), (9L, "b")))
+  }
 }

@@ -92,4 +92,55 @@ class IvfSpec extends SparkTestBase {
       .collect().map(_.getInt(0)).toSet
     assert(cells.subsetOf((0 until 8).toSet))
   }
+
+  test("kmeans cell means: narrow at dim 512, match the dim-scalar form at toy dim") {
+    // toy dim: the exploded (cell, pos) aggregation must reproduce the
+    // dim-scalar `avg(element_at(v, i))` form it replaced (same value
+    // sets per (cell, pos), both double-averaged)
+    val corpus = vectors(200, dim = 8)
+    val cents = Ivf.pickCentroids(corpus, "vec_id", "embedding", 4)
+    val assigned = Ivf.assignCells(
+      corpus.select(col("vec_id").as("id"), col("embedding").as("v")),
+      "id", "v", cents)
+    val exploded = Ivf.cellMeans(assigned)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toSeq).toMap
+    val scalarAggs = (1 to 8).map(i => avg(element_at(col("v"), i)).as(s"m$i"))
+    val scalar = assigned.groupBy(col("cell"))
+      .agg(scalarAggs.head, scalarAggs.tail: _*)
+      .collect()
+      .map(r => r.getInt(0) -> (1 to 8).map(i => r.getDouble(i).toFloat).toSeq)
+      .toMap
+    assert(exploded.keySet === scalar.keySet)
+    exploded.foreach { case (cell, m) =>
+      m.zip(scalar(cell)).foreach { case (a, b) =>
+        assert(math.abs(a - b) <= 1e-6f * math.max(1.0f, math.abs(b)),
+          s"cell $cell: $a vs $b")
+      }
+    }
+    // dim 512 — the regime where the scalar form exceeds
+    // spark.sql.codegen.maxFields (100) and falls out of whole-stage
+    // codegen with a multi-KB buffer row: the exploded plan must stay
+    // fully whole-stage-codegen'd and produce full-width centroids
+    val corpus512 = vectors(60, dim = 512)
+    val cents512 = Ivf.pickCentroids(corpus512, "vec_id", "embedding", 2)
+    val means512 = Ivf.cellMeans(Ivf.assignCells(
+      corpus512.select(col("vec_id").as("id"), col("embedding").as("v")),
+      "id", "v", cents512))
+    val got = means512.collect().map(r => r.getInt(0) -> r.getSeq[Float](1))
+    // plan read AFTER the action on the SAME frame: pre-execution AQE
+    // plans carry no WholeStageCodegen `*(n)` markers yet
+    // the adaptive plan prints Final Plan + Initial Plan — only the final
+    // (executed) section carries the codegen markers
+    val plan = means512.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the full-corpus avg aggregation must be codegen'd HashAggregates
+    // (the `*(n)` prefix); the collect_list reassembly is an
+    // ObjectHashAggregate by nature but only ever sees nCells×dim rows
+    val aggLines = plan.linesIterator
+      .filter(l => l.contains("HashAggregate") &&
+        !l.contains("ObjectHashAggregate")).toSeq
+    assert(aggLines.nonEmpty && aggLines.forall(_.contains("*(")),
+      s"hash aggregates fell out of whole-stage codegen:\n${aggLines.mkString("\n")}")
+    assert(got.nonEmpty && got.forall(_._2.length === 512))
+  }
 }

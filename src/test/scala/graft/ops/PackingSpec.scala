@@ -115,4 +115,22 @@ class PackingSpec extends SparkTestBase {
     val corpusTokens = big.agg(sum($"n_tokens")).head().getLong(0)
     assert(manifestTokens === corpusTokens)
   }
+
+  test("packGreedy fails fast on null / non-integral ids") {
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    // a non-numeric string id raises at the ANSI cast itself
+    val bad = Seq(("doc-1", 5L), ("doc-2", 3L)).toDF("doc_id", "n_tokens")
+    val e = intercept[Exception] {
+      Packing.packGreedy(bad, "doc_id", "n_tokens", 10, 2).collect()
+    }
+    assert(msgs(e).exists(_.contains("CAST_INVALID_INPUT")), e.toString)
+    // a NULL id raises the library's own guard, not a degenerate
+    // null-message failure deep inside sampleRank
+    val withNull = Seq((Some(1L), 5L), (None, 3L)).toDF("doc_id", "n_tokens")
+    val e2 = intercept[Exception] {
+      Packing.packGreedy(withNull, "doc_id", "n_tokens", 10, 2).collect()
+    }
+    assert(msgs(e2).exists(_.contains("packGreedy id column")), e2.toString)
+  }
 }
