@@ -508,6 +508,35 @@ object SparkEntry {
     "q_dup_spans" -> ((s, d) =>
       graft.ops.Curation.dupSpans(t(s, d, "documents"), "doc_id", "text")),
 
+    // Maximal duplicated runs (Lee-et-al-style exact-substring fidelity):
+    // adjacent/overlapping shared 13-gram windows merged into maximal
+    // word runs — n=5 here so the sf corpus actually exhibits multi-window
+    // runs; oracle replays the gaps-and-islands merge in SQL
+    "q_dup_runs" -> ((s, d) =>
+      graft.ops.Curation.dupRuns(t(s, d, "documents"), "doc_id", "text",
+        n = 5)),
+
+    // Incremental connected components: pairs split into an "old" corpus
+    // ([0,350) endpoints only) and a "new" batch (any pair touching
+    // [350,∞)); ccUpdate merges the new edges into the old assignment
+    // recomputing only touched components. Oracle: the full transitive
+    // closure over ALL pairs — incremental must equal full recompute.
+    "q_cc_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val all = sqlPairEdges(docs)
+      val oldPairs = all.where(col("id_a") < 350 && col("id_b") < 350)
+      val newPairs = all.where(col("id_a") >= 350 || col("id_b") >= 350)
+      val existing = graft.ops.Dedup.clusters(
+          docs.where(col("doc_id") < 350), "doc_id", oldPairs)
+        .select(col("doc_id").cast("long").as("id"), col("comp"))
+      val updated = graft.ops.Dedup.ccUpdate(existing, newPairs)
+      docs.select(col("doc_id").cast("long").as("id"))
+        .join(updated, Seq("id"), "left")
+        .select(col("id").as("doc_id"),
+          coalesce(col("comp"), col("id")).as("comp"),
+          (coalesce(col("comp"), col("id")) === col("id")).as("keep"))
+    }),
+
     // Sequence packing (concat-and-chunk): per-shard running token offset
     // cut into 512-token packs; docs may straddle pack boundaries
     "q_pack_chunks" -> ((s, d) =>
@@ -641,6 +670,29 @@ object SparkEntry {
       graft.ops.Similarity.lshTopK(emb, "vec_id", "embedding",
         emb.where(col("vec_id") < 5), "vec_id", "embedding", k = 5, planes = 6)
         .withColumn("cosine", round(col("cosine"), 6))
+    }),
+
+    // ANN recall@k at nProbe < nCells — the number an IVF user actually
+    // tunes: per-query |IVF top-k ∩ brute-force top-k| / k. The oracle
+    // replays BOTH sides in SQL: brute force directly, IVF from the dumped
+    // cell/probe primitives (_input_vecs), intersecting independently.
+    "q_ann_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+      val ivf = graft.ops.Ivf.ivfTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4,
+        kmeansIters = 0)
+      val bf = graft.ops.Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5)
+      val hits = ivf.select(col("query_id"), col("id"))
+        .join(bf.select(col("query_id"), col("id")),
+          Seq("query_id", "id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      queries.select(col("vec_id").as("query_id")).join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)).cast("double") / 5.0, 4)
+            .as("recall_at_5"))
     }),
 
     // ---------------- transcript pipeline stages. Input is the seed-42
@@ -1036,6 +1088,45 @@ object SparkEntry {
         |  END AS dup_span_ratio
         |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
 
+    // Maximal duplicated runs (n=5): shared windows merged gaps-and-islands
+    // style (a new island starts when the previous hit's word interval
+    // cannot touch this one's), union coverage per island = max-min+n
+    "q_dup_runs" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(
+        |    regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '),
+        |    x -> x <> '') AS words
+        |  FROM documents
+        |), cng AS (
+        |  SELECT doc_id, i, array_to_string(words[i:i+4], ' ') AS ng
+        |  FROM w, LATERAL (SELECT unnest(range(1, len(words) - 3)) AS i) t
+        |  WHERE len(words) >= 5
+        |), sh AS (
+        |  SELECT ng FROM cng GROUP BY ng HAVING COUNT(DISTINCT doc_id) >= 2
+        |), hits AS (
+        |  SELECT DISTINCT c.doc_id, c.i FROM cng c JOIN sh USING (ng)
+        |), isl AS (
+        |  SELECT doc_id, i, CASE WHEN i > COALESCE(
+        |      LAG(i) OVER (PARTITION BY doc_id ORDER BY i), -1000000) + 5
+        |    THEN 1 ELSE 0 END AS nw
+        |  FROM hits
+        |), rn AS (
+        |  SELECT doc_id, i, SUM(nw) OVER (PARTITION BY doc_id ORDER BY i
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM isl
+        |), agg AS (
+        |  SELECT doc_id, run, MAX(i) - MIN(i) + 5 AS len
+        |  FROM rn GROUP BY doc_id, run
+        |), pd AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_runs,
+        |    CAST(MAX(len) AS BIGINT) AS max_run_words,
+        |    CAST(SUM(len) AS BIGINT) AS covered_words
+        |  FROM agg GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(pd.n_runs, 0) AS n_runs,
+        |  COALESCE(pd.max_run_words, 0) AS max_run_words,
+        |  COALESCE(pd.covered_words, 0) AS covered_words
+        |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
+
     // Sequence packing: shard hash (q_corpus_shards arithmetic), per-shard
     // running token offset, 512-token chunk ids
     "q_pack_chunks" ->
@@ -1179,6 +1270,7 @@ object SparkEntry {
     // brute force (IvfSpec) and shares the oracle. q_ann_lsh is
     // approximate by design → rows-only.
     "q_ann_bruteforce" -> SparkEntry.annBruteForceOracle,
+    "q_ann_recall" -> SparkEntry.annRecallOracle,
     "q_ann_ivf" -> SparkEntry.annBruteForceOracle,
 
     // LSH ANN: deterministic, so fully specifiable — buckets are dumped
@@ -1392,6 +1484,28 @@ object SparkEntry {
         |  MIN(comp) = id AS keep
         |FROM walk GROUP BY id""".stripMargin,
 
+    // Incremental CC must equal the full recompute — the oracle is the
+    // SAME transitive closure over ALL pairs as q_dedup_clusters
+    "q_cc_incremental" ->
+      """WITH RECURSIVE
+        |k1 AS (SELECT doc_id, regexp_extract(text, '^(\w+)', 1) AS k FROM documents),
+        |e AS (
+        |  SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM k1 a JOIN k1 b ON a.k = b.k AND a.doc_id <> b.doc_id
+        |  UNION
+        |  SELECT a.doc_id, b.doc_id
+        |  FROM documents a JOIN documents b
+        |    ON a.n_chars = b.n_chars AND a.doc_id <> b.doc_id
+        |),
+        |walk(id, comp) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, w.comp FROM walk w JOIN e ON e.src = w.id
+        |)
+        |SELECT CAST(id AS BIGINT) AS doc_id, CAST(MIN(comp) AS BIGINT) AS comp,
+        |  MIN(comp) = id AS keep
+        |FROM walk GROUP BY id""".stripMargin,
+
     "q_attrs_scoped" ->
       """SELECT event_id,
         |  CASE WHEN event_type = 'error' AND NOT (value > 150)
@@ -1535,6 +1649,35 @@ object SparkEntry {
       |SELECT e.event_id, e.user_id, c.click_id, c.click_value
       |FROM events e ASOF LEFT JOIN c
       |  ON e.user_id = c.user_id AND e.ts >= c.ts""".stripMargin
+
+  private val annRecallOracle: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+      |           FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+      |bf AS (SELECT query_id, id FROM (
+      |    SELECT query_id, id, ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY list_cosine_similarity(CAST(v AS DOUBLE[]),
+      |        CAST(qv AS DOUBLE[])) DESC, id) AS rank
+      |    FROM c, q WHERE id <> query_id) WHERE rank <= 5),
+      |cells AS (SELECT vec_id, cell16
+      |          FROM read_parquet('__OUT__/_input_vecs/*.parquet')),
+      |probes AS (SELECT query_id, probe
+      |           FROM read_parquet('__OUT__/_input_probes/*.parquet')),
+      |cand AS (SELECT p.query_id, ce.vec_id AS id
+      |         FROM probes p JOIN cells ce ON ce.cell16 = p.probe),
+      |ivf AS (SELECT query_id, id FROM (
+      |    SELECT ca.query_id, ca.id, ROW_NUMBER() OVER (PARTITION BY ca.query_id
+      |      ORDER BY list_cosine_similarity(CAST(c.v AS DOUBLE[]),
+      |        CAST(q.qv AS DOUBLE[])) DESC, ca.id) AS rank
+      |    FROM cand ca JOIN c ON c.id = ca.id
+      |      JOIN q ON q.query_id = ca.query_id
+      |    WHERE ca.id <> ca.query_id) WHERE rank <= 5),
+      |hits AS (SELECT i.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+      |         FROM ivf i JOIN bf b ON b.query_id = i.query_id AND b.id = i.id
+      |         GROUP BY i.query_id)
+      |SELECT q.query_id, COALESCE(h.n_hits, 0) AS n_hits,
+      |  ROUND(COALESCE(h.n_hits, 0) / 5.0, 4) AS recall_at_5
+      |FROM q LEFT JOIN hits h USING (query_id)""".stripMargin
 
   private val annBruteForceOracle: String =
     """WITH q AS (SELECT vec_id AS query_id, embedding AS qv

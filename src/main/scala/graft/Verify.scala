@@ -63,10 +63,21 @@ object Verify {
       .withColumn("h", xxhash64(col("word")))
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_input_vocab")
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    emb.select(col("vec_id"),
+    // cell16/probes: the IVF coarse-assignment PRIMITIVES for q_ann_recall
+    // (same nCells=16, kmeansIters=0, seed defaults as the query) — the
+    // oracle replays the probe filter, both top-k's, and the recall
+    // arithmetic relationally over them
+    val cents16 = graft.ops.Ivf.pickCentroids(emb, "vec_id", "embedding", 16)
+    graft.ops.Ivf.assignCells(emb, "vec_id", "embedding", cents16)
+      .select(col("vec_id"),
         graft.ops.Similarity.hyperplaneBucket(col("embedding"), 4, 7L).as("bucket4"),
-        graft.ops.Similarity.hyperplaneBucket(col("embedding"), 6, 7L).as("bucket6"))
+        graft.ops.Similarity.hyperplaneBucket(col("embedding"), 6, 7L).as("bucket6"),
+        col("cell").as("cell16"))
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_input_vecs")
+    graft.ops.Ivf.probeCells(emb.where(col("vec_id") < 5),
+        "vec_id", "embedding", cents16, 4)
+      .select(col("query_id"), col("probe"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_input_probes")
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name.parquet")

@@ -74,7 +74,51 @@ object GraftFunctions {
         literalInt("minhash_sig", "numHashes", exprs(1)))
     })
 
-  private def all = Seq(grokExtract, topkByScore, wordShingles, minhashSig)
+  val simhash: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("simhash"),
+    new ExpressionInfo(classOf[graft.expr.SimHash64].getName, "simhash"),
+    { exprs =>
+      arity("simhash", exprs, 1)
+      graft.expr.SimHash64(exprs.head)
+    })
+
+  /** Register a Column-composition operator as a SQL function: the builder
+    * rebuilds the SAME Catalyst expression tree the Column API produces
+    * (one shared implementation — SQL and Column callers cannot drift).
+    */
+  private def columnFn(name: String, n: Int,
+                       f: Seq[org.apache.spark.sql.Column] => org.apache.spark.sql.Column)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier(name),
+    new ExpressionInfo(GraftFunctions.getClass.getName, name),
+    { exprs =>
+      arity(name, exprs, n)
+      import org.apache.spark.sql.GraftBridge
+      GraftBridge.expressionConverted(f(exprs.map(GraftBridge.column)))
+    })
+
+  val sampleRank = columnFn("sample_rank", 1,
+    cs => graft.ops.Curation.sampleRank(cs.head))
+
+  val shardAssign: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("shard_assign"),
+    new ExpressionInfo(GraftFunctions.getClass.getName, "shard_assign"),
+    { exprs =>
+      arity("shard_assign", exprs, 2)
+      import org.apache.spark.sql.GraftBridge
+      GraftBridge.expressionConverted(graft.ops.Curation.shardAssign(
+        GraftBridge.column(exprs.head),
+        literalInt("shard_assign", "nShards", exprs(1))))
+    })
+
+  val redactPii = columnFn("redact_pii", 1,
+    cs => graft.ops.Curation.redactPii(cs.head))
+
+  val dupWordRatio = columnFn("dup_word_ratio", 1,
+    cs => graft.ops.Curation.dupWordRatio(cs.head))
+
+  private def all = Seq(grokExtract, topkByScore, wordShingles, minhashSig,
+    simhash, sampleRank, shardAssign, redactPii, dupWordRatio)
 
   /** Register every function on an existing session (the `Main`/test
     * path; temp functions live for the session).
@@ -97,5 +141,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.topkByScore)
     ext.injectFunction(GraftFunctions.wordShingles)
     ext.injectFunction(GraftFunctions.minhashSig)
+    ext.injectFunction(GraftFunctions.simhash)
+    ext.injectFunction(GraftFunctions.sampleRank)
+    ext.injectFunction(GraftFunctions.shardAssign)
+    ext.injectFunction(GraftFunctions.redactPii)
+    ext.injectFunction(GraftFunctions.dupWordRatio)
   }
 }

@@ -90,15 +90,17 @@ object Curation {
     * downstream exchange).
     */
   private def ngramRows(df: DataFrame, ids: Seq[String], textCol: String,
-                        n: Int, hashed: Boolean): DataFrame = {
+                        n: Int, hashed: Boolean,
+                        keepPos: Boolean = false): DataFrame = {
     def key(c: Column): Column = if (hashed) xxhash64(c) else c
     val idc = ids.map(col)
+    val pos = if (keepPos) Seq(col("_i")) else Nil
     df.select(idc :+ normWords(col(textCol)).as("_w"): _*)
       .select(idc :+ col("_w") :+
         explode(when(size(col("_w")) >= n,
           sequence(lit(1), size(col("_w")) - (n - 1)))
           .otherwise(array().cast("array<int>"))).as("_i"): _*)
-      .select(idc :+
+      .select(idc ++ pos :+
         key(array_join(slice(col("_w"), col("_i"), lit(n)), " ")).as("ng"): _*)
   }
 
@@ -161,6 +163,67 @@ object Curation {
         when(coalesce(col("n_windows"), lit(0L)) === 0, lit(0.0))
           .otherwise(round(col("n_shared").cast("double") /
             col("n_windows").cast("double"), 4)).as("dup_span_ratio"))
+  }
+
+  /** Maximal duplicated RUNS — the fidelity upgrade over [[dupSpans]]
+    * toward Lee et al.'s exact-substring semantics: where dupSpans counts
+    * how many fixed n-gram WINDOWS are shared, this merges adjacent /
+    * overlapping shared windows into maximal duplicated word runs and
+    * reports, per document, the number of runs, the longest run's word
+    * length, and the total words covered by any shared span — i.e. what a
+    * suffix-array pass would report at word granularity, approximated with
+    * the same one-pass n-gram machinery (a run of k consecutive shared
+    * windows is a duplicated substring of k+n-1 words).
+    *
+    * Scale shape: the shared-ngram set is the same skew-safe partial-agg'd
+    * groupBy as [[dupSpans]] (never a count window — a boilerplate n-gram
+    * shared by millions of docs must not funnel). The run merge is a
+    * gaps-and-islands window PER DOCUMENT — bounded by a single document's
+    * window count, never by corpus-wide key frequency, so the only
+    * unbounded dimension (corpus size) rides the hash shuffle. Two shared
+    * windows whose starts differ by ≤ n words overlap/touch as word
+    * intervals [i, i+n-1] and merge into one run; coverage is the exact
+    * union length of the merged intervals.
+    *
+    * Output: every corpus row as (doc_id, n_runs, max_run_words,
+    * covered_words), zeros for documents with no shared window.
+    */
+  def dupRuns(corpus: DataFrame, idCol: String, textCol: String,
+              n: Int = 13, hashed: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ng = ngramRows(
+      corpus.select(col(idCol).as("doc_id"), col(textCol)),
+      Seq("doc_id"), textCol, n, hashed, keepPos = true)
+    val shared = ng.groupBy(col("ng"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2)
+      .select(col("ng"))
+    val hits = ng.join(shared, Seq("ng"), "left_semi")
+      // a document may repeat the same shared n-gram at several positions —
+      // every position is a hit window; dedup (doc, pos) in case the same
+      // position ever double-emits
+      .select(col("doc_id"), col("_i")).distinct()
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("_i"))
+    val runs = hits
+      // island start: the previous hit window's interval [p, p+n-1] does
+      // not touch this one's [i, i+n-1] ⇔ i > p + n
+      .withColumn("_new",
+        when(col("_i") > coalesce(lag(col("_i"), 1).over(w), lit(Int.MinValue))
+          + n, 1).otherwise(0))
+      .withColumn("_run", sum(col("_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("_run"))
+      .agg((max(col("_i")) - min(col("_i")) + n).as("_len"))
+    val perDoc = runs.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_runs"),
+        max(col("_len")).cast("long").as("max_run_words"),
+        sum(col("_len")).as("covered_words"))
+    corpus.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_runs"), lit(0L)).as("n_runs"),
+        coalesce(col("max_run_words"), lit(0L)).as("max_run_words"),
+        coalesce(col("covered_words"), lit(0L)).as("covered_words"))
   }
 
   /** Leakage-safe train/val/test assignment: split membership is decided

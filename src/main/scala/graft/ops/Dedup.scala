@@ -250,10 +250,21 @@ object Dedup {
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash of the word multiset: bit i = sign of Σ_words ±1
-    * depending on bit i of xxhash64(word). Narrow, codegen'd higher-order
-    * functions only.
+    * depending on bit i of xxhash64(word). Implemented as the codegen'd
+    * [[graft.expr.SimHash64]] expression (one byte scan + one 64-int
+    * counter array per row); the HOF formula it replaced is kept as
+    * [[simhashHof]], DedupSpec's independent cross-check (bit-identical —
+    * the `q_simhash_*` oracles recompute signatures in SQL from the
+    * dumped word-hash dictionary, so the hash family must not move).
     */
-  def simhash(text: Column): Column = {
+  def simhash(text: Column): Column = graft.expr.SimHash64.simhash(text)
+
+  /** The original HOF signature formula — kept ONLY as the cross-check
+    * implementation (the interpreted HOF path allocates a fresh 64-slot
+    * accumulator per word, the measured ~14× churn that motivated the
+    * MinHashSig port).
+    */
+  private[ops] def simhashHof(text: Column): Column = {
     val words = split(lower(text), "\\s+")
     val hashes = transform(words, w => xxhash64(w))
     val acc = aggregate(
@@ -520,6 +531,51 @@ object Dedup {
     e.select(col("u").as("id"), col("v").as("comp"))
       .union(e.select(col("v").as("id"), col("v").as("comp")))
       .groupBy("id").agg(min(col("comp")).as("comp"))
+  }
+
+  /** Incremental connected-components maintenance — the continuously-
+    * ingesting corpus shape: `existing` is the current `(id, comp)`
+    * assignment (comp = component min id, the output of
+    * [[connectedComponentsStar]] / a previous ccUpdate), `newPairs` the
+    * batch's fresh near-dup edges. Only components TOUCHED by a new edge
+    * are recomputed: untouched assignments pass through without a join
+    * beyond the one membership probe, so the per-batch cost scales with
+    * the touched subgraph, not the corpus.
+    *
+    * Correctness: an `(id, comp)` assignment is a star forest that
+    * preserves connectivity, so CC(star(existing) ∪ newPairs) ≡
+    * CC(originalPairs ∪ newPairs) — the star edges of touched components
+    * plus the new edges are rerun through the O(log n)
+    * large-star/small-star rounds, and relabeled components keep the
+    * global min-id convention (every member of a touched component rides
+    * along via its star edge, so the minimum is over the full merged
+    * component exactly as a full recompute would find). StreamingDedupSpec
+    * proves ccUpdate ≡ full recompute on randomly grown pair streams.
+    *
+    * Ids in `newPairs` unseen by `existing` join as their own singletons
+    * (they simply appear only in the new edges). Output: (id, comp) for
+    * every id in `existing` ∪ endpoints(newPairs).
+    */
+  def ccUpdate(existing: DataFrame, newPairs: DataFrame,
+               aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val eNew = newPairs.select(col(aCol).cast("long").as("u"),
+        col(bCol).cast("long").as("v"))
+      .where(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true) // read by touched-set and subgraph union
+    val ex = existing.select(col("id").cast("long").as("id"),
+      col("comp").cast("long").as("comp"))
+    val touchedIds = eNew.select(col("u").as("id"))
+      .union(eNew.select(col("v").as("id"))).distinct()
+    val touchedComps = ex.join(touchedIds, "id")
+      .select(col("comp")).distinct().localCheckpoint(true)
+    val untouched = ex.join(touchedComps, Seq("comp"), "left_anti")
+    val subEdges = ex.join(touchedComps, Seq("comp"), "left_semi")
+      .where(col("id") =!= col("comp")) // singleton self-edges drop out
+      .select(col("id").as("u"), col("comp").as("v"))
+      .unionByName(eNew)
+    val relabeled = connectedComponentsStar(subEdges, "u", "v")
+    untouched.select(col("id"), col("comp"))
+      .unionByName(relabeled.select(col("id"), col("comp")))
   }
 
   /** Resolve near-dup pairs to keep/drop sets: every row of `df` gets its

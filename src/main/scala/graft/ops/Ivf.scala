@@ -68,6 +68,20 @@ object Ivf {
     corpus.withColumn("cell",
       bestCells(col(vecCol), centroids, 1).getItem(0).getField("cell"))
 
+  /** One row per (query, probed cell): the query set scored against the
+    * centroid table, exploded to its `nProbe` best cells — the probe
+    * frame [[ivfTopK]]/[[probeIndex]] join against the corpus, exposed so
+    * Verify can dump the probe PRIMITIVE for the DuckDB recall oracle.
+    * Output: (query_id, qv, probe).
+    */
+  def probeCells(queries: DataFrame, qIdCol: String, qVecCol: String,
+                 centroids: Array[(Int, Array[Float])],
+                 nProbe: Int): DataFrame =
+    queries
+      .select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"))
+      .withColumn("probe", explode(transform(
+        bestCells(col("qv"), centroids, nProbe), p => p.getField("cell"))))
+
   /** Lloyd-iteration refinement of [[pickCentroids]]: assign every row to
     * its nearest centroid (narrow), then the new centroid is the per-cell
     * mean. The mean is computed by position-exploding the vectors —
@@ -148,18 +162,15 @@ object Ivf {
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
-    val probes = queries
-      .select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"))
-      .withColumn("probe", explode(transform(
-        bestCells(col("qv"), centroids, nProbe), p => p.getField("cell"))))
+    val probes = probeCells(queries, qIdCol, qVecCol, centroids, nProbe)
     // static partition pruning: the probed cell set is tiny (≤ queries ×
     // nProbe) — an explicit isin filter reaches the scan's
     // PartitionFilters, so unprobed partitions are never read (no reliance
     // on dynamic partition pruning firing)
-    val probeCells = probes.select(col("probe")).distinct()
+    val probedSet = probes.select(col("probe")).distinct()
       .collect().map(_.getInt(0)).toSeq
     val cells = spark.read.parquet(s"$dir/cells")
-      .where(col("cell").isin(probeCells: _*))
+      .where(col("cell").isin(probedSet: _*))
     val scored = cells
       .join(broadcast(probes), cells("cell") === probes("probe"))
       .where(col("id") =!= col("query_id"))
@@ -182,10 +193,7 @@ object Ivf {
       else pickCentroids(corpus, idCol, vecCol, nCells, seed)
     val cells = assignCells(
       corpus.select(col(idCol).as("id"), col(vecCol).as("v")), "id", "v", centroids)
-    val probes = queries
-      .select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"))
-      .withColumn("probe", explode(transform(
-        bestCells(col("qv"), centroids, nProbe), p => p.getField("cell"))))
+    val probes = probeCells(queries, qIdCol, qVecCol, centroids, nProbe)
     val scored = cells
       .join(broadcast(probes), cells("cell") === probes("probe"))
       .where(col("id") =!= col("query_id"))

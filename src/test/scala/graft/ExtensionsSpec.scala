@@ -76,6 +76,35 @@ class ExtensionsSpec extends SparkTestBase {
     assert(viaSql === viaCol)
   }
 
+  test("registerAll: SQL simhash/sample_rank/shard_assign/redact_pii/dup_word_ratio ≡ Column API") {
+    GraftFunctions.registerAll(spark)
+    Seq((0L, "The quick brown fox the fox", "mail me at a@b.co or 192.168.0.1"),
+        (1L, "all distinct words here", "phone 12345678 and text"),
+        (2L, "x", ""))
+      .toDF("id", "text", "pii").createOrReplaceTempView("ext_cur")
+    val viaSql = spark.sql(
+      """SELECT simhash(text) AS sh, sample_rank(id) AS r,
+        |  shard_assign(id, 8) AS shard, redact_pii(pii) AS red,
+        |  ROUND(dup_word_ratio(text), 4) AS dwr
+        |FROM ext_cur ORDER BY id""".stripMargin).collect().toSeq
+    val viaCol = spark.table("ext_cur")
+      .select(graft.ops.Dedup.simhash($"text").as("sh"),
+        graft.ops.Curation.sampleRank($"id").as("r"),
+        graft.ops.Curation.shardAssign($"id", 8).as("shard"),
+        graft.ops.Curation.redactPii($"pii").as("red"),
+        round(graft.ops.Curation.dupWordRatio($"text"), 4).as("dwr"))
+      .orderBy(spark.table("ext_cur")("id")).collect().toSeq
+    assert(viaSql === viaCol)
+    // sanity on actual values, not just parity
+    assert(viaSql.head.getString(3) === "mail me at <EMAIL> or <IP>")
+    assert(viaSql(1).getString(3) === "phone <NUM> and text")
+    // shard_assign requires a literal shard count like the other builders
+    val e = intercept[Exception] {
+      spark.sql("SELECT shard_assign(id, id + 1) FROM ext_cur").collect()
+    }
+    assert(e.getMessage.contains("must be a literal"), e.getMessage)
+  }
+
   test("GraftExtensions injects all four functions into a fresh session") {
     // build a sibling session over the same SparkContext with the
     // extension applied the way spark-submit's spark.sql.extensions does
@@ -102,6 +131,13 @@ class ExtensionsSpec extends SparkTestBase {
           "SELECT minhash_sig(word_shingles('a b c d', 2), 4) AS s")
           .head().getSeq[Long](0)
         assert(sig.length === 4 && sig.forall(_ != Long.MaxValue))
+        // the round-4 additions ride the same injection path
+        val extras = withExt.sql(
+          """SELECT simhash('a b a'), sample_rank(3), shard_assign(3, 4),
+            |  redact_pii('x@y.io'), ROUND(dup_word_ratio('a b a'), 4)"""
+            .stripMargin).head()
+        assert(extras.getString(3) === "<EMAIL>")
+        assert(extras.getDouble(4) === 0.3333)
       } finally {
         // the sibling shares the SparkContext — do not stop() it
       }

@@ -187,4 +187,35 @@ class ClusterSpec extends SparkTestBase {
       .as[(Long, String)].collect().toSet
     assert(got === Set((1L, "a"), (9L, "b")))
   }
+
+  test("ccUpdate ≡ full recompute on randomly grown pair streams") {
+    // grow a graph in 4 batches; after each, the incrementally-maintained
+    // assignment must equal connectedComponentsStar over ALL pairs so far.
+    // The stream includes merges of previously-separate components, edges
+    // inside an existing component (no-ops), and brand-new ids.
+    def batch(seed: Int, n: Int): Seq[(Long, Long)] =
+      (0 until n).map { i =>
+        val a = math.abs((seed * 7919L + i) * 2654435761L) % 120
+        val b = math.abs((seed * 104729L + i * 31 + 3) * 2654435761L) % 120
+        (a, b)
+      }.filter { case (a, b) => a != b }
+    var seen = Seq.empty[(Long, Long)]
+    var labels = Dedup.connectedComponentsStar(
+      batch(1, 40).toDF("id_a", "id_b"))
+    seen = batch(1, 40)
+    (2 to 5).foreach { s =>
+      val nb = batch(s, 30)
+      labels = Dedup.ccUpdate(labels, nb.toDF("id_a", "id_b"))
+      seen = seen ++ nb
+      val full = Dedup.connectedComponentsStar(seen.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      val inc = labels.as[(Long, Long)].collect().toMap
+      assert(inc === full, s"divergence after batch $s")
+    }
+    // empty new batch: assignment passes through unchanged
+    val same = Dedup.ccUpdate(labels,
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(same === labels.as[(Long, Long)].collect().toMap)
+  }
 }

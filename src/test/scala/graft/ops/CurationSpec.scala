@@ -260,6 +260,55 @@ class CurationSpec extends SparkTestBase {
     assert(!plan.contains("Window"), plan.take(4000))
   }
 
+  test("dupRuns: maximal duplicated runs merge adjacent/overlapping windows") {
+    // n = 5. Doc 0 shares block A (8 words) with doc 1 and block B
+    // (6 words) with doc 2, separated by 6 unique words: A's four
+    // consecutive shared windows merge into one 8-word run, B's two into
+    // a 6-word run — two runs, coverage 14.
+    val A = (1 to 8).map(i => s"a$i").mkString(" ")
+    val B = (1 to 6).map(i => s"b$i").mkString(" ")
+    val E = (1 to 5).map(i => s"e$i").mkString(" ")
+    val F = (1 to 5).map(i => s"f$i").mkString(" ")
+    val corpus = Seq(
+      (0L, A + " u1 u2 u3 u4 u5 u6 " + B),
+      (1L, A),
+      (2L, B),
+      (3L, "ten totally unique filler words nobody else ever repeats anywhere"),
+      (4L, "tiny doc"),                       // < 5 words → zeros
+      // E at pos 1, F at pos 6 in doc 5 (gap exactly n ⇒ intervals touch ⇒
+      // ONE merged 10-word run); in doc 6 F starts at pos 8 (gap > n ⇒ two
+      // separate 5-word runs)
+      (5L, E + " " + F),
+      (6L, E + " w1 w2 " + F)
+    ).toDF("doc_id", "text")
+    val got = Curation.dupRuns(corpus, "doc_id", "text", n = 5)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got(0) === ((0L, 2L, 8L, 14L)))
+    assert(got(1) === ((1L, 1L, 8L, 8L)))
+    assert(got(2) === ((2L, 1L, 6L, 6L)))
+    assert(got(3) === ((3L, 0L, 0L, 0L)))
+    assert(got(4) === ((4L, 0L, 0L, 0L)))
+    assert(got(5) === ((5L, 1L, 10L, 10L)))
+    assert(got(6) === ((6L, 2L, 5L, 10L)))
+  }
+
+  test("dupRuns: hashed ≡ string keys on real docs; all rows covered; no ng-window") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val h = Curation.dupRuns(docs, "doc_id", "text", n = 5, hashed = true)
+    val s = Curation.dupRuns(docs, "doc_id", "text", n = 5, hashed = false)
+      .orderBy("doc_id").collect().toSeq
+    assert(h.orderBy("doc_id").collect().toSeq === s)
+    assert(s.size === docs.count())
+    // the only Window is the per-DOC gaps-and-islands merge (bounded by
+    // one document's length) — never a window over the n-gram key
+    h.collect()
+    val plan = h.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val windowLines = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.forall(_.contains("doc_id")), windowLines.mkString("\n"))
+  }
+
   test("leakageSafeSplit: clusters land whole in one split") {
     val docs = (0L until 40L).toDF("doc_id")
     // chain 0-1-2, pair 10-11, the rest singletons

@@ -82,4 +82,30 @@ class DedupSpec extends SparkTestBase {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(nd === Set((0L, 1L)))
   }
+
+  test("simhash expression ≡ HOF formula, bit-identical (incl. edge cases)") {
+    // the q_simhash_* oracles recompute signatures in SQL from the dumped
+    // word-hash dictionary — the codegen'd expression must not move the
+    // hash family by a single bit vs the HOF cross-check it replaced
+    val docs = Seq(
+      "The quick brown fox jumps over the lazy dog",
+      "the quick brown fox jumps over the lazy dog",   // case-folded twin
+      "completely different content here",
+      "",                                               // empty → [""] word
+      "   ",                                            // ws-only → empty segments
+      " leading and trailing ",                         // leading/trailing empties
+      "tabs\tand\nnewlines\rmixedwhitespace",     // ws-byte zoo: tab, LF, CR, VT
+      "ÜNICODE Mixed Ça va ÅÄÖ",                        // multi-byte lowercase
+      "repeat repeat repeat repeat repeat word"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val both = docs.select(
+      Dedup.simhash($"text").as("expr"),
+      Dedup.simhashHof($"text").as("hof"))
+    assert(both.where($"expr" =!= $"hof").count() === 0L)
+    // case-folded twin hashes identically; different content differs
+    val sigs = docs.select($"doc_id", Dedup.simhash($"text").as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(0L) === sigs(1L))
+    assert(sigs(0L) !== sigs(2L))
+  }
 }

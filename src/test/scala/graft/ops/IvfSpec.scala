@@ -93,6 +93,27 @@ class IvfSpec extends SparkTestBase {
     assert(cells.subsetOf((0 until 8).toSet))
   }
 
+  test("recall@k is monotone in nProbe and hits 1.0 at nProbe == nCells") {
+    val corpus = vectors(300)
+    val queries = corpus.where(col("vec_id") < 5)
+    val bf = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(nProbe: Int): Double = {
+      val ivf = Ivf.ivfTopK(corpus, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 5, nCells = 16, nProbe = nProbe,
+          kmeansIters = 0)
+        .select("query_id", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      ivf.intersect(bf).size.toDouble / bf.size
+    }
+    val rs = Seq(1, 4, 8, 16).map(recall)
+    assert(rs === rs.sorted, s"recall not monotone in nProbe: $rs")
+    assert(rs.last === 1.0, s"full probe must equal brute force: $rs")
+    assert(rs.head > 0.0)
+  }
+
   test("kmeans cell means: narrow at dim 512, match the dim-scalar form at toy dim") {
     // toy dim: the exploded (cell, pos) aggregation must reproduce the
     // dim-scalar `avg(element_at(v, i))` form it replaced (same value
