@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-efficiency evidence for the CURATION/DEDUP family — the same
+  * two-parallelism-level protocol as [[ScalingBench]] (BASELINE.md), over
+  * a multi-million-document [[DocGen]] corpus instead of transcript
+  * routing: the 100 TB design claims on `ops/Dedup` / `ops/Curation` were
+  * previously argued from plan shape but only ever MEASURED at 5k docs,
+  * where `curation_e2e` is scheduler-overhead-bound.
+  *
+  * Stages timed independently (IoListener bytes reset per stage):
+  *  - minhash: [[graft.ops.Dedup.minhashNearDups]] over the full corpus —
+  *    shingle → signature → banded LSH self-join → exact-Jaccard verify.
+  *  - curation: [[graft.ops.CurationPipeline.curate]] end-to-end (exact
+  *    dedup → near-dup CC → decontamination → quality → PII → shard/split)
+  *    with the full-materialization hash (count() would let Catalyst prune
+  *    the redaction/shard projections — the documented bench trap).
+  *
+  * Protocol notes carried from ScalingBench: corpus written ONCE (untimed)
+  * to tmpfs and scanned by the timed job (production shape); fresh JVM per
+  * parallelism level (lo == hi single-level mode) is the honest protocol —
+  * pair levels within one calm window, best-of-2 warm runs per level.
+  */
+object CurationScalingBench {
+
+  private def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-curation-scaling-$cores")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/graft-spark-local"))
+      .config("spark.sql.files.maxPartitionBytes", (16 * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def time[A](f: => A): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Full-materialization action over every output column (no pruning). */
+  private def forceAll(df: DataFrame): Unit = {
+    df.select(xxhash64(df.columns.map(col): _*).as("h"))
+      .agg(bit_xor(col("h"))).head()
+    ()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val lo = args.lift(1).map(_.toInt).getOrElse(8)
+    val hi = args.lift(2).map(_.toInt).getOrElse(lo)
+    val corpusDir = sys.env.getOrElse("SPARK_GRAFT_DOCS_DIR",
+      s"/dev/shm/graft-docs-$nDocs")
+
+    def run(cores: Int): Map[String, (Double, (Long, Long, Long))] = {
+      val spark = session(cores)
+      try {
+        if (!new java.io.File(s"$corpusDir/_SUCCESS").exists())
+          DocGen.docs(spark, nDocs).repartition(128)
+            .write.mode("overwrite").parquet(corpusDir)
+        def docs = spark.read.parquet(corpusDir)
+
+        def minhashRun(): Unit = {
+          // count() is NOT pruning-prone here: the jaccard threshold
+          // filter forces signatures, band join, and verify regardless
+          val n = graft.ops.Dedup.minhashNearDups(
+            docs, "doc_id", "text", threshold = 0.8).count()
+          require(n > 0, "scaling corpus produced no near-dup pairs")
+        }
+        def curationRun(): Unit = {
+          val (curated, report) = graft.ops.CurationPipeline.curate(
+            docs, "doc_id", "text", "lang",
+            evalSet = Some(docs.where(col("doc_id") % 997 === 0)))
+          forceAll(curated)
+          require(report.head._2 == nDocs, s"attrition input != corpus: $report")
+        }
+
+        val io = new IoListener
+        spark.sparkContext.addSparkListener(io)
+        val stages = Seq("minhash" -> (() => minhashRun()),
+          "curation" -> (() => curationRun()))
+        stages.map { case (name, f) =>
+          f() // full-size warm: codegen + classloading outside the timing
+          io.reset()
+          val s1 = time(f())
+          org.apache.spark.sql.GraftBridge.waitListenerBusEmpty(spark.sparkContext)
+          val bytes = (io.input.get, io.shufWrite.get, io.shufRead.get)
+          val s2 = time(f())
+          name -> (math.min(s1, s2), bytes)
+        }.toMap
+      } finally spark.stop()
+    }
+
+    def fmt(cores: Int, r: Map[String, (Double, (Long, Long, Long))]): String =
+      r.toSeq.sortBy(_._1).map { case (name, (sec, (in, sw, sr))) =>
+        f""""$name":{"sec":$sec%.2f,"docs_per_sec":${nDocs / sec}%.0f,"input_bytes":$in,"shuffle_write_bytes":$sw,"shuffle_read_bytes":$sr}"""
+      }.mkString(s"""{"cores":$cores,""", ",", "}")
+
+    if (lo == hi) {
+      // single-level mode: one parallelism level per (fresh) JVM — see
+      // ScalingBench for why measuring both levels in one JVM is dishonest
+      println(s"""{"metric":"curation_throughput","docs":$nDocs,"level":${fmt(lo, run(lo))}}""")
+    } else {
+      val rLo = run(lo)
+      val rHi = run(hi)
+      val effs = rLo.keys.map { k =>
+        val e = (rLo(k)._1 / rHi(k)._1) / (hi.toDouble / lo)
+        f""""$k":$e%.3f"""
+      }.mkString("{", ",", "}")
+      println(s"""{"metric":"curation_scaling","docs":$nDocs,"eff":$effs,"lo":${fmt(lo, rLo)},"hi":${fmt(hi, rHi)}}""")
+    }
+  }
+}

@@ -244,14 +244,21 @@ object Curation {
       .select(col(idCol), col("comp"),
         splitAssign(col("comp"), splits).as("split"))
 
+  /** Repeat fraction of any array: 1 - distinct/size, 0.0 when empty.
+    * The shared kernel of the word/n-gram repetition ratios — callers on
+    * hot paths pass a MATERIALIZED column (two references to a built
+    * array subtree would rebuild it twice; see [[ngramsFromWords]]).
+    */
+  def dupRatioOfArray(arr: Column): Column =
+    when(size(arr) === 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(arr)).cast("double") /
+        size(arr).cast("double"))
+
   /** Gopher-style repetition signal over a materialized word array:
     * fraction of word occurrences that are repeats of an earlier word
     * (0 = all distinct, →1 = one word repeated). 0.0 for empty documents.
     */
-  def dupWordRatioFromWords(words: Column): Column =
-    when(size(words) === 0, lit(0.0)).otherwise(
-      lit(1.0) - size(array_distinct(words)).cast("double") /
-        size(words).cast("double"))
+  def dupWordRatioFromWords(words: Column): Column = dupRatioOfArray(words)
 
   /** Convenience form over raw text. */
   def dupWordRatio(text: Column): Column =
@@ -262,12 +269,8 @@ object Curation {
     * words. `words` must be a materialized column on hot paths (see
     * [[ngramsFromWords]]).
     */
-  def dupNgramRatioFromWords(words: Column, n: Int = 2): Column = {
-    val ng = ngramsFromWords(words, n)
-    when(size(ng) === 0, lit(0.0)).otherwise(
-      lit(1.0) - size(array_distinct(ng)).cast("double") /
-        size(ng).cast("double"))
-  }
+  def dupNgramRatioFromWords(words: Column, n: Int = 2): Column =
+    dupRatioOfArray(ngramsFromWords(words, n))
 
   /** Convenience form over raw text. */
   def dupNgramRatio(text: Column, n: Int = 2): Column =

@@ -71,11 +71,18 @@ object CurationPipeline {
       .groupBy(col("_ck")).agg(min(col("_win_id")).as("_win_id"))
       .withColumn("_k_exact", lit(true))
     val docsCk = docs.withColumn("_ck", contentKey)
+    // localCheckpoint: flagged0 feeds BOTH the near-dup branch (stage 2
+    // shingles the exact survivors) and the flag chain — uncheckpointed,
+    // the content-key normalization + winner join run twice (measured
+    // ~2× the exact stage at bench scale). At extreme scale this is the
+    // standard recompute-vs-materialize trade: blocks go to executor
+    // memory+disk and are released with the frame.
     val flagged0 = docsCk
       .join(winners,
         docsCk("_ck") === winners("_ck") && id === col("_win_id"), "left")
       .drop(winners("_ck")).drop("_ck", "_win_id")
       .withColumn("_k_exact", coalesce(col("_k_exact"), lit(false)))
+      .localCheckpoint(true)
 
     // stage 2 — near-dup clusters among the exact survivors (running it on
     // the pre-dedup corpus would only re-discover the exact duplicates);
@@ -110,10 +117,13 @@ object CurationPipeline {
     // normWords expression tree, or the interpreted HOF path re-runs the
     // regex/split/filter chain once per n-gram (the measured-13.7× trap
     // documented on ngramsFromWords)
+    // the bigram array is materialized too (`_ng2`): the ratio reads it
+    // twice (size + distinct-size), and two references to the
+    // ngramsFromWords subtree would rebuild every bigram string twice
     val words = col("_words")
     val qualityFlag =
       Curation.dupWordRatioFromWords(words) <= cfg.maxDupWordRatio &&
-        Curation.dupNgramRatioFromWords(words, 2) <= cfg.maxDupNgramRatio &&
+        Curation.dupRatioOfArray(col("_ng2")) <= cfg.maxDupNgramRatio &&
         TextAnalysis.tokenCountWs(text).between(cfg.minTokens, cfg.maxTokens)
 
     // stage 5 — domain mixture rebalancing (pure id arithmetic)
@@ -124,9 +134,10 @@ object CurationPipeline {
 
     val flagged = flagged2
       .withColumn("_words", Curation.normWords(text))
+      .withColumn("_ng2", Curation.ngramsFromWords(col("_words"), 2))
       .withColumn("_k_quality", qualityFlag)
       .withColumn("_k_mixture", mixtureFlag)
-      .drop("_words")
+      .drop("_words", "_ng2")
       .localCheckpoint(true) // report + survivors read the flags once each
 
     // ONE aggregation for the whole attrition report
