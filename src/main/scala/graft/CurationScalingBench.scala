@@ -25,11 +25,22 @@ import org.apache.spark.sql.functions._
   */
 object CurationScalingBench {
 
-  private def session(cores: Int): SparkSession = {
+  /** Shuffle partitions sized to DATA, identical at every parallelism
+    * level (a real cluster fixes the dataset's partitioning and varies
+    * executor count). Sizing to cores — right for the routing bench,
+    * whose one shuffle is 30 KB — made each dedup reduce task own
+    * shuffle-GB/cores: at 1M docs the 8-core level's ~600 MB sort/join
+    * tasks went memory-pressure-superlinear (97.7 s at partitions=8 vs
+    * 57.8 s at 32, identical shuffle bytes). ~30 MB of shuffle per task.
+    */
+  private def partitionsFor(nDocs: Long, cores: Int): Int =
+    math.max(cores, (nDocs / 31250L).toInt)
+
+  private def session(cores: Int, parts: Int): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-curation-scaling-$cores")
-      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.shuffle.partitions", parts.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.local.dir",
@@ -61,7 +72,7 @@ object CurationScalingBench {
       s"/dev/shm/graft-docs-$nDocs")
 
     def run(cores: Int): Map[String, (Double, (Long, Long, Long))] = {
-      val spark = session(cores)
+      val spark = session(cores, partitionsFor(nDocs, cores))
       try {
         if (!new java.io.File(s"$corpusDir/_SUCCESS").exists())
           DocGen.docs(spark, nDocs).repartition(128)

@@ -116,6 +116,163 @@ object MinHashSig {
   }
 }
 
+/** [[MinHashSig]] over PRE-HASHED shingles (`array<long>` of
+  * `xxhash64(shingle)`): hs is taken from the input instead of hashing the
+  * string — the rest of the family derivation (inner = hashLong(hs, 42),
+  * member j = hashInt(j, inner)) is identical, so
+  * `MinHashSigFromHashes(transform(sh, s ⇒ xxhash64(s)))` is BIT-EQUAL to
+  * `MinHashSig(sh)` (MinHashSpec proves it). Exists because the batch
+  * near-dup path now keeps only the hashed shingle frame (8-byte elements
+  * through the checkpoint and both verify-join shuffles, vs ~100-byte
+  * strings) — the signature build must work from the same frame. A null
+  * element contributes hs = 42 (the seed), matching xxhash64(NULL)'s
+  * running-hash behavior in the string form.
+  */
+case class MinHashSigFromHashes(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  require(numHashes > 0, s"minhash_sig_hashed: numHashes must be positive: $numHashes")
+
+  override def prettyName: String = "minhash_sig_hashed"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckSuccess
+      case t => TypeCheckFailure(s"hashed shingles must be ARRAY<BIGINT>, got $t")
+    }
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val hs = if (arr.isNullAt(i)) 42L else arr.getLong(i)
+      val inner = XXH64.hashLong(hs, 42L)
+      var j = 0
+      while (j < numHashes) {
+        val v = XXH64.hashInt(j, inner)
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val xxh = classOf[XXH64].getName
+    val mins = ctx.freshName("mins")
+    val i = ctx.freshName("i")
+    val j = ctx.freshName("j")
+    val hs = ctx.freshName("hs")
+    val inner = ctx.freshName("inner")
+    val v = ctx.freshName("v")
+    nullSafeCodeGen(ctx, ev, arrV => {
+      s"""
+      long[] $mins = new long[$numHashes];
+      java.util.Arrays.fill($mins, Long.MAX_VALUE);
+      for (int $i = 0; $i < $arrV.numElements(); $i++) {
+        long $hs = $arrV.isNullAt($i) ? 42L : $arrV.getLong($i);
+        long $inner = $xxh.hashLong($hs, 42L);
+        for (int $j = 0; $j < $numHashes; $j++) {
+          long $v = $xxh.hashInt($j, $inner);
+          if ($v < $mins[$j]) $mins[$j] = $v;
+        }
+      }
+      ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigFromHashes =
+    copy(child = newChild)
+}
+
+object MinHashSigFromHashes {
+  /** Column-API entry point. */
+  def minhash_sig_hashed(hashedShingles: Column, numHashes: Int): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(
+      MinHashSigFromHashes(GraftBridge.expression(hashedShingles), numHashes))
+  }
+}
+
+/** Positions where two minhash signatures agree — the codegen'd twin of
+  * `aggregate(zip_with(a, b, (x, y) ⇒ x = y ? 1 : 0), 0, +)` (kept as the
+  * MinHashSpec cross-check formula). This runs once per PRE-DISTINCT
+  * banded candidate row — an exact-duplicate cluster of c docs emits
+  * ~c²/2 × bands such rows before the pair-dedup exchange, so at
+  * million-doc scale the interpreted HOF pair (fresh lambda frames and a
+  * zipped array per row) was the band join's dominant cost. Unequal
+  * lengths agree only over the common prefix (zip_with's null padding
+  * never matches); null elements (cannot occur — signatures are built
+  * containsNull = false) count as disagreement, like the HOF's
+  * `when(x === y, …)` null semantics.
+  */
+case class SigAgreement(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def prettyName: String = "sig_agreement"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckSuccess
+      case (l, r) => TypeCheckFailure(s"signatures must be ARRAY<BIGINT>, got $l, $r")
+    }
+  }
+
+  override def dataType: DataType = IntegerType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i) && x.getLong(i) == y.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val n = ctx.freshName("n")
+    val i = ctx.freshName("i")
+    val c = ctx.freshName("c")
+    nullSafeCodeGen(ctx, ev, (xa, ya) => {
+      s"""
+      int $n = Math.min($xa.numElements(), $ya.numElements());
+      int $c = 0;
+      for (int $i = 0; $i < $n; $i++) {
+        if (!$xa.isNullAt($i) && !$ya.isNullAt($i) &&
+            $xa.getLong($i) == $ya.getLong($i)) $c++;
+      }
+      ${ev.value} = $c;
+      """
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): SigAgreement =
+    copy(left = newLeft, right = newRight)
+}
+
+object SigAgreement {
+  /** Column-API entry point. */
+  def sig_agreement(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(
+      SigAgreement(GraftBridge.expression(a), GraftBridge.expression(b)))
+  }
+}
+
 /** Distinct word k-shingles of a lowercased text column — the codegen'd
   * twin of the HOF formula `array_distinct(flatten(transform(array(split(
   * lower(text), "\\s+")), w => filter(transform(seq, i => join(slice))))))`

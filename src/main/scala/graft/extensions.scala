@@ -82,6 +82,14 @@ object GraftFunctions {
       graft.expr.SimHash64(exprs.head)
     })
 
+  val normWords: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("norm_words"),
+    new ExpressionInfo(classOf[graft.expr.NormWords].getName, "norm_words"),
+    { exprs =>
+      arity("norm_words", exprs, 1)
+      graft.expr.NormWords(exprs.head)
+    })
+
   /** Register a Column-composition operator as a SQL function: the builder
     * rebuilds the SAME Catalyst expression tree the Column API produces
     * (one shared implementation — SQL and Column callers cannot drift).
@@ -118,7 +126,7 @@ object GraftFunctions {
     cs => graft.ops.Curation.dupWordRatio(cs.head))
 
   private def all = Seq(grokExtract, topkByScore, wordShingles, minhashSig,
-    simhash, sampleRank, shardAssign, redactPii, dupWordRatio)
+    simhash, normWords, sampleRank, shardAssign, redactPii, dupWordRatio)
 
   /** Register every function on an existing session (the `Main`/test
     * path; temp functions live for the session).
@@ -142,6 +150,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.wordShingles)
     ext.injectFunction(GraftFunctions.minhashSig)
     ext.injectFunction(GraftFunctions.simhash)
+    ext.injectFunction(GraftFunctions.normWords)
     ext.injectFunction(GraftFunctions.sampleRank)
     ext.injectFunction(GraftFunctions.shardAssign)
     ext.injectFunction(GraftFunctions.redactPii)

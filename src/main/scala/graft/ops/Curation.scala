@@ -24,9 +24,18 @@ object Curation {
 
   /** Normalized word sequence: lowercase, punctuation → space, empty
     * tokens dropped. Shared by decontamination and repetition stats so
-    * both agree on what a "word" is.
+    * both agree on what a "word" is. Implemented as the codegen'd
+    * [[graft.expr.NormWords]] byte-scan expression — this tokenization
+    * runs inside every curation operator and the regex/split/filter chain
+    * it replaced was the family's measured CPU center; the original
+    * formula is kept as [[normWordsHof]], CurationSpec's bit-parity
+    * cross-check (the committed DuckDB oracles replay the regex form, so
+    * the tokenization must not move).
     */
-  def normWords(text: Column): Column =
+  def normWords(text: Column): Column = graft.expr.NormWords.norm_words(text)
+
+  /** The original Column formula — kept ONLY as the cross-check. */
+  private[ops] def normWordsHof(text: Column): Column =
     filter(split(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " "),
       w => w =!= "")
 

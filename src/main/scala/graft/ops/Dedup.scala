@@ -195,30 +195,54 @@ object Dedup {
     a.join(b, Seq("band_idx", "band_hash"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / numHashes).as("jaccard_est"))
+        sigAgreementEst(col("sig_a"), col("sig_b"), numHashes).as("jaccard_est"))
       .distinct()
   }
 
+  /** Signature-agreement Jaccard estimate (matching positions /
+    * numHashes) — the codegen'd [[graft.expr.SigAgreement]] expression;
+    * runs once per pre-distinct banded candidate row, where the
+    * interpreted HOF form it replaced ([[sigAgreementEstHof]], the
+    * MinHashSpec cross-check) dominated the band join at million-doc
+    * scale.
+    */
+  private def sigAgreementEst(a: Column, b: Column, numHashes: Int): Column =
+    graft.expr.SigAgreement.sig_agreement(a, b).cast("double") / numHashes
+
+  /** The original HOF estimate formula — kept ONLY as the cross-check. */
+  private[ops] def sigAgreementEstHof(a: Column, b: Column,
+                                      numHashes: Int): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / numHashes
+
   /** Near-dup pairs: LSH candidates verified with EXACT n-gram Jaccard.
-    * The shingle arrays are computed ONCE (checkpointed) and feed both the
-    * signature build and the verify join — shingling (string splits +
-    * array building) dominates the cost, so the round-1 shape that
-    * re-shingled for the verify path paid it twice.
+    *
+    * The shingles are computed ONCE and immediately reduced to their
+    * xxhash64 values — the checkpointed frame, the signature build
+    * ([[graft.expr.MinHashSigFromHashes]], bit-equal to hashing the
+    * strings), and BOTH verify-join sides all work on `array<long>`.
+    * Rationale: beyond the broadcast-lucky small-corpus regime the verify
+    * join must ship the shingle frame through two id-keyed exchanges, and
+    * 8-byte hashes are ~10× less exchange/checkpoint volume (and GC churn)
+    * than the shingle strings. Jaccard counts over the hashes equal the
+    * string counts unless two distinct shingles of one compared pair
+    * collide in 64 bits (~n²/2⁶⁴ per pair — negligible; the DuckDB oracle
+    * replays the STRING form and stays bit-equal on the harness corpora).
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double = 0.8, numHashes: Int = 64,
                       bands: Int = 16, shingleK: Int = 3,
                       bucketCap: Int = DefaultBucketCap): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      wordShingles(col(textCol), shingleK).as("sh")).localCheckpoint(true)
-    val sig = sh.select(col("id"),
-      minhashSignature(col("sh"), numHashes).as("sig")).localCheckpoint(true)
+    val shh = df.select(col(idCol).as("id"),
+        transform(wordShingles(col(textCol), shingleK), s => xxhash64(s)).as("shh"))
+      .localCheckpoint(true)
+    val sig = shh.select(col("id"),
+      graft.expr.MinHashSigFromHashes.minhash_sig_hashed(col("shh"), numHashes)
+        .as("sig")).localCheckpoint(true)
     val cands = minhashCandidatesFromSig(sig, numHashes, bands, bucketCap)
     cands
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(shh.select(col("id").as("id_a"), col("shh").as("sh_a")), "id_a")
+      .join(shh.select(col("id").as("id_b"), col("shh").as("sh_b")), "id_b")
       .withColumn("jaccard", ngramJaccardCol(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard_est", "jaccard")
@@ -226,10 +250,16 @@ object Dedup {
 
   // ------------------------------------------------------- n-gram jaccard
 
-  /** Exact Jaccard between two shingle arrays. */
+  /** Exact Jaccard between two DISTINCT shingle arrays ([[wordShingles]]
+    * output is always distinct). The union size is derived as
+    * |a| + |b| − |a∩b| instead of materializing `array_union` — the
+    * verify join runs this per candidate pair, and the union array was
+    * pure allocation (its only use was its size). Identical values for
+    * distinct inputs, including both-empty → 1.0.
+    */
   def ngramJaccardCol(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
-    val union = size(array_union(a, b)).cast("double")
+    val union = size(a).cast("double") + size(b).cast("double") - inter
     when(union === 0, lit(1.0)).otherwise(inter / union)
   }
 
@@ -423,9 +453,7 @@ object Dedup {
       .where(col("id_a") =!= col("id_b"))
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"),
-        (aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / numHashes).as("jaccard_est"))
+        sigAgreementEst(col("sig_a"), col("sig_b"), numHashes).as("jaccard_est"))
       .distinct()
     val allSh = indexFresh.select(col("id"), col("sh"))
       .unionByName(newSigs.select(col("id"), col("sh")))
@@ -558,6 +586,27 @@ object Dedup {
     */
   def ccUpdate(existing: DataFrame, newPairs: DataFrame,
                aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val (untouched, relabeled) = ccUpdateParts(existing, newPairs, aCol, bCol)
+    untouched.select(col("id"), col("comp"))
+      .unionByName(relabeled.select(col("id"), col("comp")))
+  }
+
+  /** The CHANGED slice of [[ccUpdate]] alone: (id, comp) for every member
+    * of a component touched by a new pair (new ids included), nothing for
+    * untouched components — the per-batch label DELTA a continuously-
+    * maintained assignment table stores (see
+    * [[StreamingDedup.updateLabels]]): storage per batch scales with the
+    * touched subgraph, and last-writer-wins over the deltas reconstructs
+    * the full assignment.
+    */
+  def ccUpdateDelta(existing: DataFrame, newPairs: DataFrame,
+                    aCol: String = "id_a", bCol: String = "id_b"): DataFrame =
+    ccUpdateParts(existing, newPairs, aCol, bCol)._2
+      .select(col("id"), col("comp"))
+
+  private def ccUpdateParts(existing: DataFrame, newPairs: DataFrame,
+                            aCol: String, bCol: String)
+      : (DataFrame, DataFrame) = {
     val eNew = newPairs.select(col(aCol).cast("long").as("u"),
         col(bCol).cast("long").as("v"))
       .where(col("u") =!= col("v")).distinct()
@@ -573,9 +622,7 @@ object Dedup {
       .where(col("id") =!= col("comp")) // singleton self-edges drop out
       .select(col("id").as("u"), col("comp").as("v"))
       .unionByName(eNew)
-    val relabeled = connectedComponentsStar(subEdges, "u", "v")
-    untouched.select(col("id"), col("comp"))
-      .unionByName(relabeled.select(col("id"), col("comp")))
+    (untouched, connectedComponentsStar(subEdges, "u", "v"))
   }
 
   /** Resolve near-dup pairs to keep/drop sets: every row of `df` gets its

@@ -153,6 +153,53 @@ object StreamingDedup {
       s"compaction swap failed: $tmp -> $indexDir/batch_id=$maxId")
   }
 
+  /** Incremental cluster maintenance over the durable pair index: fold ONE
+    * batch's pairs into the continuously-maintained `(id, comp)` labels
+    * table via [[Dedup.ccUpdateDelta]] — only components touched by the
+    * batch's pairs are rerun through the star rounds (proven ≡ a full
+    * recompute), and only their members' labels are WRITTEN, as the
+    * delta partition `labels/batch_id=<id>`. Same idempotence discipline
+    * as [[ingestBatch]]: the existing assignment is read strictly below
+    * `batchId` (a replay reads exactly the pre-crash labels and rewrites
+    * identical bytes), and [[readLabels]] resolves ids last-writer-wins
+    * across delta partitions. Run it after [[ingestBatch]] for the batch —
+    * or on any cadence, passing the pairs of every batch since the last
+    * label update.
+    */
+  def updateLabels(spark: SparkSession, outDir: String, batchId: Long,
+                   pairs: DataFrame): Unit = {
+    val existing = labelsBelow(spark, outDir, batchId)
+    Dedup.ccUpdateDelta(existing, pairs)
+      .write.mode("overwrite").parquet(s"$outDir/labels/batch_id=$batchId")
+  }
+
+  /** The current component assignment: last-writer-wins per id over the
+    * label delta partitions. Ids never touched by any pair are absent —
+    * singletons, exactly like [[Dedup.clusters]]' left-join convention.
+    */
+  def readLabels(spark: SparkSession, outDir: String): DataFrame =
+    labelsBelow(spark, outDir, Long.MaxValue)
+
+  private def labelsBelow(spark: SparkSession, outDir: String,
+                          batchId: Long): DataFrame = {
+    import spark.implicits._
+    val labelsDir = s"$outDir/labels"
+    val path = new org.apache.hadoop.fs.Path(labelsDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prior = if (!fs.exists(path)) Array.empty[org.apache.hadoop.fs.Path]
+      else fs.listStatus(path).map(_.getPath)
+        .filter { p =>
+          p.getName.startsWith("batch_id=") &&
+            scala.util.Try(p.getName.stripPrefix("batch_id=").toLong)
+              .toOption.exists(_ < batchId)
+        }
+    if (prior.isEmpty) Seq.empty[(Long, Long)].toDF("id", "comp")
+    else spark.read.option("basePath", labelsDir)
+      .parquet(prior.map(_.toString).toIndexedSeq: _*)
+      .groupBy(col("id"))
+      .agg(max_by(col("comp"), col("batch_id")).as("comp"))
+  }
+
   /** All near-dup pairs found so far (union of every batch's partition). */
   def readPairs(spark: SparkSession, outDir: String): DataFrame =
     spark.read.option("basePath", s"$outDir/pairs")

@@ -83,12 +83,13 @@ class ExtensionsSpec extends SparkTestBase {
         (2L, "x", ""))
       .toDF("id", "text", "pii").createOrReplaceTempView("ext_cur")
     val viaSql = spark.sql(
-      """SELECT simhash(text) AS sh, sample_rank(id) AS r,
+      """SELECT simhash(text) AS sh, norm_words(text) AS nw, sample_rank(id) AS r,
         |  shard_assign(id, 8) AS shard, redact_pii(pii) AS red,
         |  ROUND(dup_word_ratio(text), 4) AS dwr
         |FROM ext_cur ORDER BY id""".stripMargin).collect().toSeq
     val viaCol = spark.table("ext_cur")
       .select(graft.ops.Dedup.simhash($"text").as("sh"),
+        graft.ops.Curation.normWords($"text").as("nw"),
         graft.ops.Curation.sampleRank($"id").as("r"),
         graft.ops.Curation.shardAssign($"id", 8).as("shard"),
         graft.ops.Curation.redactPii($"pii").as("red"),
@@ -96,8 +97,8 @@ class ExtensionsSpec extends SparkTestBase {
       .orderBy(spark.table("ext_cur")("id")).collect().toSeq
     assert(viaSql === viaCol)
     // sanity on actual values, not just parity
-    assert(viaSql.head.getString(3) === "mail me at <EMAIL> or <IP>")
-    assert(viaSql(1).getString(3) === "phone <NUM> and text")
+    assert(viaSql.head.getString(4) === "mail me at <EMAIL> or <IP>")
+    assert(viaSql(1).getString(4) === "phone <NUM> and text")
     // shard_assign requires a literal shard count like the other builders
     val e = intercept[Exception] {
       spark.sql("SELECT shard_assign(id, id + 1) FROM ext_cur").collect()

@@ -260,6 +260,34 @@ class CurationSpec extends SparkTestBase {
     assert(!plan.contains("Window"), plan.take(4000))
   }
 
+  test("normWords expression ≡ regex formula, element-exact (incl. edge cases)") {
+    // every curation oracle replays the REGEX tokenization in SQL — the
+    // byte-scan expression must produce identical token sequences
+    val texts = Seq(
+      "The quick, brown FOX!! jumps #42 over_the lazy dog.",
+      "", "   ", "!!!", "a", "ab12cd",
+      "tabs\tand\nnewlines\rare separators too",
+      "ünïcödé Ça va ÅÄÖ mixed ascii123 tail",
+      "KELVIN sign lowercases to ascii k",   // U+212A → 'k'
+      "digits 007 and trailing punct...",
+      "x" * 300
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val both = texts.select(
+      Curation.normWords($"text").as("e"),
+      Curation.normWordsHof($"text").as("h"))
+    val diff = both.where(
+      size($"e") =!= size($"h") ||
+        exists(zip_with($"e", $"h", (a, b) => a =!= b), identity))
+    assert(diff.count() === 0L, both.collect().mkString("\n"))
+    // and on real corpus docs
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val d2 = docs.select(Curation.normWords($"text").as("e"),
+        Curation.normWordsHof($"text").as("h"))
+      .where(size($"e") =!= size($"h") ||
+        exists(zip_with($"e", $"h", (a, b) => a =!= b), identity))
+    assert(d2.count() === 0L)
+  }
+
   test("dupRuns: maximal duplicated runs merge adjacent/overlapping windows") {
     // n = 5. Doc 0 shares block A (8 words) with doc 1 and block B
     // (6 words) with doc 2, separated by 6 unique words: A's four

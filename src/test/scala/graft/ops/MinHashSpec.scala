@@ -97,4 +97,43 @@ class MinHashSpec extends SparkTestBase {
     // null array → null signature
     assert(got(2).isNullAt(1))
   }
+
+  test("MinHashSigFromHashes(xxhash64(sh)) ≡ MinHashSig(sh), bit-identical") {
+    // the batch near-dup path signs the HASHED shingle frame — the two
+    // family derivations must agree to the bit or the band join and every
+    // committed oracle diverge
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = docs.select(
+      Dedup.minhashSignature(Dedup.wordShingles(col("text"), 3), 16).as("s"),
+      graft.expr.MinHashSigFromHashes.minhash_sig_hashed(
+        transform(Dedup.wordShingles(col("text"), 3), x => xxhash64(x)), 16).as("h"))
+    assert(got.where(col("s") =!= col("h")).count() === 0L)
+    // empty input → identity signature, like the string form
+    import spark.implicits._
+    val empty = Seq(Seq.empty[Long]).toDF("shh")
+      .select(graft.expr.MinHashSigFromHashes.minhash_sig_hashed($"shh", 4))
+      .head().getSeq[Long](0)
+    assert(empty === Seq.fill(4)(Long.MaxValue))
+  }
+
+  test("SigAgreement ≡ HOF agreement formula on real signature pairs") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(60)
+    val sigs = docs.select(col("doc_id"),
+      Dedup.minhashSignature(Dedup.wordShingles(col("text"), 3), 16).as("sig"))
+    val pairs = sigs.select(col("doc_id").as("ia"), col("sig").as("sa"))
+      .crossJoin(sigs.select(col("doc_id").as("ib"), col("sig").as("sb")))
+      .where(col("ia") < col("ib"))
+    val got = pairs.select(
+      graft.expr.SigAgreement.sig_agreement(col("sa"), col("sb")).as("e"),
+      (Dedup.sigAgreementEstHof(col("sa"), col("sb"), 16) * 16)
+        .cast("int").as("h"))
+    assert(got.where(col("e") =!= col("h")).count() === 0L)
+    // unequal lengths agree only over the common prefix
+    val uneven = Seq((Seq(1L, 2L, 3L), Seq(1L, 9L))).toDF("a", "b")
+      .select(graft.expr.SigAgreement.sig_agreement(col("a"), col("b")))
+      .head().getInt(0)
+    assert(uneven === 1)
+  }
 }

@@ -147,4 +147,44 @@ class StreamingDedupSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$outA/index/batch_id=2")
       .select("id").as[Long].collect().sorted.toSeq === Seq(7L, 8L, 20L))
   }
+
+  test("incremental labels per batch ≡ full CC over all pairs; replay idempotent") {
+    val outDir = tmpDir("sminhash-labels")
+    // three batches: B grows A's cluster (cross pairs), C merges two
+    // previously-separate clusters via a bridging doc
+    val textX = (100 until 150).map(i => s"x$i").mkString(" ")
+    val bA = Seq((0L, baseWords.mkString(" ")),
+      (5L, textX)).toDF("doc_id", "text")
+    val bB = Seq((10L, baseWords.mkString(" "))).toDF("doc_id", "text")
+    val bC = Seq((20L, baseWords.mkString(" ")),
+      (21L, textX)).toDF("doc_id", "text")
+    Seq(bA, bB, bC).zipWithIndex.foreach { case (b, i) =>
+      StreamingDedup.ingestBatch(b, i.toLong, outDir, "doc_id", "text")
+      StreamingDedup.updateLabels(spark, outDir, i.toLong,
+        spark.read.parquet(s"$outDir/pairs/batch_id=$i"))
+      // after every batch the maintained labels equal a full recompute
+      // over every pair found so far
+      val full = Dedup.connectedComponentsStar(
+        StreamingDedup.readPairs(spark, outDir))
+        .as[(Long, Long)].collect().toMap
+      val inc = StreamingDedup.readLabels(spark, outDir)
+        .as[(Long, Long)].collect().toMap
+      assert(inc === full, s"labels diverged after batch $i")
+    }
+    // the per-batch label deltas only carry touched components: batch 1
+    // touched the baseWords cluster, so doc 5 (textX cluster) must not be
+    // rewritten by it
+    val delta1 = spark.read.parquet(s"$outDir/labels/batch_id=1")
+      .as[(Long, Long)].collect().toMap
+    assert(!delta1.contains(5L), s"untouched component rewritten: $delta1")
+    // replay of the last label update reads only pre-batch state and
+    // rewrites identical bytes
+    val before = StreamingDedup.readLabels(spark, outDir)
+      .as[(Long, Long)].collect().toMap
+    StreamingDedup.updateLabels(spark, outDir, 2L,
+      spark.read.parquet(s"$outDir/pairs/batch_id=2"))
+    val after = StreamingDedup.readLabels(spark, outDir)
+      .as[(Long, Long)].collect().toMap
+    assert(after === before)
+  }
 }
