@@ -445,6 +445,26 @@ object SparkEntry {
       graft.ops.TextAnalysis.profile(t(s, d, "documents"), "text")
         .select(col("doc_id"), col("quality"), col("fingerprint"))),
 
+    // Hashed-feature linear quality classifier (fastText-shaped scoring;
+    // Classifier.scala): integer milli-weight sums, so n_tokens / feat_sum
+    // / label are engine-EXACT (no double re-association under groupBy);
+    // only the sigmoid rounds. The oracle joins the dumped word→wgt
+    // dictionary (__OUT__/_input_cls — DuckDB has no xxhash64) and replays
+    // the sum / threshold / sigmoid arithmetic. Both scoring paths run as
+    // queries: the broadcast-join table path and the literal-vector narrow
+    // path must produce identical rows against the SAME oracle.
+    "q_quality_classify" -> ((s, d) =>
+      graft.ops.Classifier.scoreJoin(t(s, d, "documents"), "doc_id", "text",
+        graft.ops.Classifier.syntheticWeights(s, 4096), 4096,
+        biasMilli = -25L)),
+
+    "q_quality_classify_narrow" -> ((s, d) => {
+      val w = graft.ops.Classifier.syntheticWeights(s, 4096)
+        .orderBy("feat").collect().map(_.getLong(1))
+      graft.ops.Classifier.scoreNarrow(t(s, d, "documents"), "doc_id", "text",
+        w, biasMilli = -25L)
+    }),
+
     // ---------------- corpus curation ops (training-data; Curation.scala)
     // Decontamination: eval set = every 7th document; n_hits = distinct
     // shared 13-grams. hashed=true exercises the scale path (xxhash64 join
@@ -981,6 +1001,15 @@ object SparkEntry {
         |SELECT b.doc_id, ROUND(b.dwr, 4) AS dup_word_ratio,
         |  ROUND(COALESCE(ngr.d2r, 0.0), 4) AS dup_2gram_ratio
         |FROM base b LEFT JOIN ngr USING (doc_id)""".stripMargin,
+
+    // Classifier: identical SQL for both scoring paths — the engine must
+    // produce the same rows from the broadcast-join and the literal-vector
+    // plan. feat_sum is an exact integer milli-sum (SUM cast back to
+    // BIGINT: DuckDB widens BIGINT sums to HUGEINT); label replays the
+    // integer numerator threshold; score the sigmoid, rounded as the
+    // engine rounds.
+    "q_quality_classify" -> SparkEntry.classifierOracle,
+    "q_quality_classify_narrow" -> SparkEntry.classifierOracle,
 
     "q_pii_redact" ->
       """WITH p AS (
@@ -1613,6 +1642,39 @@ object SparkEntry {
       |           ELSE (1::BIGINT << i) END
       |    ELSE 0 END) AS BIGINT) AS sig
       |  FROM bits GROUP BY doc_id)""".stripMargin
+
+  /** DuckDB replay of Classifier.scoreJoin/scoreNarrow over the dumped
+    * word→milli-weight dictionary (__OUT__/_input_cls, built from the same
+    * corpus, so the inner token join is lossless): tokenize with the
+    * normWords formula, integer-sum the weights, decide the label on the
+    * integer numerator, round the sigmoid to the engine's 4 dp. bias =
+    * −25 milli, matching both queries.
+    */
+  private val classifierOracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, list_filter(string_split(
+      |    regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '),
+      |    x -> x <> '') AS words
+      |  FROM documents
+      |), tok AS (
+      |  SELECT doc_id, unnest(words) AS word FROM w
+      |), s AS (
+      |  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(v.wgt) AS BIGINT) AS feat_sum
+      |  FROM tok t
+      |  JOIN read_parquet('__OUT__/_input_cls/*.parquet') v USING (word)
+      |  GROUP BY 1
+      |), f AS (
+      |  SELECT d.doc_id, COALESCE(s.n_tokens, 0) AS n_tokens,
+      |    COALESCE(s.feat_sum, 0) AS feat_sum,
+      |    GREATEST(COALESCE(s.n_tokens, 0), 1) AS n1
+      |  FROM documents d LEFT JOIN s USING (doc_id)
+      |)
+      |SELECT doc_id, n_tokens, feat_sum,
+      |  ROUND(1.0 / (1.0 + exp(-CAST(-25 * n1 + feat_sum AS DOUBLE)
+      |    / (1000.0 * n1))), 4) AS score,
+      |  (-25 * n1 + feat_sum >= 0) AS label
+      |FROM f""".stripMargin
 
   /** Term-by-term DuckDB replay of TextAnalysis.qualityScore (distinct
     * stopword union of the 4 language lists inlined); shared by

@@ -62,6 +62,15 @@ object Verify {
       .distinct()
       .withColumn("h", xxhash64(col("word")))
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_input_vocab")
+    // classifier word→milli-weight dictionary: feature hashing (xxhash64
+    // mod dim) happens HERE; the oracle joins tokens to this dump and
+    // replays the integer sum / threshold / sigmoid relationally
+    docs.select(explode(graft.ops.Curation.normWords(col("text"))).as("word"))
+      .distinct()
+      .withColumn("feat", graft.ops.Classifier.featureIndex(col("word"), 4096))
+      .join(graft.ops.Classifier.syntheticWeights(spark, 4096), Seq("feat"))
+      .select(col("word"), col("wgt"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_input_cls")
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     // cell16/probes: the IVF coarse-assignment PRIMITIVES for q_ann_recall
     // (same nCells=16, kmeansIters=0, seed defaults as the query) — the
