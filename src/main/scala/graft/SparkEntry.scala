@@ -715,6 +715,37 @@ object SparkEntry {
             .as("recall_at_5"))
     }),
 
+    // Product-quantization ANN (Pq.scala): iters = 0 codebooks (sampled
+    // codewords) so training is collect-then-argmin deterministic — Lloyd
+    // refinement averages doubles whose merge order Spark does not pin,
+    // and the oracle replays ADC over the DUMPED codes/LUT
+    // (__OUT__/_input_pq, _input_pqlut), so the query's codebook must be
+    // bit-identical to the dump's. The trained path is PqSpec territory,
+    // exactly like q_ann_ivf's kmeansIters = 0 note above.
+    "q_ann_pq" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cb = graft.ops.Pq.train(emb, "vec_id", "embedding",
+        m = 8, ksub = 16, iters = 0)
+      graft.ops.Pq.pqTopK(emb, "vec_id", "embedding",
+        emb.where(col("vec_id") < 5), "vec_id", "embedding", cb, k = 5)
+        .withColumn("score", round(col("score"), 6))
+    }),
+
+    // IVF-PQ: coarse cells/probes are the SAME primitives q_ann_recall
+    // dumps (_input_vecs.cell16, _input_probes: nCells = 16, nProbe = 4,
+    // kmeansIters = 0, seed 11) — the oracle joins codes to probed cells
+    // and replays ADC + top-k relationally, fully independent of the
+    // engine's join/argmax machinery.
+    "q_ann_ivfpq" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cb = graft.ops.Pq.train(emb, "vec_id", "embedding",
+        m = 8, ksub = 16, iters = 0)
+      graft.ops.Pq.ivfPqTopK(emb, "vec_id", "embedding",
+        emb.where(col("vec_id") < 5), "vec_id", "embedding", cb,
+        k = 5, nCells = 16, nProbe = 4, kmeansIters = 0)
+        .withColumn("score", round(col("score"), 6))
+    }),
+
     // ---------------- transcript pipeline stages. Input is the seed-42
     // synthetic corpus, which Verify dumps to __OUT__/_input_turns so the
     // oracle SQL reproduces parse→route→aggregate over the same rows.
@@ -1327,6 +1358,25 @@ object SparkEntry {
         |SELECT query_id, id, CAST(ROUND(cos, 6) AS DOUBLE) AS cosine, rank
         |FROM r WHERE rank <= 5""".stripMargin,
 
+    // PQ ANN: codes and per-query LUTs are dumped primitives (_input_pq,
+    // _input_pqlut — exact doubles the engine scores with); the ADC sum
+    // (list_reduce = left fold, matching the engine's `aggregate` fold;
+    // the 0.0 seed is IEEE-exact under +), cross scoring, and tie-broken
+    // top-k are replayed relationally.
+    "q_ann_pq" -> SparkEntry.pqOracle(
+      "SELECT qq.query_id, v.id, v.codes FROM v CROSS JOIN " +
+        "(SELECT query_id FROM q) qq WHERE v.id <> qq.query_id"),
+
+    // IVF-PQ: candidate set additionally filtered to the probed coarse
+    // cells (cell16/_input_probes, the q_ann_recall primitives).
+    "q_ann_ivfpq" -> SparkEntry.pqOracle(
+      """SELECT p.query_id, v.id, v.codes
+        |  FROM read_parquet('__OUT__/_input_probes/*.parquet') p
+        |  JOIN read_parquet('__OUT__/_input_vecs/*.parquet') cells
+        |    ON cells.cell16 = p.probe
+        |  JOIN v ON v.id = cells.vec_id
+        |  WHERE v.id <> p.query_id""".stripMargin),
+
     // MinHash near-dup: band hashes dumped per doc; the band self-join,
     // 2048 bucket cap (deterministic id order), distinct pair set,
     // signature-agreement estimate, and exact shingle-Jaccard verify are
@@ -1675,6 +1725,30 @@ object SparkEntry {
       |    / (1000.0 * n1))), 4) AS score,
       |  (-25 * n1 + feat_sum >= 0) AS label
       |FROM f""".stripMargin
+
+  /** Shared DuckDB replay of Pq ADC top-k over the dumped codes/LUT
+    * primitives (_input_pq, _input_pqlut). `candSql` yields
+    * (query_id, id, codes) candidate rows — exhaustive cross for
+    * q_ann_pq, probed-cell-filtered for q_ann_ivfpq. The ADC sum is a
+    * left fold (list_reduce), matching Pq.adcScore's `aggregate` fold
+    * bit-for-bit (its 0.0 seed is IEEE-exact under +); rank ties break
+    * score DESC, id ASC like Similarity.topKPerQuery.
+    */
+  private def pqOracle(candSql: String): String =
+    s"""WITH v AS (SELECT id, codes
+       |           FROM read_parquet('__OUT__/_input_pq/*.parquet')),
+       |q AS (SELECT query_id, lut
+       |      FROM read_parquet('__OUT__/_input_pqlut/*.parquet')),
+       |cand AS ($candSql),
+       |s AS (SELECT cand.query_id, cand.id,
+       |        list_reduce(list_transform(list_zip(cand.codes, q.lut),
+       |          p -> p[2][p[1] + 1]), (a, b) -> a + b) AS score
+       |      FROM cand JOIN q USING (query_id)),
+       |r AS (SELECT query_id, id, score,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY score DESC, id) AS INT) AS rank FROM s)
+       |SELECT query_id, id, CAST(ROUND(score, 6) AS DOUBLE) AS score, rank
+       |FROM r WHERE rank <= 5""".stripMargin
 
   /** Term-by-term DuckDB replay of TextAnalysis.qualityScore (distinct
     * stopword union of the 4 language lists inlined); shared by

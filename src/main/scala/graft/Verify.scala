@@ -87,6 +87,18 @@ object Verify {
         "vec_id", "embedding", cents16, 4)
       .select(col("query_id"), col("probe"))
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_input_probes")
+    // PQ primitives for q_ann_pq / q_ann_ivfpq: the codes and per-query
+    // ADC lookup tables (exact doubles) — the oracle replays the scoring
+    // fold, candidate joins, and top-k relationally over these. Same
+    // iters = 0 codebooks as the queries (deterministic sampled
+    // codewords; see the q_ann_pq note in SparkEntry).
+    val cbPq = graft.ops.Pq.train(emb, "vec_id", "embedding",
+      m = 8, ksub = 16, iters = 0)
+    graft.ops.Pq.encode(emb, "vec_id", "embedding", cbPq)
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_input_pq")
+    graft.ops.Pq.lutFrame(emb.where(col("vec_id") < 5),
+        "vec_id", "embedding", cbPq)
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_input_pqlut")
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name.parquet")
