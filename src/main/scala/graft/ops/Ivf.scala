@@ -171,10 +171,13 @@ object Ivf {
       .collect().map(_.getInt(0)).toSeq
     val cells = spark.read.parquet(s"$dir/cells")
       .where(col("cell").isin(probedSet: _*))
+      .withColumn("_nv", Similarity.norm(col("v")))
+    val probesN = probes.withColumn("_nq", Similarity.norm(col("qv")))
     val scored = cells
-      .join(broadcast(probes), cells("cell") === probes("probe"))
+      .join(broadcast(probesN), cells("cell") === probesN("probe"))
       .where(col("id") =!= col("query_id"))
-      .withColumn("cosine", Similarity.cosine(col("v"), col("qv")))
+      .withColumn("cosine", Similarity.cosinePre(col("v"), col("qv"),
+        col("_nv"), col("_nq")))
     Similarity.topKPerQuery(scored, k)
   }
 
@@ -193,11 +196,14 @@ object Ivf {
       else pickCentroids(corpus, idCol, vecCol, nCells, seed)
     val cells = assignCells(
       corpus.select(col(idCol).as("id"), col(vecCol).as("v")), "id", "v", centroids)
+      .withColumn("_nv", Similarity.norm(col("v")))
     val probes = probeCells(queries, qIdCol, qVecCol, centroids, nProbe)
+      .withColumn("_nq", Similarity.norm(col("qv")))
     val scored = cells
       .join(broadcast(probes), cells("cell") === probes("probe"))
       .where(col("id") =!= col("query_id"))
-      .withColumn("cosine", Similarity.cosine(col("v"), col("qv")))
+      .withColumn("cosine", Similarity.cosinePre(col("v"), col("qv"),
+        col("_nv"), col("_nq")))
     Similarity.topKPerQuery(scored, k)
   }
 }

@@ -166,8 +166,51 @@ object Pq {
   def pqTopK(corpus: DataFrame, idCol: String, vecCol: String,
              queries: DataFrame, qIdCol: String, qVecCol: String,
              cb: Codebooks, k: Int = 10): DataFrame =
-    topK(encode(corpus, idCol, vecCol, cb)
+    pqTopKEncoded(encode(corpus, idCol, vecCol, cb),
+      queries, qIdCol, qVecCol, cb, k)
+
+  /** ADC top-k over an already-encoded `(id, codes)` frame — the
+    * production shape: the compressed index is durable (encode once,
+    * write, score many query sets against it); [[pqTopK]] is the
+    * encode-inline convenience.
+    */
+  def pqTopKEncoded(encoded: DataFrame,
+                    queries: DataFrame, qIdCol: String, qVecCol: String,
+                    cb: Codebooks, k: Int = 10): DataFrame =
+    topK(encoded.select(col("id"), col("codes"))
       .crossJoin(broadcast(lutFrame(queries, qIdCol, qVecCol, cb))), k)
+
+  /** ADC shortlist + exact rerank — the production PQ retrieval pattern
+    * (IVFADC §V of the PQ paper): quantized scores cannot resolve
+    * near-tied candidates (on clustered corpora MOST top-k contenders are
+    * near-ties), so ADC retrieves a `shortlist` of s ≫ k candidates
+    * cheaply, then ONLY those s·|queries| rows are re-scored with exact
+    * cosine against the raw vectors. Scale shape: the shortlist is tiny
+    * (queries × s), broadcast back against the corpus — one
+    * BroadcastHashJoin probe pass, no corpus shuffle; exact scoring cost
+    * drops from O(corpus · dim) to O(s · queries · dim).
+    */
+  def pqTopKReranked(encoded: DataFrame, corpus: DataFrame,
+                     idCol: String, vecCol: String,
+                     queries: DataFrame, qIdCol: String, qVecCol: String,
+                     cb: Codebooks, k: Int = 10,
+                     shortlist: Int = 0): DataFrame = {
+    val s = if (shortlist > 0) shortlist else 10 * k
+    require(s >= k, s"shortlist $s < k $k")
+    val cands = pqTopKEncoded(encoded, queries, qIdCol, qVecCol, cb, s)
+      .select(col("query_id"), col("id"))
+    val qv = broadcast(queries.select(col(qIdCol).cast("long").as("query_id"),
+      col(qVecCol).as("qv"),
+      Similarity.norm(col(qVecCol)).as("_nq")))
+    val raw = corpus.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("v"))
+    val exact = raw.join(broadcast(cands), "id").join(qv, "query_id")
+      .withColumn("cosine", Similarity.cosinePre(col("v"), col("qv"),
+        Similarity.norm(col("v")), col("_nq")))
+    Similarity.topKPerQuery(exact, k)
+      .select(col("query_id"), col("id"), col("cosine").as("score"),
+        col("rank"))
+  }
 
   /** IVF-PQ: coarse-probe `nProbe` of `nCells` IVF cells, ADC-score only
     * candidates in probed cells — compute O(m · nProbe/nCells · corpus)

@@ -32,6 +32,13 @@ object Similarity {
     * invisible at round-6.
     */
   def dot(a: Column, b: Column): Column =
+    graft.expr.DotF64.dotF64(a.cast("array<double>"), b.cast("array<double>"))
+
+  /** The original HOF formula, kept as the [[dot]] bit-parity cross-check
+    * (SimilaritySpec) — see [[graft.expr.DotF64]] for why the hot paths
+    * use the fused expression instead.
+    */
+  private[ops] def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a.cast("array<double>"), b.cast("array<double>"),
       (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
 
@@ -40,6 +47,19 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = {
     val d = norm(a) * norm(b)
     when(d === 0, lit(0.0d)).otherwise(dot(a, b) / d)
+  }
+
+  /** [[cosine]] with the norms hoisted: on a scored pair frame the naive
+    * form recomputes `norm(v)` per (query, vector) PAIR — with q queries
+    * that is q× redundant per corpus row (and q is 64 in the ANN bench).
+    * Callers compute `_nv`/`_nq` ONCE per side before the join; the
+    * arithmetic is the identical IEEE sequence (sqrt once, multiply,
+    * divide), so scores stay bit-identical to [[cosine]].
+    */
+  private[ops] def cosinePre(v: Column, qv: Column,
+                             nv: Column, nq: Column): Column = {
+    val d = nv * nq
+    when(d === 0, lit(0.0d)).otherwise(dot(v, qv) / d)
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
@@ -84,11 +104,14 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
                      queries: DataFrame, qIdCol: String, qVecCol: String,
                      k: Int = 10): DataFrame = {
-    val scored = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val scored = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+        norm(col(vecCol)).as("_nv"))
       .crossJoin(broadcast(
-        queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"))))
+        queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"),
+          norm(col(qVecCol)).as("_nq"))))
       .where(col("id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("v"), col("qv")))
+      .withColumn("cosine",
+        cosinePre(col("v"), col("qv"), col("_nv"), col("_nq")))
     topKPerQuery(scored, k)
   }
 
@@ -99,9 +122,11 @@ object Similarity {
               queries: DataFrame, qIdCol: String, qVecCol: String,
               k: Int = 10, planes: Int = 8, seed: Long = 7L,
               multiprobe: Boolean = true): DataFrame = {
-    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+        norm(col(vecCol)).as("_nv"))
       .withColumn("bucket", hyperplaneBucket(col("v"), planes, seed))
-    val qb = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"))
+    val qb = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"),
+        norm(col(qVecCol)).as("_nq"))
       .withColumn("qbucket", hyperplaneBucket(col("qv"), planes, seed))
     val probes =
       if (!multiprobe) qb.withColumn("bucket", col("qbucket"))
@@ -112,7 +137,8 @@ object Similarity {
             p => col("qbucket").bitwiseXOR(call_function("shiftleft", lit(1L), p.cast("int")))))))
     val scored = c.join(broadcast(probes), "bucket")
       .where(col("id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("v"), col("qv")))
+      .withColumn("cosine",
+        cosinePre(col("v"), col("qv"), col("_nv"), col("_nq")))
     topKPerQuery(scored, k)
   }
 }

@@ -20,6 +20,40 @@ class SimilaritySpec extends SparkTestBase {
     assert(bad === 0)
   }
 
+  test("DotF64 expression ≡ HOF formula bit-for-bit (codegen + interpreted), " +
+    "incl. null/length edges") {
+    // real vectors: expression and HOF must agree to the BIT (the q_ann
+    // oracles depend on the exact accumulation sequence)
+    val vecs = embeddings.select($"vec_id", $"embedding")
+    val pairs = vecs.crossJoin(
+        vecs.select($"vec_id".as("id2"), $"embedding".as("e2")))
+      .where($"vec_id" < 20 && $"id2" < 20)
+    val mismatch = pairs.where(
+      Similarity.dot($"embedding", $"e2") =!=
+        Similarity.dotHof($"embedding", $"e2")).count()
+    assert(mismatch === 0)
+    // interpreted path (no codegen) — same rows via an eval on literals
+    val a = Array(1.5, -2.25, 3.0); val b = Array(0.5, 4.0, -1.0)
+    val expr = graft.expr.DotF64(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(a,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(b,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))
+    assert(expr.eval(null) === (1.5 * 0.5 + -2.25 * 4.0 + 3.0 * -1.0))
+    // null-poisoning and unequal-length parity with the HOF
+    val edges = Seq(
+      (Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](1.0, 2.0)),
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](1.0)),
+      (Seq[java.lang.Double](), Seq[java.lang.Double]())
+    ).toDF("a", "b")
+    val eBad = edges.where(
+      Similarity.dot($"a", $"b").isNotNull =!=
+        Similarity.dotHof($"a", $"b").isNotNull ||
+      (Similarity.dot($"a", $"b").isNotNull &&
+        Similarity.dot($"a", $"b") =!= Similarity.dotHof($"a", $"b"))).count()
+    assert(eBad === 0)
+  }
+
   test("brute-force top-k on real embeddings table: ranks ordered, k respected") {
     val queries = embeddings.where($"vec_id" < 3)
     val topk = Similarity.bruteForceTopK(embeddings, "vec_id", "embedding",
