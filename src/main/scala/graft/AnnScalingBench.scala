@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   *    compressed index.
   *  - pq_adc:     [[graft.ops.Pq.pqTopKEncoded]] — ADC scoring of every
   *    code row against broadcast per-query LUTs, O(m) per candidate.
-  *  - pq_rerank:  [[graft.ops.Pq.pqTopKReranked]] — ADC shortlist (10·k)
+  *  - pq_rerank:  [[graft.ops.Pq.pqTopKReranked]] — ADC shortlist (30·k)
   *    then exact-cosine rerank of only those candidates (the production
   *    retrieval pattern; quantized scores cannot resolve near-ties).
   *
@@ -48,6 +48,15 @@ object AnnScalingBench {
   private val NProbe = 8
   private val M = 8      // PQ subspaces (dsub = 8)
   private val Ksub = 16  // codewords per subspace
+  private val Shortlist = 300 // rerank ADC shortlist (30·k)
+
+  /** Latent clusters scale with the corpus (~200 members each) so the
+    * neighborhood structure — and therefore recall@k — is comparable
+    * across corpus sizes (a fixed cluster count would grow each cluster
+    * linearly with n and silently dilute every method's recall).
+    */
+  private def clustersFor(nVecs: Long): Int =
+    math.max(64, (nVecs / 200L).toInt)
 
   /** Shuffle partitions sized to DATA, identical at every level (see
     * [[CurationScalingBench.partitionsFor]]); vector rows are ~4× smaller
@@ -94,7 +103,8 @@ object AnnScalingBench {
       val spark = session(cores, partitionsFor(nVecs, cores))
       try {
         if (!new java.io.File(s"$corpusDir/_SUCCESS").exists())
-          VecGen.vecs(spark, nVecs, Dim).drop("cluster").repartition(128)
+          VecGen.vecs(spark, nVecs, Dim, nClusters = clustersFor(nVecs))
+            .drop("cluster").repartition(128)
             .write.mode("overwrite").parquet(corpusDir)
         def corpus = spark.read.parquet(corpusDir)
         def queries = corpus.where(col("vec_id") < NQ)
@@ -129,7 +139,8 @@ object AnnScalingBench {
         def pqRerankRun(): Unit = {
           val n = graft.ops.Pq.pqTopKReranked(
             spark.read.parquet(s"$workDir/pq"), corpus, "vec_id",
-            "embedding", queries, "vec_id", "embedding", cb, K).count()
+            "embedding", queries, "vec_id", "embedding", cb, K,
+            shortlist = Shortlist).count()
           require(n == NQ.toLong * K, s"pq_rerank rows: $n")
         }
 
@@ -163,7 +174,8 @@ object AnnScalingBench {
           queries, "vec_id", "embedding", cb, K))
         val rr = topkPairs(graft.ops.Pq.pqTopKReranked(
           spark.read.parquet(s"$workDir/pq"), corpus, "vec_id",
-          "embedding", queries, "vec_id", "embedding", cb, K))
+          "embedding", queries, "vec_id", "embedding", cb, K,
+          shortlist = Shortlist))
         val recall = Map(
           "ivf_probe" -> (ivf & bf).size.toDouble / bf.size,
           "pq_adc" -> (pq & bf).size.toDouble / bf.size,

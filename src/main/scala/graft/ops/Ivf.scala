@@ -146,6 +146,12 @@ object Ivf {
       else pickCentroids(corpus, idCol, vecCol, nCells, seed)
     assignCells(corpus.select(col(idCol).as("id"), col(vecCol).as("v")),
         "id", "v", centroids)
+      // cluster by the partition key before the partitioned write: without
+      // this every input task writes a file into every cell directory
+      // (tasks × nCells tiny files — the classic partitioned-write fanout);
+      // one hash exchange makes it ~1 file per cell, and probe reads open
+      // O(nProbe) files instead of O(nProbe × tasks)
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
     centroids.toSeq.map { case (c, v) => (c, v.toSeq) }
       .toDF("cell", "centroid")
