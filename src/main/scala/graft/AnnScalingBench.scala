@@ -155,12 +155,13 @@ object AnnScalingBench {
           "pq_adc" -> (() => pqAdcRun()),
           "pq_rerank" -> (() => pqRerankRun()))
         val timed = stages.map { case (name, f) =>
-          f() // full-size warm: codegen + classloading outside the timing
+          val w = time(f()) // full-size warm: codegen + classloading outside the timing
           io.reset()
           val s1 = time(f())
           org.apache.spark.sql.GraftBridge.waitListenerBusEmpty(spark.sparkContext)
           val bytes = (io.input.get, io.shufWrite.get, io.shufRead.get)
           val s2 = time(f())
+          System.err.println(f"[ann-bench $cores%dc] $name%s warm=$w%.1f t1=$s1%.1f t2=$s2%.1f")
           name -> (math.min(s1, s2), bytes)
         }.toMap
 
