@@ -20,29 +20,43 @@ import org.apache.spark.sql.functions._
   */
 object Ivf {
 
-  /** Best-n cells by cosine against the centroid table, as a NARROW
-    * column (no shuffle — cell assignment stays a derived column).
+  /** Best-n cells (`array<int>`, cosine descending) against the centroid
+    * table, as a NARROW column (no shuffle — cell assignment stays a
+    * derived column).
     *
-    * The centroid table is ONE literal `array<struct<cell, vec>>` iterated
-    * by a `transform` higher-order function, so the expression tree is
-    * O(1) nodes regardless of nCells — the round-2 shape built one
-    * cosine subtree PER centroid (O(nCells) expression nodes), which
-    * explodes codegen size at realistic IVF cell counts (10³–10⁴). The
-    * per-row runtime is O(nCells·dim) either way — inherent to IVF coarse
-    * assignment. The alternative (centroids as a broadcast DataFrame join
-    * + argmax aggregate) was rejected: the groupBy(id) argmax re-shuffles
-    * the whole corpus, while this stays exchange-free.
+    * Round-4 shape: the codegen'd [[graft.expr.TopCellsByCosine]] kernel —
+    * one fused loop per row, centroid norms hoisted to construction. The
+    * round-3 shape ([[bestCellsHof]], kept as the AnnKernelSpec
+    * cross-check) iterated a literal centroid array with a `transform`
+    * HOF; HOFs have no codegen, so each of the O(nCells) lambda
+    * evaluations re-walked the cosine subtree interpreted and re-ran
+    * `Cast(array<float> → array<double>)` with per-element boxing — a
+    * jstack of the 1M-vector AnnScalingBench ivf_build stage at 2 cores
+    * showed exactly that loop dominating (~60 s per ~8k-row task). The
+    * per-row arithmetic cost is O(nCells·dim) either way — inherent to
+    * IVF coarse assignment — but the kernel does it in one JIT'd loop.
+    * The alternative (centroids as a broadcast DataFrame join + argmax
+    * aggregate) was rejected: the groupBy(id) argmax re-shuffles the
+    * whole corpus, while this stays exchange-free.
     *
-    * At extreme nCells (≥ ~10⁵ × large dim) the literal rides the task
-    * binary — switch to a hierarchical coarse quantizer before that.
+    * At extreme nCells (≥ ~10⁵ × large dim) the centroid matrix rides the
+    * task binary — switch to a hierarchical coarse quantizer before that.
     */
   private def bestCells(v: Column, centroids: Array[(Int, Array[Float])],
-                        n: Int): Column = {
+                        n: Int): Column =
+    graft.expr.TopCellsByCosine.top_cells(v, centroids, n)
+
+  /** The round-3 HOF formula — [[bestCells]]'s bit-parity cross-check
+    * (AnnKernelSpec); projected to cells it must equal the kernel output
+    * exactly, including tie/null-cosine ordering.
+    */
+  private[ops] def bestCellsHof(v: Column, centroids: Array[(Int, Array[Float])],
+                                n: Int): Column = {
     val centLit = typedLit(centroids.toSeq.map { case (c, vec) => (c, vec.toSeq) })
     val scored = transform(centLit, c =>
       struct(Similarity.cosine(v, c.getField("_2")).as("cos"),
         c.getField("_1").as("cell")))
-    slice(reverse(array_sort(scored)), 1, n)
+    transform(slice(reverse(array_sort(scored)), 1, n), p => p.getField("cell"))
   }
 
   /** Deterministic centroid pick: the `nCells` corpus rows with the
@@ -65,8 +79,7 @@ object Ivf {
   /** Assign each corpus row to its nearest centroid cell (narrow). */
   def assignCells(corpus: DataFrame, idCol: String, vecCol: String,
                   centroids: Array[(Int, Array[Float])]): DataFrame =
-    corpus.withColumn("cell",
-      bestCells(col(vecCol), centroids, 1).getItem(0).getField("cell"))
+    corpus.withColumn("cell", bestCells(col(vecCol), centroids, 1).getItem(0))
 
   /** One row per (query, probed cell): the query set scored against the
     * centroid table, exploded to its `nProbe` best cells — the probe
@@ -79,8 +92,7 @@ object Ivf {
                  nProbe: Int): DataFrame =
     queries
       .select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"))
-      .withColumn("probe", explode(transform(
-        bestCells(col("qv"), centroids, nProbe), p => p.getField("cell"))))
+      .withColumn("probe", explode(bestCells(col("qv"), centroids, nProbe)))
 
   /** Lloyd-iteration refinement of [[pickCentroids]]: assign every row to
     * its nearest centroid (narrow), then the new centroid is the per-cell

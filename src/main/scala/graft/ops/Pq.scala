@@ -91,11 +91,14 @@ object Pq {
     cents
   }
 
-  /** Nearest codeword (L2) of a subvector as a narrow column: ONE literal
-    * array of (code, codeword, ½|codeword|²) structs iterated by a
-    * `transform` — O(1) expression nodes at any ksub (the [[Ivf]] argmax
-    * shape). argmin L2 ≡ argmax (dot − ½|c|²); ties break to the larger
-    * code (max struct), deterministically.
+  /** Nearest codeword (L2) of a subvector as a narrow column — the HOF
+    * shape: ONE literal array of (code, codeword, ½|codeword|²) structs
+    * iterated by a `transform`. argmin L2 ≡ argmax (dot − ½|c|²); ties
+    * break to the larger code (max struct), deterministically. Used by
+    * [[kmeansL2]] (training runs on a small sample, where the
+    * interpreted-HOF cost is irrelevant) and as [[encodeColHof]]'s
+    * building block; the corpus-scale encode path is the codegen'd
+    * [[graft.expr.PqCodes]] kernel (see [[encodeCol]]).
     */
   private def nearestCode(sv: Column, book: Array[Array[Double]]): Column = {
     val lit3 = typedLit(book.toSeq.zipWithIndex.map { case (vec, c) =>
@@ -109,9 +112,16 @@ object Pq {
 
   /** PQ codes of a vector column: `array<int>` of length m — a pure
     * projection (zero shuffle); write `(id, codes)` as the compressed
-    * index.
+    * index. One codegen'd [[graft.expr.PqCodes]] pass (the vector is cast
+    * to double ONCE per row; the HOF shape re-cast the slice per
+    * codeword, interpreted — the AnnScalingBench pq_encode hot loop);
+    * [[encodeColHof]] is the bit-parity cross-check.
     */
-  def encodeCol(v: Column, cb: Codebooks): Column = {
+  def encodeCol(v: Column, cb: Codebooks): Column =
+    graft.expr.PqCodes.pq_codes(v.cast("array<double>"), cb.books)
+
+  /** The round-3 HOF encode — [[encodeCol]]'s AnnKernelSpec cross-check. */
+  private[ops] def encodeColHof(v: Column, cb: Codebooks): Column = {
     val vd = v.cast("array<double>")
     array((0 until cb.m).map { j =>
       nearestCode(slice(vd, j * cb.dsub + 1, cb.dsub), cb.books(j))
@@ -152,9 +162,16 @@ object Pq {
   }
 
   /** ADC score of a code array against a LUT column: m lookups + adds,
-    * sequential fold (engine-replayable sum order).
+    * sequential fold (engine-replayable sum order) — the codegen'd
+    * [[graft.expr.AdcScore]] kernel (the HOF shape ran interpreted once
+    * per CANDIDATE row — queries × corpus evaluations);
+    * [[adcScoreHof]] is the bit-parity cross-check.
     */
   def adcScore(codes: Column, lut: Column): Column =
+    graft.expr.AdcScore.adc_score(codes, lut)
+
+  /** The round-3 HOF fold — [[adcScore]]'s AnnKernelSpec cross-check. */
+  private[ops] def adcScoreHof(codes: Column, lut: Column): Column =
     aggregate(zip_with(codes, lut, (c, row) => element_at(row, c + 1)),
       lit(0.0d), (acc, x) => acc + x)
 
