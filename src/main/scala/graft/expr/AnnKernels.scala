@@ -273,6 +273,125 @@ object PqCodes {
   }
 }
 
+/** Sign-bit LSH bucket id from `planes` deterministic hyperplanes — the
+  * codegen'd twin of `Similarity.hyperplaneBucketHof` (spec cross-check).
+  *
+  * HOF parity contract: per plane p, proj = Σ_i v(i) ·
+  * ((pmod(xxhash64(p, i, seed), 2e6) / 1e6) − 1), accumulated
+  * sequentially in double from 0.0 (v elements widened float→double);
+  * bit p set iff proj ≥ 0 (a null or NaN proj sets NOTHING — the HOF's
+  * `when(proj >= 0, …).otherwise(0)` null/false branch). Any null
+  * element null-poisons EVERY plane's sum → bucket 0; an EMPTY vector is
+  * also bucket 0 (the HOF's `sequence(0, size−1)` descends to [0, −1] at
+  * size 0, null-padding the zip — not the proj = 0.0 one might expect).
+  *
+  * The plane components depend only on (plane, i, seed) — the HOF
+  * re-derived them with two xxhash64 evaluations per element × plane ×
+  * ROW; here they are cached per kernel (immutable snapshot published
+  * via volatile, grown on demand for wider rows).
+  */
+case class HyperplaneBucketExpr(child: Expression, planes: Int, seed: Long)
+    extends UnaryExpression {
+
+  require(planes >= 1 && planes <= 63, s"planes must be in [1, 63]: $planes")
+
+  override def prettyName: String = "hyperplane_bucket"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckSuccess
+      case t => TypeCheckFailure(s"vector must be ARRAY<FLOAT|DOUBLE>, got $t")
+    }
+  }
+
+  override def dataType: DataType = LongType
+
+  private lazy val isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  @transient private lazy val kernel: HyperplaneBucketKernel =
+    new HyperplaneBucketKernel(planes, seed, isFloat)
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("hyperplaneKernel", kernel,
+      classOf[HyperplaneBucketKernel].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $k.apply($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucketExpr =
+    copy(child = newChild)
+}
+
+class HyperplaneBucketKernel(planes: Int, seed: Long, isFloat: Boolean)
+    extends Serializable {
+
+  // comps(p)(i): immutable once published (volatile snapshot), grown
+  // under lock when a wider row arrives — tasks on multiple threads share
+  // this kernel instance. Deliberately NOT @transient: a serialized
+  // kernel must arrive with a non-null (possibly dim-0) cache.
+  @volatile private var comps: Array[Array[Double]] = make(0)
+
+  private def make(dim: Int): Array[Array[Double]] =
+    Array.tabulate(planes, dim) { (p, i) =>
+      // Spark's xxhash64(p, i, seedLit) left-fold from seed 42:
+      // hashInt(p) → hashInt(i) → hashLong(seed)
+      val h = XXH64.hashLong(seed, XXH64.hashInt(i, XXH64.hashInt(p, 42L)))
+      val m = ((h % 2000000L) + 2000000L) % 2000000L
+      (m.toDouble / 1000000.0) - 1.0
+    }
+
+  private def compsFor(dim: Int): Array[Array[Double]] = {
+    var c = comps
+    if (c(0).length < dim) synchronized {
+      if (comps(0).length < dim) comps = make(dim)
+      c = comps
+    }
+    c
+  }
+
+  def apply(v: ArrayData): Long = {
+    val n = v.numElements()
+    // empty vector: the HOF's `sequence(0, size-1)` DESCENDS to [0, -1],
+    // so the zip null-pads the empty side and every plane's sum is
+    // null-poisoned — bucket 0, same as the null-element case below
+    if (n == 0) return 0L
+    var i = 0
+    while (i < n) { // any null element poisons every plane's sum → bucket 0
+      if (v.isNullAt(i)) return 0L
+      i += 1
+    }
+    val c = compsFor(n)
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      val row = c(p)
+      var proj = 0.0d
+      i = 0
+      while (i < n) {
+        val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        proj += x * row(i)
+        i += 1
+      }
+      if (proj >= 0.0d) bucket |= 1L << p
+      p += 1
+    }
+    bucket
+  }
+}
+
+object HyperplaneBucketExpr {
+  /** Column-API entry point. */
+  def hyperplane_bucket(vec: Column, planes: Int, seed: Long): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(HyperplaneBucketExpr(GraftBridge.expression(vec),
+      planes, seed))
+  }
+}
+
 /** ADC score: sum over subspaces of `lut(j)(codes(j))` — see the file doc
   * for the exact HOF parity contract.
   */

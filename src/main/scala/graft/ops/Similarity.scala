@@ -68,8 +68,20 @@ object Similarity {
   private def planeComponent(plane: Column, dim: Column, seed: Long): Column =
     (pmod(xxhash64(plane, dim, lit(seed)), lit(2000000L)).cast("double") / 1000000.0) - 1.0
 
-  /** Sign-bit LSH bucket id from `planes` hyperplanes. */
+  /** Sign-bit LSH bucket id from `planes` hyperplanes — the codegen'd
+    * [[graft.expr.HyperplaneBucketExpr]] kernel (plane components cached
+    * once per kernel instead of two xxhash64 evaluations per element ×
+    * plane × ROW on the interpreted HOF path);
+    * [[hyperplaneBucketHof]] is the bit-parity cross-check.
+    */
   def hyperplaneBucket(v: Column, planes: Int, seed: Long = 7L): Column =
+    graft.expr.HyperplaneBucketExpr.hyperplane_bucket(v, planes, seed)
+
+  /** The round-3 HOF formula — [[hyperplaneBucket]]'s AnnKernelSpec
+    * cross-check.
+    */
+  private[ops] def hyperplaneBucketHof(v: Column, planes: Int,
+                                       seed: Long = 7L): Column =
     aggregate(
       transform(sequence(lit(0), lit(planes - 1)), p => {
         val proj = aggregate(

@@ -127,6 +127,28 @@ class AnnKernelSpec extends SparkTestBase {
     }
   }
 
+  test("hyperplane_bucket ≡ HOF formula, incl. null-element and empty rows") {
+    val withEmpty = vecs().union(
+      Seq((200L, Seq.empty[Option[Float]])).toDF("vec_id", "embedding"))
+    Seq((4, 7L), (6, 7L), (8, 13L)).foreach { case (planes, seed) =>
+      val rows = withEmpty.select(col("vec_id"),
+          Similarity.hyperplaneBucket(col("embedding"), planes, seed).as("k"),
+          Similarity.hyperplaneBucketHof(col("embedding"), planes, seed).as("h"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getLong(1) === r.getLong(2),
+          s"vec_id=${r.getLong(0)} planes=$planes seed=$seed")
+      }
+      val byId = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // corners actually exercised: null elements poison every plane's
+      // projection (bucket 0); an EMPTY vector is also 0 — sequence(0,
+      // size-1) DESCENDS to [0,-1] at size 0 and null-pads the zip (the
+      // kernel replicates that accident, not the proj=0.0 intuition)
+      assert(byId(102L) === 0L)
+      assert(byId(200L) === 0L)
+    }
+  }
+
   test("ivfTopK and pqTopK end-to-end results unchanged by the kernels") {
     // the HOF paths ranked via cosine/ADC values; the kernels must leave
     // the retrieved id sets and scores identical — proven here by
