@@ -140,12 +140,15 @@ object Ivf {
       .select(col("cell"), transform(col("ms"),
         e => e.getField("m").cast("float")).as("centroid"))
 
-  /** Persist an IVF index: corpus rows written `partitionBy("cell")` (the
-    * durable form of the assignment — at scale an Iceberg table
-    * partitioned by cell), centroids written alongside as a tiny parquet.
-    * Probing then reads ONLY the probed cells' partitions — partition
-    * pruning turns nProbe/nCells from a filter ratio into an IO ratio
-    * (asserted in IvfSpec via the scan's partition filters).
+  /** Persist an IVF index: corpus rows written
+    * `partitionBy("batch_id", "cell")` (the durable form of the
+    * assignment — at scale an Iceberg table partitioned the same way),
+    * centroids written alongside as a tiny parquet. Probing then reads
+    * ONLY the probed cells' partitions — partition pruning turns
+    * nProbe/nCells from a filter ratio into an IO ratio (asserted in
+    * IvfSpec via the scan's partition filters). The initial build is
+    * `batch_id = 0`; [[appendToIndex]] adds later ingest batches under
+    * the SAME coarse quantizer.
     */
   def writeIndex(corpus: DataFrame, idCol: String, vecCol: String,
                  dir: String, nCells: Int = 16, kmeansIters: Int = 1,
@@ -158,17 +161,59 @@ object Ivf {
       else pickCentroids(corpus, idCol, vecCol, nCells, seed)
     assignCells(corpus.select(col(idCol).as("id"), col(vecCol).as("v")),
         "id", "v", centroids)
+      .withColumn("batch_id", lit(0L))
       // cluster by the partition key before the partitioned write: without
       // this every input task writes a file into every cell directory
       // (tasks × nCells tiny files — the classic partitioned-write fanout);
       // one hash exchange makes it ~1 file per cell, and probe reads open
       // O(nProbe) files instead of O(nProbe × tasks)
       .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+      .write.mode("overwrite").partitionBy("batch_id", "cell")
+      .parquet(s"$dir/cells")
     centroids.toSeq.map { case (c, v) => (c, v.toSeq) }
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
   }
+
+  /** Incremental index maintenance: assign an ingest batch with the
+    * index's STORED centroids and append it as a new
+    * `batch_id = <batchId>` partition — the standard IVF story (appends
+    * are cheap, partition-local, and never touch existing data; the
+    * coarse quantizer stays fixed until accumulated drift justifies a
+    * rebuild, which is [[writeIndex]] again). Probes see appended rows
+    * immediately — partition pruning on `cell` is unaffected by the
+    * extra batch level.
+    *
+    * Replay-guarded like the streaming-dedup signature index: if the
+    * batch partition already exists the append is a NO-OP (idempotent
+    * under checkpoint-replay, where a failed sink re-runs the batch).
+    * Returns true iff the batch was written. (Guard granularity is the
+    * batch directory — a crash MID-write can leave a partial batch that
+    * the guard then skips; atomic multi-partition commits are
+    * table-format territory at scale, same note as the streaming-dedup
+    * index compaction.)
+    */
+  def appendToIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    batch: DataFrame, idCol: String, vecCol: String,
+                    batchId: Long): Boolean = {
+    require(batchId > 0, s"batchId must be > 0 (0 is the initial build): $batchId")
+    if (new java.io.File(s"$dir/cells/batch_id=$batchId").exists()) return false
+    val centroids = readCentroids(spark, dir)
+    assignCells(batch.select(col(idCol).as("id"), col(vecCol).as("v")),
+        "id", "v", centroids)
+      .withColumn("batch_id", lit(batchId))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("batch_id", "cell")
+      .parquet(s"$dir/cells")
+    true
+  }
+
+  private def readCentroids(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): Array[(Int, Array[Float])] =
+    spark.read.parquet(s"$dir/centroids")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
 
   /** Top-k ANN over a persisted index: probes are a partition-pruned scan
     * of `dir/cells` — only nProbe of nCells partitions are read.
@@ -176,10 +221,7 @@ object Ivf {
   def probeIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                  queries: DataFrame, qIdCol: String, qVecCol: String,
                  k: Int = 10, nProbe: Int = 4): DataFrame = {
-    val centroids = spark.read.parquet(s"$dir/centroids")
-      .collect()
-      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1)
+    val centroids = readCentroids(spark, dir)
     val probes = probeCells(queries, qIdCol, qVecCol, centroids, nProbe)
     // static partition pruning: the probed cell set is tiny (≤ queries ×
     // nProbe) — an explicit isin filter reaches the scan's

@@ -80,6 +80,58 @@ class IvfSpec extends SparkTestBase {
     assert(probed.exceptAll(inMem).isEmpty && inMem.exceptAll(probed).isEmpty)
   }
 
+  test("appendToIndex: stored-quantizer assignment, replay guard, probe parity") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-append").toString
+    val a = vectors(240)
+    val b = vectors(300).where(col("vec_id") >= 240)  // disjoint ingest batch
+    val all = vectors(300)
+    val queries = all.where(col("vec_id") < 4)
+    Ivf.writeIndex(a, "vec_id", "embedding", dir, nCells = 8, kmeansIters = 1)
+
+    assert(Ivf.appendToIndex(spark, dir, b, "vec_id", "embedding", batchId = 1L))
+    // replay of the same batch is a no-op (idempotent under checkpoint replay)
+    assert(!Ivf.appendToIndex(spark, dir, b, "vec_id", "embedding", batchId = 1L))
+
+    val cells = spark.read.parquet(s"$dir/cells")
+    assert(cells.count() === 300)
+    assert(cells.where(col("batch_id") === 1L).count() === 60)
+
+    // every appended row sits in the cell the STORED centroids assign —
+    // the quantizer must not have drifted between build and append
+    val cents = spark.read.parquet(s"$dir/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val expected = Ivf.assignCells(all, "vec_id", "embedding", cents)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    cells.select(col("id"), col("cell")).collect().foreach { r =>
+      assert(expected(r.getLong(0)) === r.getInt(1), s"id=${r.getLong(0)}")
+    }
+
+    // full-probe search over the appended index == brute force over A∪B:
+    // appended rows are first-class candidates immediately
+    val probed = Ivf.probeIndex(spark, dir, queries, "vec_id", "embedding",
+        k = 5, nProbe = 8)
+      .select("query_id", "id", "rank")
+    val bf = Similarity.bruteForceTopK(all, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "id", "rank")
+    assert(probed.exceptAll(bf).isEmpty && bf.exceptAll(probed).isEmpty)
+
+    // partition pruning on cell survives the extra batch_id level
+    val pruned = Ivf.probeIndex(spark, dir, queries, "vec_id", "embedding",
+      k = 5, nProbe = 2)
+    pruned.count()
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell#"),
+      plan.take(3000))
+
+    // batchId 0 is reserved for the initial build
+    val e = intercept[IllegalArgumentException] {
+      Ivf.appendToIndex(spark, dir, b, "vec_id", "embedding", batchId = 0L)
+    }
+    assert(e.getMessage.contains("batchId"))
+  }
+
   test("cell assignment is a narrow plan (no shuffle)") {
     val corpus = vectors(100)
     val centroids = Ivf.pickCentroids(corpus, "vec_id", "embedding", 8)
