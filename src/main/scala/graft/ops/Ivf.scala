@@ -215,6 +215,48 @@ object Ivf {
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
 
+  /** Offline index maintenance: fold every `batch_id=` partition into one,
+    * resolving RE-CRAWLED ids last-writer-wins (max batch_id per id — the
+    * same discipline as the streaming-dedup signature index; between
+    * compactions a re-appended id is visible under BOTH its versions, and
+    * probes may return either/both — compaction is where that resolves).
+    * Also the small-file remedy: every append writes ≤ nCells new files,
+    * so probe open-costs grow with batch count until compacted back to
+    * ~one file per cell.
+    *
+    * The local-FS swap (write temp → delete old → rename under
+    * `batch_id=<max>`) is not crash-atomic — a real deployment holds the
+    * index in a table format whose compaction/MERGE commits atomically
+    * (the temp dir retains all data if the swap is interrupted). No-op on
+    * a single-partition index.
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): Unit = {
+    val cellsDir = s"$dir/cells"
+    val path = new org.apache.hadoop.fs.Path(cellsDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return
+    val parts = fs.listStatus(path).map(_.getPath).flatMap { p =>
+      scala.util.Try(p.getName.stripPrefix("batch_id=").toLong).toOption
+        .filter(_ => p.getName.startsWith("batch_id="))
+        .map(id => id -> p)
+    }
+    if (parts.length <= 1) return
+    val maxId = parts.map(_._1).max
+    val tmp = new org.apache.hadoop.fs.Path(s"$cellsDir.compact-tmp")
+    spark.read.option("basePath", cellsDir)
+      .parquet(parts.map(_._2.toString).toIndexedSeq: _*)
+      .groupBy(col("id"))
+      .agg(max_by(struct(col("v"), col("cell")), col("batch_id")).as("_s"))
+      .select(col("id"), col("_s.v").as("v"), col("_s.cell").as("cell"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
+    parts.foreach { case (_, p) => fs.delete(p, true) }
+    require(fs.rename(tmp,
+      new org.apache.hadoop.fs.Path(path, s"batch_id=$maxId")),
+      s"compaction swap failed: $tmp -> $cellsDir/batch_id=$maxId")
+  }
+
   /** Top-k ANN over a persisted index: probes are a partition-pruned scan
     * of `dir/cells` — only nProbe of nCells partitions are read.
     */

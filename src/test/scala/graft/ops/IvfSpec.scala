@@ -132,6 +132,46 @@ class IvfSpec extends SparkTestBase {
     assert(e.getMessage.contains("batchId"))
   }
 
+  test("compactIndex: batches fold to one partition, re-crawled ids last-writer-wins") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivf-compact").toString
+    val a = vectors(200)
+    Ivf.writeIndex(a, "vec_id", "embedding", dir, nCells = 8, kmeansIters = 1)
+    // batch 1: 20 new ids + a RE-CRAWL of id 7 with a different vector
+    val recrawled = (7L, Array.fill(16)(0.25f))
+    val fresh = vectors(220).where(col("vec_id") >= 200)
+    val b = fresh.union(Seq(recrawled).toDF("vec_id", "embedding"))
+    assert(Ivf.appendToIndex(spark, dir, b, "vec_id", "embedding", batchId = 1L))
+    // pre-compaction: the re-crawled id is visible under BOTH versions
+    assert(spark.read.parquet(s"$dir/cells")
+      .where(col("id") === 7L).count() === 2)
+
+    Ivf.compactIndex(spark, dir)
+    val cells = spark.read.parquet(s"$dir/cells")
+    assert(cells.count() === 220, "one row per distinct id after compaction")
+    // exactly one batch partition remains (the max id), so a replayed
+    // batch 1 append stays a guarded no-op
+    val batchDirs = new java.io.File(s"$dir/cells").listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).toSeq
+    assert(batchDirs === Seq("batch_id=1"))
+    assert(!Ivf.appendToIndex(spark, dir, b, "vec_id", "embedding", batchId = 1L))
+    // last writer won: id 7 carries batch 1's vector (and its cell)
+    val row7 = cells.where(col("id") === 7L).collect()
+    assert(row7.length === 1)
+    assert(row7(0).getAs[scala.collection.Seq[Float]]("v").forall(_ === 0.25f))
+    // probes still work and stay partition-pruned after the swap
+    val probed = Ivf.probeIndex(spark, dir,
+      a.where(col("vec_id") < 3), "vec_id", "embedding", k = 5, nProbe = 3)
+    assert(probed.groupBy("query_id").count().collect()
+      .forall(_.getLong(1) === 5L))
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell#"),
+      plan.take(3000))
+    // idempotent: a second compaction of a single-partition index is a no-op
+    Ivf.compactIndex(spark, dir)
+    assert(spark.read.parquet(s"$dir/cells").count() === 220)
+  }
+
   test("cell assignment is a narrow plan (no shuffle)") {
     val corpus = vectors(100)
     val centroids = Ivf.pickCentroids(corpus, "vec_id", "embedding", 8)
