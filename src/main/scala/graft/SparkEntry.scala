@@ -412,6 +412,16 @@ object SparkEntry {
         t(s, d, "documents").where(col("doc_id") < 200), "doc_id", "text",
         threshold = 0.5)),
 
+    // EXACT Jaccard similarity join (prefix filtering, no LSH): the oracle
+    // is deliberately BRUTE FORCE over the dumped string shingles — it
+    // independently proves the prefix filter produced NO false negatives,
+    // rather than replaying the optimization. Empty-shingle docs excluded
+    // on both sides (the operator's documented contract).
+    "q_jaccard_neardups" -> ((s, d) =>
+      graft.ops.Dedup.jaccardNearDups(
+        t(s, d, "documents").where(col("doc_id") < 200), "doc_id", "text",
+        threshold = 0.5)),
+
     // incremental (daily-ingest) shape: new batch [150,200) banded against
     // the stored index [0,150) — finds cross pairs and intra-batch pairs,
     // never re-self-joins the index
@@ -713,6 +723,31 @@ object SparkEntry {
           coalesce(col("n_hits"), lit(0L)).as("n_hits"),
           round(coalesce(col("n_hits"), lit(0L)).cast("double") / 5.0, 4)
             .as("recall_at_5"))
+    }),
+
+    // Incremental IVF index LIFECYCLE as one query: initial build
+    // (batch 0) on vec_id < 400 → ingest append (batch 1) of [400, 500)
+    // → a RE-CRAWL append (batch 2) rewriting ids < 10 with the vectors
+    // of (id + 490) → offline compaction (last-writer-wins by batch_id)
+    // → full-probe search (nProbe = nCells ⇒ exact). The oracle replays
+    // the EFFECTIVE corpus relationally (CASE on the re-crawled ids) and
+    // brute-forces cosine top-k — fully independent of the index
+    // build/append/compact machinery it verifies.
+    "q_ann_incremental" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivf-inc").toString
+      graft.ops.Ivf.writeIndex(emb.where(col("vec_id") < 400),
+        "vec_id", "embedding", dir, nCells = 16, kmeansIters = 0)
+      graft.ops.Ivf.appendToIndex(s, dir,
+        emb.where(col("vec_id") >= 400), "vec_id", "embedding", batchId = 1L)
+      graft.ops.Ivf.appendToIndex(s, dir,
+        emb.where(col("vec_id") >= 490)
+          .select((col("vec_id") - 490).as("vec_id"), col("embedding")),
+        "vec_id", "embedding", batchId = 2L)
+      graft.ops.Ivf.compactIndex(s, dir)
+      graft.ops.Ivf.probeIndex(s, dir,
+        emb.where(col("vec_id") < 5), "vec_id", "embedding", k = 5, nProbe = 16)
+        .withColumn("cosine", round(col("cosine"), 6))
     }),
 
     // Product-quantization ANN (Pq.scala): iters = 0 codebooks (sampled
@@ -1333,6 +1368,27 @@ object SparkEntry {
     "q_ann_recall" -> SparkEntry.annRecallOracle,
     "q_ann_ivf" -> SparkEntry.annBruteForceOracle,
 
+    // Incremental-index lifecycle: brute force over the EFFECTIVE corpus —
+    // ids < 10 carry their re-crawled (id + 490) vectors, everything else
+    // its original vector; the engine's append/compact/probe must agree.
+    "q_ann_incremental" ->
+      """WITH eff AS (SELECT e.vec_id AS id,
+        |        CASE WHEN e.vec_id < 10 THEN r.embedding
+        |             ELSE e.embedding END AS v
+        |      FROM embeddings e
+        |      LEFT JOIN embeddings r ON r.vec_id = e.vec_id + 490),
+        |q AS (SELECT vec_id AS query_id, embedding AS qv
+        |      FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT query_id, id,
+        |        list_cosine_similarity(CAST(v AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS cos
+        |      FROM eff, q WHERE id <> query_id),
+        |r AS (SELECT query_id, id, cos,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |          ORDER BY cos DESC, id) AS INT) AS rank
+        |      FROM s)
+        |SELECT query_id, id, CAST(ROUND(cos, 6) AS DOUBLE) AS cosine, rank
+        |FROM r WHERE rank <= 5""".stripMargin,
+
     // LSH ANN: deterministic, so fully specifiable — buckets are dumped
     // per vector (xxhash-derived, see _input_vecs), and probe expansion
     // (bucket ^ 2^p multiprobe), candidate join, double cosine, and
@@ -1402,6 +1458,19 @@ object SparkEntry {
         |            JOIN d db ON cand.id_b = db.id)
         |SELECT id_a, id_b, jaccard_est, jaccard FROM j
         |WHERE jaccard >= 0.5""".stripMargin,
+
+    // Exact Jaccard join: brute-force all-pairs over the dumped string
+    // shingles — fully independent of the engine's prefix-filter candidate
+    // generation (a missed pair = hash mismatch).
+    "q_jaccard_neardups" ->
+      """WITH d AS (SELECT doc_id AS id, sh
+        |           FROM read_parquet('__OUT__/_input_docs/*.parquet')
+        |           WHERE doc_id < 200 AND len(sh) > 0),
+        |p AS (SELECT a.id AS id_a, b.id AS id_b,
+        |        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |          / len(list_distinct(a.sh || b.sh)) AS jaccard
+        |      FROM d a JOIN d b ON a.id < b.id)
+        |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5""".stripMargin,
 
     // Incremental (index vs new batch) shape: both caps (union side and
     // new side), least/greatest pair ordering, and the verify join replayed.

@@ -264,7 +264,9 @@ object Dedup {
   }
 
   /** Exact all-pairs n-gram Jaccard above a threshold — O(n²) verify path;
-    * only for tests/small frames (the scale path is [[minhashNearDups]]).
+    * only for tests/small frames (the scale paths are [[minhashNearDups]]
+    * — probabilistic — and [[jaccardNearDups]] — exact via prefix
+    * filtering). JaccardSpec uses this as the brute-force oracle.
     */
   def ngramJaccardAllPairs(df: DataFrame, idCol: String, textCol: String,
                            threshold: Double, k: Int = 3): DataFrame = {
@@ -275,6 +277,85 @@ object Dedup {
       .withColumn("jaccard", ngramJaccardCol(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** EXACT n-gram Jaccard similarity join via prefix filtering (the
+    * SSJoin/PPJoin family — Chaudhuri et al. ICDE'06, Xiao et al.
+    * WWW'08): every pair with Jaccard ≥ `threshold` is returned, with NO
+    * false negatives — the guarantee [[minhashNearDups]]' banded LSH
+    * trades away — and still never an all-pairs join.
+    *
+    * How the candidate set stays subquadratic: each doc's distinct
+    * shingle hashes are ranked by a GLOBAL rarest-first order
+    * (document frequency asc, hash asc — a total order, df ties broken
+    * by the hash value), and only the first
+    * `len − ⌈threshold·len⌉ + 1` of them (the "prefix") are indexed.
+    * Two docs with Jaccard ≥ t must share ≥ ⌈t·len⌉ shingles with
+    * either side (size filter: t·len_a ≤ len_b ≤ len_a/t), and the
+    * classic prefix lemma then forces their prefixes to intersect — so
+    * an equi-join of prefixes on the shingle hash finds every
+    * qualifying pair. Rarest-first ordering is what makes it cheap: the
+    * corpus-hot shingles (the quadratic-blowup keys) sort to the END of
+    * every doc and are almost never indexed; a shared hot shingle alone
+    * never makes a candidate.
+    *
+    * Shuffle shape at 100 TB: one explode + hash-agg for document
+    * frequencies (map-side partials collapse hot shingles), one
+    * per-doc window for intra-doc ranks (partitioned by the UNIQUE doc
+    * id — bounded by doc length, no hot-key funnel), one equi-join of
+    * the prefix index with itself (keys are by construction rare), and
+    * an id-keyed verify join computing exact Jaccard on candidates
+    * only. Degenerate corpora (millions of byte-identical docs) make
+    * the TRUE answer quadratic, so run [[exactKeep]] first — same note
+    * as [[DefaultBucketCap]], but here there is deliberately no cap:
+    * exactness is the contract.
+    *
+    * The ⌈t·len⌉ in the prefix length is computed as
+    * `ceil(t·len − 1e-9)`: double rounding of t·len can land an ulp
+    * ABOVE an exactly-integer true product (e.g. 0.8·5), and a raw ceil
+    * would then shorten the prefix below the lemma's bound — the nudge
+    * can only lengthen a prefix (more candidates, never fewer), so
+    * exactness survives any rounding direction. Docs with ZERO shingles
+    * are excluded (they cannot share a shingle; byte-near-empty docs
+    * are [[exactKeep]] territory, and the all-empty-pair convention
+    * stays with [[ngramJaccardCol]]'s verify path).
+    *
+    * Output: (id_a, id_b, jaccard) with id_a < id_b, Jaccard computed
+    * on the xxhash64'd shingles (same negligible-collision note as
+    * [[minhashNearDups]]).
+    */
+  def jaccardNearDups(df: DataFrame, idCol: String, textCol: String,
+                      threshold: Double = 0.8, shingleK: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1]: $threshold")
+    import org.apache.spark.sql.expressions.Window
+    val shh = df.select(col(idCol).as("id"),
+        transform(wordShingles(col(textCol), shingleK), s => xxhash64(s)).as("shh"))
+      .where(size(col("shh")) > 0)
+      .localCheckpoint(true)
+    val tok = shh.select(col("id"), size(col("shh")).as("len"),
+      explode(col("shh")).as("h"))
+    val dfreq = tok.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val prefLen = col("len") - ceil(col("len") * threshold - lit(1e-9)) + 1
+    val prefix = tok.join(dfreq, "h")
+      .withColumn("_pos", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("h"))))
+      .where(col("_pos") <= prefLen)
+      .select(col("id"), col("len"), col("h"))
+    // size filter with a lenient epsilon: it may only PRUNE pairs that
+    // provably fail J >= t, never drop a boundary pair to an ulp
+    val cands = prefix.select(col("id").as("id_a"), col("len").as("len_a"), col("h"))
+      .join(prefix.select(col("id").as("id_b"), col("len").as("len_b"), col("h")), "h")
+      .where(col("id_a") < col("id_b") &&
+        col("len_b") >= col("len_a") * threshold - lit(1e-9) &&
+        col("len_a") >= col("len_b") * threshold - lit(1e-9))
+      .select(col("id_a"), col("id_b")).distinct()
+    cands
+      .join(shh.select(col("id").as("id_a"), col("shh").as("sh_a")), "id_a")
+      .join(shh.select(col("id").as("id_b"), col("shh").as("sh_b")), "id_b")
+      .withColumn("jaccard", ngramJaccardCol(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   // -------------------------------------------------------------- simhash
