@@ -68,6 +68,9 @@ object CurationScalingBench {
     val nDocs = args.headOption.map(_.toLong).getOrElse(1000000L)
     val lo = args.lift(1).map(_.toInt).getOrElse(8)
     val hi = args.lift(2).map(_.toInt).getOrElse(lo)
+    // optional 4th arg: comma-separated stage subset (default: all)
+    val stageSet: Set[String] =
+      args.lift(3).map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty)
     val corpusDir = sys.env.getOrElse("SPARK_GRAFT_DOCS_DIR",
       s"/dev/shm/graft-docs-$nDocs")
 
@@ -86,6 +89,14 @@ object CurationScalingBench {
             docs, "doc_id", "text", threshold = 0.8).count()
           require(n > 0, "scaling corpus produced no near-dup pairs")
         }
+        def jaccardRun(): Unit = {
+          // the EXACT similarity join (prefix filtering) — a different
+          // shuffle shape than minhash: df aggregation + per-doc rank
+          // window + rare-key prefix self-join instead of banded LSH
+          val n = graft.ops.Dedup.jaccardNearDups(
+            docs, "doc_id", "text", threshold = 0.8).count()
+          require(n > 0, "scaling corpus produced no exact-jaccard pairs")
+        }
         def curationRun(): Unit = {
           val (curated, report) = graft.ops.CurationPipeline.curate(
             docs, "doc_id", "text", "lang",
@@ -97,7 +108,10 @@ object CurationScalingBench {
         val io = new IoListener
         spark.sparkContext.addSparkListener(io)
         val stages = Seq("minhash" -> (() => minhashRun()),
+          "jaccard" -> (() => jaccardRun()),
           "curation" -> (() => curationRun()))
+          .filter { case (name, _) => stageSet.isEmpty || stageSet(name) }
+        require(stages.nonEmpty, s"no stage matches $stageSet")
         stages.map { case (name, f) =>
           f() // full-size warm: codegen + classloading outside the timing
           io.reset()
