@@ -451,6 +451,16 @@ object SparkEntry {
         threshold = 0.3, planes = 4)
         .withColumn("cosine", round(col("cosine"), 6))),
 
+    // SemDeDup (kmeans-cell + in-cell cosine prune): kmeansIters = 0 makes
+    // the quantizer the SAME deterministic sampled pick as the _input_vecs
+    // cell16 dump, so the oracle replays cap, in-cell pairs, cosine
+    // threshold, and the transitive closure relationally; threshold 0.3
+    // per the near-orthogonal synthetic-embedding note above
+    "q_semantic_dedup" -> ((s, d) =>
+      graft.ops.Dedup.semanticDedup(
+        t(s, d, "embeddings"), "vec_id", "embedding",
+        nCells = 16, threshold = 0.3, kmeansIters = 0)),
+
     "q_quality_fingerprint" -> ((s, d) =>
       graft.ops.TextAnalysis.profile(t(s, d, "documents"), "text")
         .select(col("doc_id"), col("quality"), col("fingerprint"))),
@@ -1541,6 +1551,37 @@ object SparkEntry {
         |                JOIN e eb ON cand.id_b = eb.vec_id)
         |SELECT id_a, id_b, CAST(ROUND(cos, 6) AS DOUBLE) AS cosine
         |FROM s WHERE cos >= 0.3""".stripMargin,
+
+    // SemDeDup: cell assignment imported from the dumped IVF primitive
+    // (cell16 — same nCells/iters/seed as the query); per-cell cap,
+    // in-cell pair generation, double-cosine threshold, and the
+    // connected-component closure (recursive CTE, min reachable id) all
+    // replayed independently.
+    "q_semantic_dedup" ->
+      """WITH RECURSIVE
+        |v AS (SELECT vec_id AS id, cell16 AS cell
+        |      FROM read_parquet('__OUT__/_input_vecs/*.parquet')),
+        |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |capped AS (SELECT id, cell FROM (
+        |    SELECT id, cell, ROW_NUMBER() OVER (PARTITION BY cell
+        |      ORDER BY id) AS rn FROM v) WHERE rn <= 2048),
+        |cand AS (SELECT a.id AS id_a, b.id AS id_b
+        |  FROM capped a JOIN capped b USING (cell) WHERE a.id < b.id),
+        |pairs AS (SELECT DISTINCT id_a, id_b FROM cand
+        |  JOIN emb ea ON cand.id_a = ea.vec_id
+        |  JOIN emb eb ON cand.id_b = eb.vec_id
+        |  WHERE list_cosine_similarity(ea.e, eb.e) >= 0.3),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |walk(id, comp) AS (
+        |  SELECT id, id FROM v
+        |  UNION
+        |  SELECT edges.dst, w.comp FROM walk w JOIN edges ON edges.src = w.id
+        |)
+        |SELECT CAST(v.id AS BIGINT) AS vec_id, v.cell AS cell,
+        |  CAST(MIN(w.comp) AS BIGINT) AS comp, MIN(w.comp) = v.id AS keep
+        |FROM v JOIN walk w ON w.id = v.id
+        |GROUP BY v.id, v.cell""".stripMargin,
 
     // quality replayed term-by-term (shared CTE); fingerprint imported
     // from the dump (xxhash64 of the normalized token stream)

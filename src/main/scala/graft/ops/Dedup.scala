@@ -457,6 +457,58 @@ object Dedup {
       .distinct()
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embedding space coarsely,
+    * then prune within each cluster — in-cell pairs at cosine ≥
+    * `threshold` form ε-ball groups resolved to connected components,
+    * and only each component's min-id representative is kept. Differs
+    * from [[embeddingNearDups]] in candidate generation: data-adaptive
+    * centroids concentrate true semantic neighbors into one cell
+    * (higher recall at equal candidate volume than data-oblivious
+    * hyperplane buckets), at the cost of training the quantizer — which
+    * is the same [[Ivf.kmeansCentroids]] artifact the ANN index already
+    * maintains, so a production pipeline trains once and shares it.
+    *
+    * Scale shape: the quantizer is tiny and rides a literal expression
+    * ([[Ivf.assignCells]] — cell assignment is a NARROW codegen'd kernel
+    * column, no shuffle); the in-cell self-join is capped per cell with
+    * observe-counted overflow (same guard as [[DefaultBucketCap]]);
+    * component resolution is the O(log n)-round
+    * [[connectedComponentsStar]]. No all-pairs stage anywhere.
+    *
+    * Output: one row per input id — (idCol long, cell, comp, keep),
+    * keep true iff the id is its component's min-id representative.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    nCells: Int, threshold: Double = 0.95,
+                    kmeansIters: Int = 2, seed: Long = 11L,
+                    cellCap: Int = DefaultBucketCap,
+                    obsTag: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = Ivf.kmeansCentroids(df, idCol, vecCol, nCells, kmeansIters,
+      seed)
+    // computed once, feeds the capped self-join AND the output join back
+    val assigned = Ivf.assignCells(
+        df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")),
+        "id", "v", cents)
+      .localCheckpoint(true)
+    val ranked = assigned.withColumn("_cn", row_number().over(
+      Window.partitionBy(col("cell")).orderBy(col("id"))))
+    val tagged = obsTag.map(t => ranked.observe(t,
+      count(lit(1)).as("rows"),
+      count_if(col("_cn") > cellCap).as("dropped"))).getOrElse(ranked)
+    val capped = tagged.where(col("_cn") <= cellCap).drop("_cn")
+    val a = capped.select(col("id").as("id_a"), col("v").as("v_a"), col("cell"))
+    val b = capped.select(col("id").as("id_b"), col("v").as("v_b"), col("cell"))
+    val pairs = a.join(b, "cell")
+      .where(col("id_a") < col("id_b"))
+      .where(Similarity.cosine(col("v_a"), col("v_b")) >= threshold)
+      .select("id_a", "id_b").distinct()
+    assigned.select(col("id"), col("cell"))
+      .join(clusters(assigned.select(col("id")), "id", pairs), Seq("id"))
+      .select(col("id").as(idCol), col("cell"), col("comp"), col("keep"))
+  }
+
   /** Minhash signature frame `(id, sig, sh)` for [[minhashNearDupsAgainst]]
     * — at scale this is a durable table maintained across ingest batches.
     */
