@@ -451,6 +451,17 @@ object SparkEntry {
         threshold = 0.3, planes = 4)
         .withColumn("cosine", round(col("cosine"), 6))),
 
+    // BM25 sparse retrieval: docs 0..4 as queries against the whole corpus.
+    // Integer micro-unit scores are order-independent exact sums; the
+    // per-term idf (the lone transcendental) is imported from the
+    // _input_bm25 dump joined ON (word, df) so df itself is cross-checked,
+    // and tokenization/tf/len/saturation/sum/top-k all replay in SQL.
+    "q_bm25_topk" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.ops.Bm25.topK(docs, "doc_id", "text",
+        docs.where(col("doc_id") < 5), "doc_id", "text", k = 10)
+    }),
+
     // SemDeDup (kmeans-cell + in-cell cosine prune): kmeansIters = 0 makes
     // the quantizer the SAME deterministic sampled pick as the _input_vecs
     // cell16 dump, so the oracle replays cap, in-cell pairs, cosine
@@ -1551,6 +1562,57 @@ object SparkEntry {
         |                JOIN e eb ON cand.id_b = eb.vec_id)
         |SELECT id_a, id_b, CAST(ROUND(cos, 6) AS DOUBLE) AS cosine
         |FROM s WHERE cos >= 0.3""".stripMargin,
+
+    // BM25: tokenization (the proven normWords replay), tf, len, avgdl,
+    // df, the saturation arithmetic (identical parenthesization — every
+    // op is exactly-rounded IEEE), quantization, exact integer sums, and
+    // rank ties all computed independently; only idf_micro (ln) joins in
+    // from the dump, ON (word, df) so df is cross-checked relationally.
+    "q_bm25_topk" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(
+        |    regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '),
+        |    x -> x <> '') AS words
+        |  FROM documents
+        |), lens AS (
+        |  SELECT doc_id, CAST(len(words) AS BIGINT) AS len FROM w
+        |), stats AS (
+        |  SELECT CAST(SUM(len) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+        |  FROM lens
+        |), tok AS (
+        |  SELECT doc_id, unnest(words) AS word FROM w
+        |), post AS (
+        |  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM tok GROUP BY 1, 2
+        |), qt AS (
+        |  SELECT DISTINCT doc_id AS query_id, word FROM tok WHERE doc_id < 5
+        |), dfq AS (
+        |  SELECT p.word, CAST(COUNT(*) AS BIGINT) AS df
+        |  FROM post p JOIN (SELECT DISTINCT word FROM qt) q USING (word)
+        |  GROUP BY 1
+        |), idf AS (
+        |  SELECT d.word, i.idf_micro
+        |  FROM dfq d JOIN read_parquet('__OUT__/_input_bm25/*.parquet') i
+        |    ON i.word = d.word AND i.df = d.df
+        |), scored AS (
+        |  SELECT qt.query_id, p.doc_id AS id,
+        |    SUM(CAST(floor(i.idf_micro * ((p.tf * 2.2) /
+        |      (p.tf + 1.2 * (0.25 + (0.75 * l.len) / s.avgdl))) + 0.5)
+        |      AS BIGINT)) AS score_micro
+        |  FROM post p
+        |  JOIN qt USING (word)
+        |  JOIN idf i USING (word)
+        |  JOIN lens l ON l.doc_id = p.doc_id
+        |  CROSS JOIN stats s
+        |  GROUP BY 1, 2
+        |), r AS (
+        |  SELECT query_id, id, score_micro,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY score_micro DESC, id) AS INT) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, id, CAST(score_micro AS BIGINT) AS score_micro,
+        |  rank FROM r WHERE rank <= 10""".stripMargin,
 
     // SemDeDup: cell assignment imported from the dumped IVF primitive
     // (cell16 — same nCells/iters/seed as the query); per-cell cap,

@@ -71,6 +71,12 @@ object Verify {
       .join(graft.ops.Classifier.syntheticWeights(spark, 4096), Seq("feat"))
       .select(col("word"), col("wgt"))
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_input_cls")
+    // BM25 idf primitive: ln is the one transcendental the oracle cannot
+    // reproduce bit-for-bit across libm variants — dump the quantized
+    // per-term idf (with df, so the oracle's join cross-checks df too);
+    // tokenization/tf/saturation/sums/top-k replay relationally.
+    graft.ops.Bm25.idfTableWords(docs, "doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_input_bm25")
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     // cell16/probes: the IVF coarse-assignment PRIMITIVES for q_ann_recall
     // (same nCells=16, kmeansIters=0, seed defaults as the query) — the

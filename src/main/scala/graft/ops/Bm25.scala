@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BM25 sparse lexical retrieval (Robertson & Zaragoza 2009, "The
+  * Probabilistic Relevance Framework") — the similarity-search family's
+  * SPARSE member, complementing the dense paths ([[Similarity]]/[[Ivf]]/
+  * [[Pq]]): exact-term retrieval is what decontamination and
+  * eval-neighborhood audits reach for when embedding recall is not
+  * trusted, and it needs no trained artifact at all.
+  *
+  * Exactness contract — integer micro-unit scores (the [[Classifier]]
+  * pattern): every (query, term, doc) contribution is quantized to
+  * `floor(idf_micro · sat + 0.5)` (a long), so the per-(query, doc) score
+  * is a SUM OF LONGS — exact, order-independent under any partial
+  * aggregation / task retry, and replayable bit-for-bit by a SQL oracle.
+  * A float-summed BM25 would re-associate differently per partitioning
+  * and could never be hash-compared. `idf_micro = floor(1e6·idf + 0.5)`
+  * is itself a long; `ln` is the lone transcendental (libm-variant
+  * across engines), so the per-term idf is dumped as a Verify PRIMITIVE
+  * (same convention as the xxhash64 dumps) while df, tf, doc length,
+  * saturation, and the final sum/top-k replay independently.
+  *
+  * Scale shape at 100 TB: tokenization is the shared codegen'd
+  * [[Curation.normWords]] kernel; postings shuffle ONCE keyed by 8-byte
+  * xxhash64(term) (never the term string); document frequency is
+  * computed only for the (small, broadcast) query-term set, so no
+  * corpus-wide df table is ever materialized for a search; the per-doc
+  * score aggregation is map-side-combinable long addition; final top-k
+  * is the bounded [[graft.expr.TopKByScore]] partial-buffer aggregate,
+  * never a per-query window over all scored docs. Hash keying means two
+  * colliding terms would merge postings — the same negligible-collision
+  * note as minhash (~n²/2⁶⁴).
+  */
+object Bm25 {
+
+  /** k1 = 1.2, b = 0.75 (the standard Robertson defaults), written as
+    * exact double literals on BOTH engines — never computed (1.2 + 1
+    * rounds differently than the literal 2.2).
+    */
+  val K1 = 1.2d
+  val K1Plus1 = 2.2d
+  val B = 0.75d
+  val OneMinusB = 0.25d
+  val Micro = 1e6d
+
+  /** Postings frame `(id, h, tf, len)` — one row per (doc, distinct
+    * term): term-frequency plus the doc's total token count carried on
+    * every posting (computed before the explode, so attaching it costs
+    * no join). ONE shuffle, map-side partials collapse repeated terms.
+    */
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).cast("long").as("id"),
+        Curation.normWords(col(textCol)).as("ws"))
+      .select(col("id"), size(col("ws")).cast("long").as("len"),
+        explode(col("ws")).as("w"))
+      .select(col("id"), col("len"), xxhash64(col("w")).as("h"))
+    toks.groupBy(col("id"), col("h"))
+      .agg(count(lit(1)).as("tf"), first(col("len")).as("len"))
+  }
+
+  /** `idf_micro = floor(1e6 · ln(1 + (N − df + 0.5)/(df + 0.5)) + 0.5)`
+    * over a `(.., df)` frame — the quantized Robertson idf.
+    */
+  private def idfMicro(dfCol: Column, nDocs: Long): Column =
+    floor(lit(Micro) * log(lit(1.0d) +
+      (lit(nDocs.toDouble) - dfCol + lit(0.5d)) / (dfCol + lit(0.5d))) +
+      lit(0.5d))
+
+  /** Corpus-wide `(word, df, idf_micro)` table — the Verify dump
+    * primitive (the oracle joins it ON BOTH word and df, so df is
+    * cross-checked relationally and only the `ln` value is imported).
+    * Production search never builds this: [[topK]] computes df for the
+    * broadcast query-term set only.
+    */
+  def idfTableWords(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val n = docs.count()
+    docs.select(col(idCol).cast("long").as("id"),
+        explode(Curation.normWords(col(textCol))).as("w"))
+      .distinct()
+      .groupBy(col("w").as("word"))
+      .agg(count(lit(1)).as("df"))
+      .withColumn("idf_micro", idfMicro(col("df"), n).cast("long"))
+  }
+
+  /** BM25 top-k: for each (small, broadcast) query row, the k
+    * highest-scoring corpus docs. Output:
+    * `(query_id, id, score_micro, rank)` — rank 1-based, score desc,
+    * ties by smaller doc id (TopKByScore's deterministic order). Query
+    * terms are a SET (standard BM25); docs sharing no query term never
+    * appear (their score would be 0).
+    */
+  def topK(docs: DataFrame, idCol: String, textCol: String,
+           queries: DataFrame, qIdCol: String, qTextCol: String,
+           k: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val nDocs = docs.count()
+    require(nDocs > 0, "BM25 corpus is empty")
+    val avgdl = {
+      val row = docs.select(
+        sum(size(Curation.normWords(col(textCol))).cast("long"))).head()
+      val total = if (row.isNullAt(0)) 0L else row.getLong(0)
+      // exact-rational inputs; the one double divide is exactly rounded,
+      // so the SQL replay (SUM::DOUBLE / COUNT) reproduces it bit-for-bit
+      total.toDouble / nDocs.toDouble
+    }
+    val qTerms = queries.select(col(qIdCol).cast("long").as("query_id"),
+        explode(Curation.normWords(col(qTextCol))).as("w"))
+      .select(col("query_id"), xxhash64(col("w")).as("h"))
+      .distinct()
+    val post = postings(docs, idCol, textCol)
+    // df over the query-term set only: the broadcast semi-join keeps the
+    // corpus-wide term dimension out of the plan entirely; checkpointed
+    // because BOTH the df aggregate and the scoring join consume it
+    // (blocks released on GC of the result, same note as minhash)
+    val hit = post.join(broadcast(qTerms.select(col("h")).distinct()), "h")
+      .localCheckpoint(true)
+    val idf = hit.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .withColumn("idf_micro", idfMicro(col("df"), nDocs).cast("long"))
+    val sat = (col("tf") * lit(K1Plus1)) /
+      (col("tf") + lit(K1) * (lit(OneMinusB) +
+        lit(B) * col("len") / lit(avgdl)))
+    val scored = hit
+      .join(broadcast(idf.select(col("h"), col("idf_micro"))), "h")
+      .join(broadcast(qTerms), "h")
+      .withColumn("tm",
+        floor(col("idf_micro") * sat + lit(0.5d)).cast("long"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("tm")).as("score_micro"))
+    scored.groupBy(col("query_id"))
+      .agg(graft.expr.TopKByScore.topk_by_score(
+        col("score_micro").cast("double"), col("id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "e")))
+      .select(col("query_id"), col("e.id").as("id"),
+        col("e.score").cast("long").as("score_micro"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+}

@@ -1,0 +1,95 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** BM25 sparse retrieval (round 4): the operator's exact-integer
+  * micro-unit contract is cross-checked against a word-keyed plain-Scala
+  * replay of the whole formula (tokenize → tf/len/avgdl/df → quantized
+  * idf → saturation → exact sum → top-k with the deterministic tie
+  * rule).
+  */
+class Bm25Spec extends SparkTestBase {
+  import spark.implicits._
+
+  // ASCII word salad with deliberate term overlap across docs
+  private val corpus: Seq[(Long, String)] = (0 until 30).map { i =>
+    val words = (0 until 12 + i % 5).map(j => s"w${(i * 7 + j * 3) % 40}")
+    (i.toLong, words.mkString(" ") + (if (i % 3 == 0) " shared token" else ""))
+  }
+
+  private def docsDf = corpus.toDF("doc_id", "text")
+
+  // the engine's tokenization, word-keyed (NormWords ≡ this per CurationSpec)
+  private def toks(text: String): Seq[String] =
+    text.toLowerCase.replaceAll("[^a-z0-9 ]", " ").split(" ")
+      .filter(_.nonEmpty).toSeq
+
+  /** Plain-Scala BM25 with the identical arithmetic sequence and
+    * quantization as [[Bm25.topK]].
+    */
+  private def replay(qIds: Seq[Long], k: Int): Set[(Long, Long, Long, Int)] = {
+    val words = corpus.map { case (id, t) => id -> toks(t) }.toMap
+    val n = corpus.size.toLong
+    val avgdl = words.values.map(_.size.toLong).sum.toDouble / n.toDouble
+    val tf: Map[(Long, String), Long] = words.toSeq
+      .flatMap { case (id, ws) => ws.map(w => (id, w)) }
+      .groupBy(identity).map { case (kk, v) => kk -> v.size.toLong }
+    val dfm: Map[String, Long] = words.toSeq
+      .flatMap { case (id, ws) => ws.distinct.map(w => (id, w)) }
+      .groupBy(_._2).map { case (w, v) => w -> v.size.toLong }
+    def idfMicro(df: Long): Long =
+      math.floor(Bm25.Micro * math.log(1.0d +
+        (n.toDouble - df + 0.5d) / (df + 0.5d)) + 0.5d).toLong
+    qIds.flatMap { q =>
+      val qws = words(q).distinct
+      val scores = corpus.map(_._1).flatMap { id =>
+        val len = words(id).size.toLong
+        val tms = qws.flatMap { w =>
+          tf.get((id, w)).map { t =>
+            val sat = (t * Bm25.K1Plus1) /
+              (t + Bm25.K1 * (Bm25.OneMinusB + Bm25.B * len / avgdl))
+            math.floor(idfMicro(dfm(w)) * sat + 0.5d).toLong
+          }
+        }
+        if (tms.isEmpty) None else Some(id -> tms.sum)
+      }
+      scores.sortBy { case (id, s) => (-s, id) }.take(k).zipWithIndex
+        .map { case ((id, s), i) => (q, id, s, i + 1) }
+    }.toSet
+  }
+
+  test("topK ≡ plain-Scala replay (exact integer scores, ranks, ties)") {
+    val out = Bm25.topK(docsDf, "doc_id", "text",
+        docsDf.where(col("doc_id") < 3), "doc_id", "text", k = 8)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(out === replay(Seq(0L, 1L, 2L), 8))
+    assert(out.nonEmpty)
+  }
+
+  test("a query retrieves its own document at rank 1 on this corpus") {
+    val out = Bm25.topK(docsDf, "doc_id", "text",
+        docsDf.where(col("doc_id") === 4), "doc_id", "text", k = 3)
+      .as[(Long, Long, Long, Int)].collect()
+    assert(out.find(_._4 == 1).map(_._2) === Some(4L))
+  }
+
+  test("plan shape: broadcast joins, no nested-loop/cartesian product") {
+    val df = Bm25.topK(docsDf, "doc_id", "text",
+      docsDf.where(col("doc_id") < 2), "doc_id", "text", k = 5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("k and corpus guards fail fast") {
+    intercept[IllegalArgumentException] {
+      Bm25.topK(docsDf, "doc_id", "text", docsDf, "doc_id", "text", k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Bm25.topK(docsDf.where(lit(false)), "doc_id", "text",
+        docsDf, "doc_id", "text", k = 1)
+    }
+  }
+}
