@@ -97,6 +97,14 @@ object CurationScalingBench {
             docs, "doc_id", "text", threshold = 0.8).count()
           require(n > 0, "scaling corpus produced no exact-jaccard pairs")
         }
+        def bm25Run(): Unit = {
+          // sparse retrieval over the full corpus: 8 query docs, k=10;
+          // count() cannot prune — scores only exist after the postings
+          // shuffle, idf/query joins, and the TopK aggregation all run
+          val n = graft.ops.Bm25.topK(docs, "doc_id", "text",
+            docs.where(col("doc_id") < 8), "doc_id", "text", k = 10).count()
+          require(n > 0, "bm25 stage returned no rows")
+        }
         def curationRun(): Unit = {
           val (curated, report) = graft.ops.CurationPipeline.curate(
             docs, "doc_id", "text", "lang",
@@ -109,6 +117,7 @@ object CurationScalingBench {
         spark.sparkContext.addSparkListener(io)
         val stages = Seq("minhash" -> (() => minhashRun()),
           "jaccard" -> (() => jaccardRun()),
+          "bm25" -> (() => bm25Run()),
           "curation" -> (() => curationRun()))
           .filter { case (name, _) => stageSet.isEmpty || stageSet(name) }
         require(stages.nonEmpty, s"no stage matches $stageSet")
