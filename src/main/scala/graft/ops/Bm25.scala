@@ -109,7 +109,15 @@ object Bm25 {
         explode(Curation.normWords(col(qTextCol))).as("w"))
       .select(col("query_id"), xxhash64(col("w")).as("h"))
       .distinct()
-    val post = postings(docs, idCol, textCol)
+    search(postings(docs, idCol, textCol), qTerms, nDocs, avgdl, k)
+  }
+
+  /** The shared scoring tail: postings × broadcast query terms →
+    * query-set df/idf → quantized term scores → exact long sums →
+    * bounded top-k.
+    */
+  private def search(post: DataFrame, qTerms: DataFrame,
+                     nDocs: Long, avgdl: Double, k: Int): DataFrame = {
     // df over the query-term set only: the broadcast semi-join keeps the
     // corpus-wide term dimension out of the plan entirely; checkpointed
     // because BOTH the df aggregate and the scoring join consume it
@@ -135,5 +143,70 @@ object Bm25 {
       .select(col("query_id"), col("e.id").as("id"),
         col("e.score").cast("long").as("score_micro"),
         (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /** Persist the postings as a durable index: files HASH-RANGE-CLUSTERED
+    * (repartitionByRange + sortWithinPartitions on the term hash) so
+    * every parquet row group covers a narrow `h` interval, plus a
+    * one-row `_stats` sidecar (n_docs, total_len — the exact-integer
+    * inputs `searchIndex` rederives avgdl from). Range-clustering is
+    * what makes the search-side `isin` pushdown effective: row-group
+    * min/max on `h` skips everything not containing a query term, the
+    * postings analog of [[Ivf.writeIndex]]'s cell-partition pruning.
+    */
+  def writeIndex(docs: DataFrame, idCol: String, textCol: String,
+                 dir: String, shards: Int = 0): Unit = {
+    val nDocs = docs.count()
+    require(nDocs > 0, "BM25 corpus is empty")
+    val row = docs.select(
+      sum(size(Curation.normWords(col(textCol))).cast("long"))).head()
+    val total = if (row.isNullAt(0)) 0L else row.getLong(0)
+    val post = postings(docs, idCol, textCol)
+    val ranged = if (shards > 0) post.repartitionByRange(shards, col("h"))
+                 else post.repartitionByRange(col("h"))
+    ranged.sortWithinPartitions(col("h"))
+      .write.mode("overwrite").parquet(s"$dir/postings")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq((nDocs, total)).toDF("n_docs", "total_len")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_stats")
+  }
+
+  /** Search a [[writeIndex]] directory. The (small, by contract) query
+    * term-hash set is collected and pushed into the postings scan as an
+    * `isin` predicate — visible as `PushedFilters: In(h, ...)` — so the
+    * range-clustered files are read only where a query term can live;
+    * above `pushdownLimit` distinct terms the filter is skipped (an IN
+    * list that large stops helping min/max pruning) and the broadcast
+    * join alone does the work. Scoring is bit-identical to [[topK]].
+    */
+  def searchIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  queries: DataFrame, qIdCol: String, qTextCol: String,
+                  k: Int = 10, pushdownLimit: Int = 4096): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val stats = spark.read.parquet(s"$dir/_stats").head()
+    val nDocs = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / nDocs.toDouble
+    val qTerms = queries.select(col(qIdCol).cast("long").as("query_id"),
+        explode(Curation.normWords(col(qTextCol))).as("w"))
+      .select(col("query_id"), xxhash64(col("w")).as("h"))
+      .distinct()
+      .localCheckpoint(true) // collected for pushdown AND joined below
+    val hashes = qTerms.select(col("h")).distinct()
+      .limit(pushdownLimit + 1).collect().map(_.getLong(0))
+    search(indexPostings(spark, dir, hashes, pushdownLimit),
+      qTerms, nDocs, avgdl, k)
+  }
+
+  /** The pruned postings scan [[searchIndex]] reads — exposed so the
+    * spec can gate the plan (the search result's own plan starts at the
+    * localCheckpoint, hiding the scan's `PushedFilters: In(h, ...)`).
+    */
+  private[ops] def indexPostings(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String, hashes: Array[Long],
+                                 pushdownLimit: Int): DataFrame = {
+    val post0 = spark.read.parquet(s"$dir/postings")
+    if (hashes.nonEmpty && hashes.length <= pushdownLimit)
+      post0.where(col("h").isin(hashes.toSeq: _*)) else post0
   }
 }

@@ -83,6 +83,29 @@ class Bm25Spec extends SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("searchIndex over a written index ≡ inline topK, with h pushdown") {
+    val dir = tmpDir("bm25-index")
+    Bm25.writeIndex(docsDf, "doc_id", "text", dir, shards = 3)
+    val q = docsDf.where(col("doc_id") < 3)
+    val fromIndex = Bm25.searchIndex(spark, dir, q, "doc_id", "text", k = 8)
+    val inline = Bm25.topK(docsDf, "doc_id", "text", q, "doc_id", "text",
+      k = 8).as[(Long, Long, Long, Int)].collect().toSet
+    assert(fromIndex.as[(Long, Long, Long, Int)].collect().toSet === inline)
+    // the query-term isin must reach the parquet scan (the search
+    // result's own plan starts at the localCheckpoint, so gate the scan
+    // frame searchIndex actually builds)
+    val scan = Bm25.indexPostings(spark, dir, Array(11L, 42L), 4096)
+      .queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("In(h"))
+    // above the pushdown limit the filter is skipped but results hold
+    val noPush = Bm25.searchIndex(spark, dir, q, "doc_id", "text", k = 8,
+      pushdownLimit = 1)
+    assert(noPush.as[(Long, Long, Long, Int)].collect().toSet === inline)
+    val unfiltered = Bm25.indexPostings(spark, dir, Array(11L, 42L), 1)
+      .queryExecution.executedPlan.toString
+    assert(!unfiltered.contains("In(h"))
+  }
+
   test("k and corpus guards fail fast") {
     intercept[IllegalArgumentException] {
       Bm25.topK(docsDf, "doc_id", "text", docsDf, "doc_id", "text", k = 0)
