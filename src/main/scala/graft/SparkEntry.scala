@@ -554,6 +554,21 @@ object SparkEntry {
         defaultFraction = 0.05)
         .select(col("doc_id"), col("lang"))),
 
+    // Upsampling mixture (weights > 1 = fractional epochs): en 2.5×,
+    // de 0.25×, everything else 1× — floor(w) copies + one more iff the
+    // id's rank falls under frac(w)·2^32, epoch per copy
+    "q_mixture_upsample" -> ((s, d) =>
+      graft.ops.Curation.upsampleMixture(
+        t(s, d, "documents").select(col("doc_id"), col("lang")),
+        "lang", "doc_id",
+        Seq("en" -> 2.5, "de" -> 0.25), defaultWeight = 1.0)
+        .select(col("doc_id"), col("lang"), col("n_copies"), col("epoch"))),
+
+    // Corpus-wide top boilerplate trigrams (count desc, ngram tiebreak)
+    "q_top_ngrams" -> ((s, d) =>
+      graft.ops.Curation.topNgrams(t(s, d, "documents"), "text",
+        n = 3, k = 20, minCount = 2)),
+
     // Intra-corpus duplicate-span signal (cross-doc 13-gram windows; a
     // doc repeating itself does NOT count — that's q_repetition's job)
     "q_dup_spans" -> ((s, d) =>
@@ -1140,6 +1155,41 @@ object SparkEntry {
     // (0.5 → 2147483648, 0.25 → 1073741824, 0.1 → 429496730,
     //  default 0.05 → 214748365) inlined so both engines compare the same
     // integers
+    // upsampling replay: same multiplicative-hash rank, integer cutoffs
+    // round(frac·2^32) inlined as literals, copies via range(n)
+    "q_mixture_upsample" ->
+      """WITH c AS (
+        |  SELECT doc_id, lang,
+        |    CASE lang WHEN 'en' THEN 2 WHEN 'de' THEN 0 ELSE 1 END
+        |      + CASE WHEN (doc_id * 2654435761) % 4294967296 <
+        |          CASE lang WHEN 'en' THEN 2147483648
+        |                    WHEN 'de' THEN 1073741824 ELSE 0 END
+        |        THEN 1 ELSE 0 END AS n_copies
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang, CAST(n_copies AS INT) AS n_copies,
+        |  CAST(unnest(range(n_copies)) AS INT) AS epoch
+        |FROM c WHERE n_copies >= 1""".stripMargin,
+
+    // top boilerplate trigrams: tokenize, slide, count, threshold, and
+    // the deterministic (count desc, ngram) order all replayed
+    "q_top_ngrams" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(
+        |    regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '),
+        |    x -> x <> '') AS words
+        |  FROM documents
+        |), ng AS (
+        |  SELECT array_to_string(words[i:i+2], ' ') AS ngram
+        |  FROM w, LATERAL (SELECT unnest(range(1, len(words) - 1)) AS i) t
+        |  WHERE len(words) >= 3
+        |), c AS (
+        |  SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        |  FROM ng GROUP BY 1 HAVING COUNT(*) >= 2
+        |)
+        |SELECT ngram, n_occurrences FROM c
+        |ORDER BY n_occurrences DESC, ngram LIMIT 20""".stripMargin,
+
     "q_mixture_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE (doc_id * 2654435761) % 4294967296 <

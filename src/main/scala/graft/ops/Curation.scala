@@ -410,6 +410,74 @@ object Curation {
     sampleRank(id) < cutoffCol
   }
 
+  /** Mixture rebalancing WITH upsampling — weights may exceed 1
+    * (fractional epochs per domain, the usual LLM data-mixture recipe
+    * where high-quality sources repeat): a row of group g with weight w
+    * is emitted `floor(w)` times plus one more iff
+    * `sampleRank(id) < frac(w)·2^32`, so the expected multiplicity is
+    * exactly w, the decision is a pure function of the id (stable across
+    * runs/partitionings/engines), and w ≤ 1 degenerates to
+    * [[mixtureSample]]'s keep rule. Output adds `n_copies` and a 0-based
+    * `epoch` column so downstream packing/shuffling treats copies as
+    * distinct examples; rows with 0 copies are dropped.
+    *
+    * Scale shape: the weight table folds into two literal CASE columns
+    * (no join), and the explode multiplies rows by at most ⌈w⌉ — a
+    * narrow generate, no shuffle anywhere.
+    */
+  def upsampleMixture(df: DataFrame, groupCol: String, idCol: String,
+                      weights: Seq[(String, Double)],
+                      defaultWeight: Double = 1.0): DataFrame = {
+    require(weights.map(_._1).distinct.size == weights.size,
+      s"duplicate group in weights: $weights")
+    require((defaultWeight +: weights.map(_._2))
+      .forall(w => !w.isNaN && w >= 0.0 && w <= 1024.0),
+      s"weights must be in [0, 1024]: $weights default=$defaultWeight")
+    def base(w: Double): Long = math.floor(w).toLong
+    def cut(w: Double): Long = math.round((w - math.floor(w)) * 4294967296.0)
+    val baseCol = weights.foldLeft(lit(base(defaultWeight))) {
+      case (acc, (g, w)) =>
+        when(col(groupCol) === g, lit(base(w))).otherwise(acc)
+    }
+    val cutCol = weights.foldLeft(lit(cut(defaultWeight))) {
+      case (acc, (g, w)) =>
+        when(col(groupCol) === g, lit(cut(w))).otherwise(acc)
+    }
+    df.withColumn("n_copies",
+        (baseCol + when(sampleRank(col(idCol)) < cutCol, 1L).otherwise(0L))
+          .cast("int"))
+      .where(col("n_copies") >= 1)
+      // n_copies >= 1 here, so sequence(0, n-1) is always ascending (the
+      // empty-range descending quirk cannot fire)
+      .withColumn("epoch", explode(sequence(lit(0), col("n_copies") - 1)))
+  }
+
+  /** Corpus-wide most-frequent word n-grams — the boilerplate/template
+    * detector whose output feeds removal blocklists (headers, footers,
+    * license banners repeat verbatim across a crawl). Returns at most k
+    * rows `(ngram, n_occurrences)`, count desc, ties by ngram (binary —
+    * ASCII-stable across engines).
+    *
+    * Scale shape: one explode → hash aggregate (map-side partials
+    * collapse the hot n-grams — the ones this op exists to find — before
+    * the shuffle), minCount prunes the long unique tail before the
+    * limit, and the global top-k plans as TakeOrderedAndProject:
+    * per-partition bounded k then a single driver merge of k-row
+    * partials, never a full sort of the n-gram dimension.
+    */
+  def topNgrams(df: DataFrame, textCol: String, n: Int, k: Int,
+                minCount: Long = 2L): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    require(k >= 1, s"k must be >= 1: $k")
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    df.select(normWords(col(textCol)).as("_w"))
+      .select(explode(ngramsFromWords(col("_w"), n)).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("n_occurrences"))
+      .where(col("n_occurrences") >= minCount)
+      .orderBy(col("n_occurrences").desc, col("ngram"))
+      .limit(k)
+  }
+
   /** Per-group quota sample: the k rows of each group with the smallest
     * [[sampleRank]] — a deterministic uniform sample per (e.g.) language
     * or source quota. Implemented as bounded TopKByScore partial buffers
