@@ -94,6 +94,11 @@ object AnnScalingBench {
     val nVecs = args.headOption.map(_.toLong).getOrElse(1000000L)
     val lo = args.lift(1).map(_.toInt).getOrElse(8)
     val hi = args.lift(2).map(_.toInt).getOrElse(lo)
+    // optional 4th arg: comma-separated stage subset (default: all; the
+    // untimed recall passes only run on a full-stage run, since they read
+    // the ivf/pq artifacts those stages write)
+    val stageSet: Set[String] =
+      args.lift(3).map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty)
     val corpusDir = sys.env.getOrElse("SPARK_GRAFT_VECS_DIR",
       s"/dev/shm/graft-vecs-$nVecs")
     val workDir = s"/dev/shm/graft-ann-$nVecs"
@@ -110,7 +115,8 @@ object AnnScalingBench {
         def queries = corpus.where(col("vec_id") < NQ)
 
         // codebooks: untimed, trained on a ~5% deterministic hash sample
-        val cb = graft.ops.Pq.train(
+        // (lazy — a stage subset without pq stages never trains them)
+        lazy val cb = graft.ops.Pq.train(
           corpus.where(pmod(xxhash64(col("vec_id"), lit(3L)), lit(20L)) === 0),
           "vec_id", "embedding", M, Ksub, iters = 1)
 
@@ -144,6 +150,23 @@ object AnnScalingBench {
           require(n == NQ.toLong * K, s"pq_rerank rows: $n")
         }
 
+        def semDedupRun(): Unit = {
+          // SemDeDup over the clustered corpus: sampled quantizer
+          // (iters=0 — the Lloyd cost is ivf_build's row), capped in-cell
+          // cosine pairs, CC keep-set; the low-noise latent clusters make
+          // most cells near-cliques, so this measures the op at its
+          // densest realistic edge volume
+          val out = graft.ops.Dedup.semanticDedup(corpus, "vec_id",
+            "embedding", nCells = clustersFor(nVecs), threshold = 0.9,
+            kmeansIters = 0)
+          val (total, kept) = {
+            val r = out.agg(count(lit(1)), count_if(col("keep"))).head()
+            (r.getLong(0), r.getLong(1))
+          }
+          require(total == nVecs, s"semdedup rows: $total != $nVecs")
+          require(kept > 0 && kept < nVecs, s"semdedup kept $kept of $nVecs")
+        }
+
         val io = new IoListener
         spark.sparkContext.addSparkListener(io)
         // build stages run (warm + timed) before their probe stages read
@@ -153,7 +176,13 @@ object AnnScalingBench {
           "ivf_probe" -> (() => ivfProbeRun()),
           "pq_encode" -> (() => pqEncodeRun()),
           "pq_adc" -> (() => pqAdcRun()),
-          "pq_rerank" -> (() => pqRerankRun()))
+          "pq_rerank" -> (() => pqRerankRun()),
+          "semdedup" -> (() => semDedupRun()))
+          .filter { case (name, _) =>
+            // semdedup is opt-in: the historical 6-stage full run (the
+            // published ANN table) stays reproducible as-is
+            if (stageSet.isEmpty) name != "semdedup" else stageSet(name) }
+        require(stages.nonEmpty, s"no stage matches $stageSet")
         val timed = stages.map { case (name, f) =>
           val w = time(f()) // full-size warm: codegen + classloading outside the timing
           io.reset()
@@ -165,22 +194,25 @@ object AnnScalingBench {
           name -> (math.min(s1, s2), bytes)
         }.toMap
 
-        // recall@k vs brute force (untimed; nQ × k rows per side)
-        val bf = topkPairs(graft.ops.Similarity.bruteForceTopK(corpus,
-          "vec_id", "embedding", queries, "vec_id", "embedding", K))
-        val ivf = topkPairs(graft.ops.Ivf.probeIndex(spark, s"$workDir/ivf",
-          queries, "vec_id", "embedding", K, nProbe = NProbe))
-        val pq = topkPairs(graft.ops.Pq.pqTopKEncoded(
-          spark.read.parquet(s"$workDir/pq"),
-          queries, "vec_id", "embedding", cb, K))
-        val rr = topkPairs(graft.ops.Pq.pqTopKReranked(
-          spark.read.parquet(s"$workDir/pq"), corpus, "vec_id",
-          "embedding", queries, "vec_id", "embedding", cb, K,
-          shortlist = Shortlist))
-        val recall = Map(
-          "ivf_probe" -> (ivf & bf).size.toDouble / bf.size,
-          "pq_adc" -> (pq & bf).size.toDouble / bf.size,
-          "pq_rerank" -> (rr & bf).size.toDouble / bf.size)
+        // recall@k vs brute force (untimed; nQ × k rows per side) — full
+        // runs only: stage subsets may not have written the artifacts
+        val recall = if (stageSet.nonEmpty) Map.empty[String, Double] else {
+          val bf = topkPairs(graft.ops.Similarity.bruteForceTopK(corpus,
+            "vec_id", "embedding", queries, "vec_id", "embedding", K))
+          val ivf = topkPairs(graft.ops.Ivf.probeIndex(spark, s"$workDir/ivf",
+            queries, "vec_id", "embedding", K, nProbe = NProbe))
+          val pq = topkPairs(graft.ops.Pq.pqTopKEncoded(
+            spark.read.parquet(s"$workDir/pq"),
+            queries, "vec_id", "embedding", cb, K))
+          val rr = topkPairs(graft.ops.Pq.pqTopKReranked(
+            spark.read.parquet(s"$workDir/pq"), corpus, "vec_id",
+            "embedding", queries, "vec_id", "embedding", cb, K,
+            shortlist = Shortlist))
+          Map(
+            "ivf_probe" -> (ivf & bf).size.toDouble / bf.size,
+            "pq_adc" -> (pq & bf).size.toDouble / bf.size,
+            "pq_rerank" -> (rr & bf).size.toDouble / bf.size)
+        }
         (timed, recall)
       } finally spark.stop()
     }

@@ -446,12 +446,18 @@ object Dedup {
     val tagged = obsTag.map(t => ranked.observe(t,
       count(lit(1)).as("rows"),
       count_if(col("_bn") > bucketCap).as("dropped"))).getOrElse(ranked)
+    // norms hoisted per side (bit-identical values — cosinePre's note);
+    // the naive per-pair cosine recomputes both norms per candidate
     val bucketed = tagged.where(col("_bn") <= bucketCap).drop("_bn")
-    val a = bucketed.select(col("id").as("id_a"), col("v").as("v_a"), col("bucket"))
-    val b = bucketed.select(col("id").as("id_b"), col("v").as("v_b"), col("bucket"))
+      .withColumn("_nv", Similarity.norm(col("v")))
+    val a = bucketed.select(col("id").as("id_a"), col("v").as("v_a"),
+      col("_nv").as("_na"), col("bucket"))
+    val b = bucketed.select(col("id").as("id_b"), col("v").as("v_b"),
+      col("_nv").as("_nb"), col("bucket"))
     a.join(b, "bucket")
       .where(col("id_a") < col("id_b"))
-      .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
+      .withColumn("cosine", Similarity.cosinePre(col("v_a"), col("v_b"),
+        col("_na"), col("_nb")))
       .where(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
       .distinct()
@@ -497,12 +503,21 @@ object Dedup {
     val tagged = obsTag.map(t => ranked.observe(t,
       count(lit(1)).as("rows"),
       count_if(col("_cn") > cellCap).as("dropped"))).getOrElse(ranked)
+    // norms hoisted per SIDE (Similarity.cosinePre): the in-cell join
+    // evaluates O(members²/2) cosines per cell, and the naive form would
+    // recompute both row norms per PAIR — 3× the dot products for the
+    // same bit-identical values (the IEEE sequence is unchanged; see
+    // cosinePre's note)
     val capped = tagged.where(col("_cn") <= cellCap).drop("_cn")
-    val a = capped.select(col("id").as("id_a"), col("v").as("v_a"), col("cell"))
-    val b = capped.select(col("id").as("id_b"), col("v").as("v_b"), col("cell"))
+      .withColumn("_nv", Similarity.norm(col("v")))
+    val a = capped.select(col("id").as("id_a"), col("v").as("v_a"),
+      col("_nv").as("_na"), col("cell"))
+    val b = capped.select(col("id").as("id_b"), col("v").as("v_b"),
+      col("_nv").as("_nb"), col("cell"))
     val pairs = a.join(b, "cell")
       .where(col("id_a") < col("id_b"))
-      .where(Similarity.cosine(col("v_a"), col("v_b")) >= threshold)
+      .where(Similarity.cosinePre(col("v_a"), col("v_b"),
+        col("_na"), col("_nb")) >= threshold)
       .select("id_a", "id_b").distinct()
     assigned.select(col("id"), col("cell"))
       .join(clusters(assigned.select(col("id")), "id", pairs), Seq("id"))
