@@ -569,6 +569,17 @@ object SparkEntry {
       graft.ops.Curation.topNgrams(t(s, d, "documents"), "text",
         n = 3, k = 20, minCount = 2)),
 
+    // Token-BUDGET mixture quota (2000 tokens per language, sampleRank
+    // order): the oracle replays the NAIVE full-group prefix-sum window
+    // definition, independently proving the engine's skew-safe bucketed
+    // decomposition (bucket sums + boundary-bucket-only refinement)
+    "q_token_quota" -> ((s, d) =>
+      graft.ops.Curation.tokenQuotaSample(
+        t(s, d, "documents").select(col("doc_id"), col("lang"),
+          size(graft.ops.Curation.normWords(col("text"))).cast("long")
+            .as("tok")),
+        "lang", "doc_id", "tok", budget = 2000L)),
+
     // Intra-corpus duplicate-span signal (cross-doc 13-gram windows; a
     // doc repeating itself does NOT count — that's q_repetition's job)
     "q_dup_spans" -> ((s, d) =>
@@ -1170,6 +1181,26 @@ object SparkEntry {
         |SELECT doc_id, lang, CAST(n_copies AS INT) AS n_copies,
         |  CAST(unnest(range(n_copies)) AS INT) AS epoch
         |FROM c WHERE n_copies >= 1""".stripMargin,
+
+    // token-budget quota: the naive window definition — rank order,
+    // running token sum strictly before each doc, keep while < budget
+    "q_token_quota" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang, list_filter(string_split(
+        |    regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '),
+        |    x -> x <> '') AS words
+        |  FROM documents
+        |), t AS (
+        |  SELECT doc_id, lang, CAST(len(words) AS BIGINT) AS tok,
+        |    (doc_id * 2654435761) % 4294967296 AS r
+        |  FROM w
+        |), p AS (
+        |  SELECT doc_id, lang, tok,
+        |    COALESCE(SUM(tok) OVER (PARTITION BY lang ORDER BY r, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+        |  FROM t
+        |)
+        |SELECT doc_id, lang, tok FROM p WHERE prior < 2000""".stripMargin,
 
     // top boilerplate trigrams: tokenize, slide, count, threshold, and
     // the deterministic (count desc, ngram) order all replayed

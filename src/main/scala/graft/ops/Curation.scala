@@ -452,6 +452,71 @@ object Curation {
       .withColumn("epoch", explode(sequence(lit(0), col("n_copies") - 1)))
   }
 
+  /** Token-BUDGET quota sampling: for each group, keep documents in
+    * ascending ([[sampleRank]], id) order until the group's token budget
+    * is exhausted — a doc is kept iff the token sum of every doc ordered
+    * strictly before it is `< budget` (so the budget-crossing doc is
+    * included, and a zero-token doc landing exactly AT the budget is
+    * not). Mixtures are specified in tokens, not documents — doc-count
+    * quotas ([[quotaSample]]) over-weight groups with long documents.
+    * Deterministic: a pure function of (id, token counts), identical
+    * across runs/partitionings/engines.
+    *
+    * Scale shape — the naive definition is a running-sum window
+    * partitioned by GROUP, a hot-key funnel (one task owns the largest
+    * domain's full sort). Instead: ranks are bucketed by their TOP
+    * `bucketBits` bits (order-preserving, 2^bucketBits buckets),
+    * per-(group, bucket) token sums aggregate map-side into a frame of
+    * ≤ groups × 2^bucketBits rows, the cumulative-before of each bucket
+    * comes from a window over that TINY frame and broadcast-joins back,
+    * and then whole buckets strictly under budget keep, buckets past it
+    * drop, and ONLY each group's one boundary bucket — ~1/2^bucketBits
+    * of the group, uniform by construction of sampleRank — pays an
+    * exact within-bucket window. The SQL oracle replays the naive
+    * full-group window definition, so correctness of the bucketed
+    * decomposition is proven, not argued.
+    */
+  def tokenQuotaSample(df: DataFrame, groupCol: String, idCol: String,
+                       tokenCol: String, budget: Long,
+                       bucketBits: Int = 12): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    require(bucketBits >= 4 && bucketBits <= 20,
+      s"bucketBits must be in [4, 20]: $bucketBits")
+    import org.apache.spark.sql.expressions.Window
+    val cols = df.columns.map(col)
+    // negative token counts would corrupt every prefix sum downstream —
+    // raise on the value (rides the row, pruning can't drop it)
+    val tokGuard = when(col(tokenCol) < 0, raise_error(concat(
+        lit("tokenQuotaSample: negative token count for id "),
+        col(idCol).cast("string"))))
+      .otherwise(col(tokenCol).cast("long"))
+    val base = df
+      .withColumn("_rank", sampleRank(col(idCol)))
+      .withColumn("_tok", tokGuard)
+      .withColumn("_bkt", shiftright(col("_rank"), 32 - bucketBits))
+      .localCheckpoint(true) // feeds the bucket agg AND both keep branches
+    val bkt = base.groupBy(col(groupCol).as("_g"), col("_bkt").as("_b"))
+      .agg(sum(col("_tok")).as("_bsum"))
+    val wCum = Window.partitionBy(col("_g")).orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = bkt.withColumn("_cumBefore",
+      coalesce(sum(col("_bsum")).over(wCum), lit(0L)))
+    val j = base.join(broadcast(cum),
+      col(groupCol) === col("_g") && col("_bkt") === col("_b"))
+    val keepAll = j.where(col("_cumBefore") + col("_bsum") < budget)
+    val wIn = Window.partitionBy(col(groupCol), col("_bkt"))
+      .orderBy(col("_rank"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val refined = j
+      .where(col("_cumBefore") < budget &&
+        col("_cumBefore") + col("_bsum") >= budget)
+      .withColumn("_prior",
+        col("_cumBefore") + coalesce(sum(col("_tok")).over(wIn), lit(0L)))
+      .where(col("_prior") < budget)
+      .drop("_prior")
+    keepAll.unionByName(refined).select(cols.toIndexedSeq: _*)
+  }
+
   /** Corpus-wide most-frequent word n-grams — the boilerplate/template
     * detector whose output feeds removal blocklists (headers, footers,
     * license banners repeat verbatim across a crawl). Returns at most k

@@ -69,6 +69,49 @@ class Round4CurationSpec extends SparkTestBase {
     assert(out === expected)
   }
 
+  test("tokenQuotaSample ≡ naive prefix-sum replay; invariant across bucketBits") {
+    val ids = (0L until 120L).toSeq
+    def grp(i: Long): String = if (i % 4 == 0) "big" else s"g${i % 3}"
+    def tok(i: Long): Long = if (i % 11 == 0) 0L else 7L
+    val df = ids.map(i => (i, grp(i), tok(i))).toDF("id", "grp", "tok")
+    val budget = 70L
+    val expected = ids.groupBy(grp).flatMap { case (_, gids) =>
+      val ordered = gids.sortBy(i => (rank(i), i))
+      val priors = ordered.scanLeft(0L)((acc, i) => acc + tok(i)).init
+      ordered.zip(priors).filter(_._2 < budget).map(_._1)
+    }.toSet
+    // the bucketed decomposition must be invariant in its granularity —
+    // at 16 buckets the boundary-refinement branch is heavily exercised
+    for (bits <- Seq(4, 12)) {
+      val out = Curation.tokenQuotaSample(df, "grp", "id", "tok",
+        budget, bits).select("id").as[Long].collect().toSet
+      assert(out === expected, s"bucketBits=$bits")
+    }
+    assert(expected.size < ids.size) // the budget actually bites
+  }
+
+  test("tokenQuotaSample: zero-token doc landing exactly AT the budget drops") {
+    val a = 1L; val b = 2L
+    val (first, second) =
+      if (Ordering[(Long, Long)].lt((rank(a), a), (rank(b), b))) (a, b)
+      else (b, a)
+    val df = Seq((first, "x", 50L), (second, "x", 0L))
+      .toDF("id", "grp", "tok")
+    val out = Curation.tokenQuotaSample(df, "grp", "id", "tok", 50L)
+      .select("id").as[Long].collect().toSet
+    assert(out === Set(first))
+  }
+
+  test("tokenQuotaSample guards: non-positive budget and negative tokens") {
+    val df = Seq((1L, "x", -3L)).toDF("id", "grp", "tok")
+    intercept[IllegalArgumentException] {
+      Curation.tokenQuotaSample(df, "grp", "id", "tok", 0L)
+    }
+    intercept[Exception] {
+      Curation.tokenQuotaSample(df, "grp", "id", "tok", 10L).count()
+    }
+  }
+
   test("topNgrams plans as TakeOrderedAndProject (bounded top-k, no full sort)") {
     val df = Curation.topNgrams(
       Seq((1L, "a b c a b c")).toDF("doc_id", "text"), "text", 2, 3)
