@@ -731,6 +731,22 @@ object SparkEntry {
         .withColumn("cosine", round(col("cosine"), 6))
     }),
 
+    // Hybrid retrieval: dense brute-force top-5 + sparse BM25 top-10
+    // fused by reciprocal rank (integer micro-units, exact sums); the
+    // oracle recomputes BOTH lists and the fusion independently
+    "q_rrf_hybrid" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val dense = graft.ops.Similarity.bruteForceTopK(emb, "vec_id",
+        "embedding", emb.where(col("vec_id") < 5), "vec_id", "embedding",
+        k = 5)
+      val docs = t(s, d, "documents")
+      val sparse = graft.ops.Bm25.topK(docs, "doc_id", "text",
+        docs.where(col("doc_id") < 5), "doc_id", "text", k = 10)
+      graft.ops.Similarity.rrfFuse(Seq(
+        dense.select("query_id", "id", "rank"),
+        sparse.select("query_id", "id", "rank")), k = 8)
+    }),
+
     "q_ann_ivf" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       // kmeansIters = 0: with nProbe == nCells every cell is scanned, so
@@ -1466,6 +1482,57 @@ object SparkEntry {
     // q_ann_ivf probes nProbe == nCells, so it is provably identical to
     // brute force (IvfSpec) and shares the oracle. q_ann_lsh is
     // approximate by design → rows-only.
+    // Hybrid fusion: both constituent lists (dense cosine top-5, BM25
+    // top-10 with the dumped idf primitive) recomputed from scratch,
+    // then the reciprocal-rank quantization, exact integer sums, and
+    // fused rank replayed
+    "q_rrf_hybrid" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+        |ds AS (SELECT query_id, id,
+        |    list_cosine_similarity(CAST(v AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS cos
+        |  FROM c, q WHERE id <> query_id),
+        |dr AS (SELECT query_id, id, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, id) AS rank FROM ds),
+        |dense AS (SELECT query_id, id, rank FROM dr WHERE rank <= 5),
+        |w AS (SELECT doc_id, list_filter(string_split(
+        |    regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '),
+        |    x -> x <> '') AS words FROM documents),
+        |lens AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS len FROM w),
+        |stats AS (SELECT CAST(SUM(len) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS avgdl FROM lens),
+        |tok AS (SELECT doc_id, unnest(words) AS word FROM w),
+        |post AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM tok GROUP BY 1, 2),
+        |qt AS (SELECT DISTINCT doc_id AS query_id, word FROM tok
+        |  WHERE doc_id < 5),
+        |dfq AS (SELECT p.word, CAST(COUNT(*) AS BIGINT) AS df FROM post p
+        |  JOIN (SELECT DISTINCT word FROM qt) qq USING (word) GROUP BY 1),
+        |idf AS (SELECT d.word, i.idf_micro FROM dfq d
+        |  JOIN read_parquet('__OUT__/_input_bm25/*.parquet') i
+        |    ON i.word = d.word AND i.df = d.df),
+        |bs AS (SELECT qt.query_id, p.doc_id AS id,
+        |    SUM(CAST(floor(i.idf_micro * ((p.tf * 2.2) /
+        |      (p.tf + 1.2 * (0.25 + (0.75 * l.len) / s.avgdl))) + 0.5)
+        |      AS BIGINT)) AS sm
+        |  FROM post p JOIN qt USING (word) JOIN idf i USING (word)
+        |  JOIN lens l ON l.doc_id = p.doc_id CROSS JOIN stats s
+        |  GROUP BY 1, 2),
+        |br AS (SELECT query_id, id, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY sm DESC, id) AS rank FROM bs),
+        |sparse AS (SELECT query_id, id, rank FROM br WHERE rank <= 10),
+        |u AS (SELECT query_id, id,
+        |    CAST(floor(1000000.0 / (60 + rank)) AS BIGINT) AS cc
+        |  FROM (SELECT * FROM dense UNION ALL SELECT * FROM sparse)),
+        |fs AS (SELECT query_id, id, CAST(SUM(cc) AS BIGINT) AS score_micro
+        |  FROM u GROUP BY 1, 2),
+        |fr AS (SELECT query_id, id, score_micro,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY score_micro DESC, id) AS INT) AS rank FROM fs)
+        |SELECT query_id, id, score_micro, rank FROM fr
+        |WHERE rank <= 8""".stripMargin,
+
     "q_ann_bruteforce" -> SparkEntry.annBruteForceOracle,
     "q_ann_recall" -> SparkEntry.annRecallOracle,
     "q_ann_ivf" -> SparkEntry.annBruteForceOracle,

@@ -110,6 +110,39 @@ object Similarity {
       .select(col("query_id"), col("e.id").as("id"),
         col("e.score").as("cosine"), (col("pos") + 1).cast("int").as("rank"))
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) of
+    * ranked retrieval lists — the standard hybrid of dense ANN and
+    * sparse BM25 top-k, fused WITHOUT score calibration: each list
+    * contributes `floor(1e6 / (k0 + rank))` integer micro-units per
+    * (query, id) (k0 = 60, the published default), summed as exact longs
+    * (order-independent under any partial aggregation — the [[Bm25]]
+    * convention) and finished with the bounded `TopKByScore` aggregate.
+    * The division is a single exactly-rounded double op, so the
+    * quantization replays bit-for-bit in a SQL oracle. Inputs need
+    * columns (query_id, id, rank); output (query_id, id, score_micro,
+    * rank), ties by smaller id.
+    */
+  def rrfFuse(lists: Seq[DataFrame], k: Int, k0: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    require(k >= 1, s"k must be >= 1: $k")
+    require(k0 >= 1, s"k0 must be >= 1: $k0")
+    val u = lists.map(_.select(col("query_id"),
+        col("id").cast("long").as("id"),
+        col("rank").cast("double").as("_r")))
+      .reduce(_ unionByName _)
+    val scored = u.withColumn("_c",
+        floor(lit(1e6) / (lit(k0.toDouble) + col("_r"))).cast("long"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("_c")).as("score_micro"))
+    scored.groupBy(col("query_id"))
+      .agg(graft.expr.TopKByScore.topk_by_score(
+        col("score_micro").cast("double"), col("id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "e")))
+      .select(col("query_id"), col("e.id").as("id"),
+        col("e.score").cast("long").as("score_micro"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Exact top-k cosine neighbors for each query row. `queries` must be
     * small (it is broadcast). Output: (query_id, id, cosine, rank).
     */

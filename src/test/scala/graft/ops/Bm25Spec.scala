@@ -106,6 +106,27 @@ class Bm25Spec extends SparkTestBase {
     assert(!unfiltered.contains("In(h"))
   }
 
+  test("rrfFuse ≡ plain replay on synthetic ranked lists (ties by id)") {
+    val a = Seq((0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3), (1L, 20L, 1))
+      .toDF("query_id", "id", "rank")
+    val b = Seq((0L, 11L, 1), (0L, 13L, 2), (1L, 21L, 1))
+      .toDF("query_id", "id", "rank")
+    val out = Similarity.rrfFuse(Seq(a, b), k = 3)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    def c(r: Int): Long = math.floor(1e6 / (60.0 + r)).toLong
+    val scores = Map(
+      (0L, 10L) -> c(1), (0L, 11L) -> (c(2) + c(1)), (0L, 12L) -> c(3),
+      (0L, 13L) -> c(2), (1L, 20L) -> c(1), (1L, 21L) -> c(1))
+    val expected = scores.toSeq.groupBy(_._1._1).flatMap { case (q, rows) =>
+      rows.map { case ((_, id), s) => (id, s) }
+        .sortBy { case (id, s) => (-s, id) }.take(3).zipWithIndex
+        .map { case ((id, s), i) => (q, id, s, i + 1) }
+    }.toSet
+    assert(out === expected)
+    // the doc ranked in BOTH lists must fuse above any single-list doc
+    assert(out.find(r => r._1 == 0L && r._4 == 1).map(_._2) === Some(11L))
+  }
+
   test("k and corpus guards fail fast") {
     intercept[IllegalArgumentException] {
       Bm25.topK(docsDf, "doc_id", "text", docsDf, "doc_id", "text", k = 0)
