@@ -183,6 +183,19 @@ object AnnScalingBench {
             // published ANN table) stays reproducible as-is
             if (stageSet.isEmpty) name != "semdedup" else stageSet(name) }
         require(stages.nonEmpty, s"no stage matches $stageSet")
+        // a probe-only subset would silently time probes against whatever
+        // STALE artifact a previous run left in the persistent workDir —
+        // make the dependency explicit
+        if (stageSet.nonEmpty) {
+          def needs(probe: String, build: String, artifact: String): Unit =
+            if (stageSet(probe) && !stageSet(build))
+              require(new java.io.File(artifact).exists(),
+                s"stage $probe without $build in the subset needs a prior " +
+                  s"$artifact (and it may be stale — prefer including $build)")
+          needs("ivf_probe", "ivf_build", s"$workDir/ivf")
+          needs("pq_adc", "pq_encode", s"$workDir/pq")
+          needs("pq_rerank", "pq_encode", s"$workDir/pq")
+        }
         val timed = stages.map { case (name, f) =>
           val w = time(f()) // full-size warm: codegen + classloading outside the timing
           io.reset()

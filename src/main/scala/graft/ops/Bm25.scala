@@ -95,21 +95,26 @@ object Bm25 {
            queries: DataFrame, qIdCol: String, qTextCol: String,
            k: Int = 10): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
-    val nDocs = docs.count()
+    val (nDocs, totalLen) = corpusStats(docs, textCol)
     require(nDocs > 0, "BM25 corpus is empty")
-    val avgdl = {
-      val row = docs.select(
-        sum(size(Curation.normWords(col(textCol))).cast("long"))).head()
-      val total = if (row.isNullAt(0)) 0L else row.getLong(0)
-      // exact-rational inputs; the one double divide is exactly rounded,
-      // so the SQL replay (SUM::DOUBLE / COUNT) reproduces it bit-for-bit
-      total.toDouble / nDocs.toDouble
-    }
+    // exact-rational inputs; the one double divide is exactly rounded,
+    // so the SQL replay (SUM::DOUBLE / COUNT) reproduces it bit-for-bit
+    val avgdl = totalLen.toDouble / nDocs.toDouble
     val qTerms = queries.select(col(qIdCol).cast("long").as("query_id"),
         explode(Curation.normWords(col(qTextCol))).as("w"))
       .select(col("query_id"), xxhash64(col("w")).as("h"))
       .distinct()
     search(postings(docs, idCol, textCol), qTerms, nDocs, avgdl, k)
+  }
+
+  /** (nDocs, total token count) in ONE corpus scan — count() plus a
+    * separate sum job would scan (and re-tokenize) the corpus twice for
+    * the same bit-identical stats.
+    */
+  private def corpusStats(docs: DataFrame, textCol: String): (Long, Long) = {
+    val row = docs.agg(count(lit(1)),
+      sum(size(Curation.normWords(col(textCol))).cast("long"))).head()
+    (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
   }
 
   /** The shared scoring tail: postings × broadcast query terms →
@@ -136,13 +141,8 @@ object Bm25 {
         floor(col("idf_micro") * sat + lit(0.5d)).cast("long"))
       .groupBy(col("query_id"), col("id"))
       .agg(sum(col("tm")).as("score_micro"))
-    scored.groupBy(col("query_id"))
-      .agg(graft.expr.TopKByScore.topk_by_score(
-        col("score_micro").cast("double"), col("id"), k).as("topk"))
-      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "e")))
-      .select(col("query_id"), col("e.id").as("id"),
-        col("e.score").cast("long").as("score_micro"),
-        (col("pos") + 1).cast("int").as("rank"))
+    Similarity.topKFinish(scored, "score_micro", k, "score_micro",
+      longScore = true)
   }
 
   /** Persist the postings as a durable index: files HASH-RANGE-CLUSTERED
@@ -156,11 +156,8 @@ object Bm25 {
     */
   def writeIndex(docs: DataFrame, idCol: String, textCol: String,
                  dir: String, shards: Int = 0): Unit = {
-    val nDocs = docs.count()
+    val (nDocs, total) = corpusStats(docs, textCol)
     require(nDocs > 0, "BM25 corpus is empty")
-    val row = docs.select(
-      sum(size(Curation.normWords(col(textCol))).cast("long"))).head()
-    val total = if (row.isNullAt(0)) 0L else row.getLong(0)
     val post = postings(docs, idCol, textCol)
     val ranged = if (shards > 0) post.repartitionByRange(shards, col("h"))
                  else post.repartitionByRange(col("h"))

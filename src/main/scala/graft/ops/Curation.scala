@@ -484,11 +484,13 @@ object Curation {
       s"bucketBits must be in [4, 20]: $bucketBits")
     import org.apache.spark.sql.expressions.Window
     val cols = df.columns.map(col)
-    // negative token counts would corrupt every prefix sum downstream —
-    // raise on the value (rides the row, pruning can't drop it)
-    val tokGuard = when(col(tokenCol) < 0, raise_error(concat(
-        lit("tokenQuotaSample: negative token count for id "),
-        col(idCol).cast("string"))))
+    // negative or NULL token counts would corrupt (or null-poison) every
+    // prefix sum downstream — raise on the value (rides the row, pruning
+    // can't drop it)
+    val tokGuard = when(col(tokenCol).isNull || col(tokenCol) < 0,
+        raise_error(concat(
+          lit("tokenQuotaSample: negative or null token count for id "),
+          col(idCol).cast("string"))))
       .otherwise(col(tokenCol).cast("long"))
     val base = df
       .withColumn("_rank", sampleRank(col(idCol)))
@@ -501,8 +503,11 @@ object Curation {
       .rowsBetween(Window.unboundedPreceding, -1)
     val cum = bkt.withColumn("_cumBefore",
       coalesce(sum(col("_bsum")).over(wCum), lit(0L)))
+    // null-SAFE group equality: a NULL group is one partition in the
+    // naive window definition (and the SQL oracle), so it must join back
+    // to its bucket row rather than vanish through NULL === NULL
     val j = base.join(broadcast(cum),
-      col(groupCol) === col("_g") && col("_bkt") === col("_b"))
+      col(groupCol) <=> col("_g") && col("_bkt") === col("_b"))
     val keepAll = j.where(col("_cumBefore") + col("_bsum") < budget)
     val wIn = Window.partitionBy(col(groupCol), col("_bkt"))
       .orderBy(col("_rank"), col(idCol))

@@ -514,11 +514,16 @@ object Dedup {
       col("_nv").as("_na"), col("cell"))
     val b = capped.select(col("id").as("id_b"), col("v").as("v_b"),
       col("_nv").as("_nb"), col("cell"))
+    // no distinct: each id lives in exactly ONE cell (unlike the
+    // multi-bucket LSH join in embeddingNearDups), so the self-join can
+    // emit a pair at most once — a dedup exchange here would be a whole
+    // wasted shuffle of the largest intermediate, and
+    // connectedComponentsStar dedups edges internally anyway
     val pairs = a.join(b, "cell")
       .where(col("id_a") < col("id_b"))
       .where(Similarity.cosinePre(col("v_a"), col("v_b"),
         col("_na"), col("_nb")) >= threshold)
-      .select("id_a", "id_b").distinct()
+      .select("id_a", "id_b")
     assigned.select(col("id"), col("cell"))
       .join(clusters(assigned.select(col("id")), "id", pairs), Seq("id"))
       .select(col("id").as(idCol), col("cell"), col("comp"), col("keep"))

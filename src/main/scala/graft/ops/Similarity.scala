@@ -102,13 +102,29 @@ object Similarity {
     * buffers cap at k entries per (query, map task), so the only exchange
     * carries O(queries × tasks × k) rows.
     */
-  private[ops] def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
-    scored.groupBy(col("query_id"))
+  /** Bounded per-query top-k finish shared by the dense ([[topKPerQuery]]),
+    * sparse ([[Bm25]]), and fused ([[rrfFuse]]) retrieval paths: groupBy
+    * query → TopKByScore partial buffers → posexplode → 1-based rank
+    * (ties by smaller id — the one tie convention every SQL oracle's
+    * ROW_NUMBER replays). One definition so the tie rule can never
+    * silently diverge between paths. `longScore` casts the score back to
+    * long on output (the integer micro-unit paths).
+    */
+  private[ops] def topKFinish(scored: DataFrame, scoreCol: String, k: Int,
+                              outScoreName: String,
+                              longScore: Boolean): DataFrame = {
+    val exploded = scored.groupBy(col("query_id"))
       .agg(graft.expr.TopKByScore.topk_by_score(
-        col("cosine"), col("id").cast("long"), k).as("topk"))
+        col(scoreCol).cast("double"), col("id").cast("long"), k).as("topk"))
       .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "e")))
-      .select(col("query_id"), col("e.id").as("id"),
-        col("e.score").as("cosine"), (col("pos") + 1).cast("int").as("rank"))
+    val score =
+      if (longScore) col("e.score").cast("long") else col("e.score")
+    exploded.select(col("query_id"), col("e.id").as("id"),
+      score.as(outScoreName), (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  private[ops] def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    topKFinish(scored, "cosine", k, "cosine", longScore = false)
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) of
     * ranked retrieval lists — the standard hybrid of dense ANN and
@@ -134,13 +150,7 @@ object Similarity {
         floor(lit(1e6) / (lit(k0.toDouble) + col("_r"))).cast("long"))
       .groupBy(col("query_id"), col("id"))
       .agg(sum(col("_c")).as("score_micro"))
-    scored.groupBy(col("query_id"))
-      .agg(graft.expr.TopKByScore.topk_by_score(
-        col("score_micro").cast("double"), col("id"), k).as("topk"))
-      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "e")))
-      .select(col("query_id"), col("e.id").as("id"),
-        col("e.score").cast("long").as("score_micro"),
-        (col("pos") + 1).cast("int").as("rank"))
+    topKFinish(scored, "score_micro", k, "score_micro", longScore = true)
   }
 
   /** Exact top-k cosine neighbors for each query row. `queries` must be

@@ -102,6 +102,19 @@ class Round4CurationSpec extends SparkTestBase {
     assert(out === Set(first))
   }
 
+  test("tokenQuotaSample: NULL group is one partition, not dropped") {
+    val df = Seq((1L, Option("x"), 10L), (2L, Option.empty[String], 10L),
+      (3L, Option.empty[String], 10L)).toDF("id", "grp", "tok")
+    val out = Curation.tokenQuotaSample(df, "grp", "id", "tok", 10L)
+      .select("id").as[Long].collect().toSet
+    val nullFirst =
+      if (Ordering[(Long, Long)].lt((rank(2L), 2L), (rank(3L), 3L))) 2L
+      else 3L
+    // "x" keeps its only doc (prior 0); the NULL group keeps exactly its
+    // rank-first doc (the second has prior 10, not < budget)
+    assert(out === Set(1L, nullFirst))
+  }
+
   test("tokenQuotaSample guards: non-positive budget and negative tokens") {
     val df = Seq((1L, "x", -3L)).toDF("id", "grp", "tok")
     intercept[IllegalArgumentException] {
