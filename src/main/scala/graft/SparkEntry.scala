@@ -507,6 +507,16 @@ object SparkEntry {
         docs.where(col("doc_id") % 7 === 0), "text")
     }),
 
+    // Bloom-prefiltered decontamination (eval = every 5th doc): the bloom
+    // bitset prunes map-side, the exact verify join removes its false
+    // positives — so the ORACLE is the exact-join SQL; the bloom is pure
+    // plan shape, invisible in the result by construction.
+    "q_bloom_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.ops.Curation.decontaminateBloom(docs, "doc_id", "text",
+        docs.where(col("doc_id") % 5 === 0), "text")
+    }),
+
     "q_repetition" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), graft.ops.Curation.normWords(col("text")).as("_w"))
@@ -1102,6 +1112,25 @@ object SparkEntry {
         |  WHERE len(words) >= 13
         |), eng AS (
         |  SELECT DISTINCT ngram FROM cng WHERE doc_id % 7 = 0
+        |)
+        |SELECT c.doc_id, CAST(COUNT(DISTINCT c.ngram) AS BIGINT) AS n_hits
+        |FROM cng c JOIN eng e USING (ngram)
+        |GROUP BY 1""".stripMargin,
+
+    // Bloom variant: the bitset is a prune, not a semantic — output is the
+    // exact join over the %5 eval slice, so the oracle IS the exact SQL.
+    "q_bloom_decontaminate" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(
+        |    regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '),
+        |    x -> x <> '') AS words
+        |  FROM documents
+        |), cng AS (
+        |  SELECT doc_id, array_to_string(words[i:i+12], ' ') AS ngram
+        |  FROM w, LATERAL (SELECT unnest(range(1, len(words) - 11)) AS i) t
+        |  WHERE len(words) >= 13
+        |), eng AS (
+        |  SELECT DISTINCT ngram FROM cng WHERE doc_id % 5 = 0
         |)
         |SELECT c.doc_id, CAST(COUNT(DISTINCT c.ngram) AS BIGINT) AS n_hits
         |FROM cng c JOIN eng e USING (ngram)

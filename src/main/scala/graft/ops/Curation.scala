@@ -88,6 +88,96 @@ object Curation {
       .agg(count_distinct(col("ng")).as("n_hits"))
   }
 
+  /** Blocked-Bloom prefilter variant of [[decontaminate]] — identical
+    * output (the bloom admits every true hit and the exact verify join
+    * removes its false positives), different scale shape: instead of
+    * joining EVERY corpus n-gram against the eval dictionary, a compact
+    * m-bit bloom bitset (one `array<long>` row, built by one aggregation
+    * over the eval n-grams) is broadcast and each corpus n-gram tests k
+    * bit probes map-side; only survivors — true hits plus the ~(1-e^-kn/m)^k
+    * false-positive fraction — reach the exact join. The win at 100 TB is
+    * when the eval/blocklist dictionary is too big to broadcast cheaply
+    * (10^8-10^9 n-grams = GBs hashed): the exact path must shuffle ~10^12
+    * corpus n-grams against it, while the bloom path broadcasts m/8 bytes
+    * (10 bits/key ≈ 1.25 GB for 10^9 keys — one exchange, reused per
+    * executor, never per task) and shuffles only the surviving sliver.
+    * At the default mBits/kProbes the FP rate at the sf0.1 dictionary is
+    * ~1e-4 — CurationSpec measures the prune on a disjoint corpus.
+    *
+    * Mechanics: probe j of key h is bit `xxhash64(h, j) mod m`; the bitset
+    * is built by bit_or partials over (word, mask) rows — map-side combine
+    * collapses hot words, the final fold is ≤ m/64 rows — then densified
+    * into ONE array row via map lookup over `sequence(0, m/64-1)`. The
+    * corpus side crossJoins the broadcast single-row bitset (a
+    * BroadcastNestedLoopJoin with ONE build row — whole-stage codegen
+    * evaluates the probe predicate against the shared broadcast array
+    * without per-row copies, and the array is projected away right after
+    * the filter).
+    */
+  def decontaminateBloom(corpus: DataFrame, idCol: String, textCol: String,
+                         evalSet: DataFrame, evalTextCol: String,
+                         n: Int = 13, hashed: Boolean = true,
+                         mBits: Int = 1 << 17,
+                         kProbes: Int = 3): DataFrame = {
+    require(mBits >= 64 && mBits % 64 == 0 && mBits <= (1 << 24),
+      s"mBits must be a multiple of 64 in [64, 2^24]: $mBits")
+    require(kProbes >= 1 && kProbes <= 8, s"kProbes must be in [1, 8]: $kProbes")
+    val evalNg = ngramRows(evalSet.select(col(evalTextCol)), Nil, evalTextCol,
+        n, hashed)
+      .distinct()
+      .localCheckpoint(true) // feeds the bloom build AND the exact verify
+    val bloom = bloomBitset(evalNg, "ng", mBits, kProbes)
+    ngramRows(corpus.select(col(idCol).as("doc_id"), col(textCol)),
+        Seq("doc_id"), textCol, n, hashed)
+      .crossJoin(broadcast(bloom))
+      .where(bloomTest(col("ng"), col("_bloom"), mBits, kProbes))
+      .select(col("doc_id"), col("ng"))
+      .join(broadcast(evalNg), Seq("ng"))
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("ng")).as("n_hits"))
+  }
+
+  /** Probe j's bit index for key `k`: xxhash64(k, j) mod m — deterministic
+    * across executors/retries/engines (plain BIGINT arithmetic, so a SQL
+    * oracle can replay membership given the dumped hash primitives).
+    */
+  private def bloomBitIdx(key: Column, j: Int, mBits: Int): Column =
+    pmod(xxhash64(key, lit(j)), lit(mBits.toLong))
+
+  /** Build the m-bit bitset as ONE row (`_bloom: array<long>`, m/64 words).
+    * bit_or partials collapse duplicate words map-side; the dense array is
+    * assembled from the ≤ m/64 (word, bits) groups via a map lookup —
+    * empty input yields the all-zero bitset (rejects everything).
+    */
+  private[ops] def bloomBitset(keys: DataFrame, keyCol: String,
+                               mBits: Int, kProbes: Int): DataFrame = {
+    val nWords = mBits / 64
+    val probes = (0 until kProbes).map { j =>
+      val idx = bloomBitIdx(col(keyCol), j, mBits)
+      struct((idx / 64).cast("int").as("w"),
+        call_function("shiftleft", lit(1L), (idx % 64).cast("int")).as("m"))
+    }
+    keys.select(explode(array(probes: _*)).as("p"))
+      .groupBy(col("p.w").as("w"))
+      .agg(bit_or(col("p.m")).as("bits"))
+      .agg(map_from_entries(collect_list(struct(col("w"), col("bits"))))
+        .as("_m"))
+      .select(transform(sequence(lit(0), lit(nWords - 1)),
+        i => coalesce(element_at(col("_m"), i), lit(0L))).as("_bloom"))
+  }
+
+  /** Membership test: all k probe bits set. Unrolled AND chain (k is
+    * small config) — stays in whole-stage codegen, and the repeated
+    * xxhash64 subtrees fall to codegen subexpression elimination.
+    */
+  private[ops] def bloomTest(key: Column, bloom: Column,
+                             mBits: Int, kProbes: Int): Column =
+    (0 until kProbes).map { j =>
+      val idx = bloomBitIdx(key, j, mBits)
+      element_at(bloom, (idx / 64).cast("int") + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L), (idx % 64).cast("int"))) =!= 0L
+    }.reduce(_ && _)
+
   /** One row per n-gram POSITION of each document: (ids..., ng). n-gram
     * generation without any higher-order function: explode the
     * start-position sequence, then slice+join the materialized word

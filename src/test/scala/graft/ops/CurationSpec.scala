@@ -356,4 +356,58 @@ class CurationSpec extends SparkTestBase {
     // singletons cover both splits on 40 ids (sanity: not all one bucket)
     assert(out.map(_._3).distinct.size === 2)
   }
+
+  test("decontaminateBloom ≡ decontaminate on real docs (FPs verified away)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val eval = docs.where($"doc_id" % 7 === 0)
+    val exact = Curation.decontaminate(docs, "doc_id", "text", eval, "text")
+      .as[(Long, Long)].collect().toMap
+    val bloom = Curation.decontaminateBloom(docs, "doc_id", "text",
+        eval, "text")
+      .as[(Long, Long)].collect().toMap
+    assert(bloom === exact)
+    assert(bloom.nonEmpty)
+    // a deliberately tiny bloom (maximal FP pressure) must STILL be exact —
+    // the verify join owns correctness, the bitset only owns the prune
+    val tiny = Curation.decontaminateBloom(docs, "doc_id", "text",
+        eval, "text", mBits = 64, kProbes = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(tiny === exact)
+  }
+
+  test("bloom bitset: zero false negatives, measured false-positive prune") {
+    val keys = (0L until 2000L).map(k => k * 2654435761L).toDF("k")
+    val bits = Curation.bloomBitset(keys, "k", 1 << 17, 3)
+    val members = keys.crossJoin(broadcast(bits))
+      .where(Curation.bloomTest($"k", $"_bloom", 1 << 17, 3))
+    assert(members.count() === 2000L) // bloom never drops a member
+    // disjoint probe set: FP rate at 2000 keys / 2^17 bits / 3 probes is
+    // ~(1 - e^-kn/m)^k ≈ 1e-4 — assert an order-of-magnitude ceiling
+    val probes = (0L until 20000L).map(k => k * 7919L + 3L).toDF("k")
+      .join(keys, Seq("k"), "left_anti")
+    val fp = probes.crossJoin(broadcast(bits))
+      .where(Curation.bloomTest($"k", $"_bloom", 1 << 17, 3)).count()
+    assert(fp <= 20, s"false-positive count too high: $fp")
+  }
+
+  test("decontaminateBloom: empty eval set → all-zero bitset, no hits") {
+    val docs = Seq((0L, evalText)).toDF("doc_id", "text")
+    val eval = docs.where($"doc_id" < 0)
+    assert(Curation.decontaminateBloom(docs, "doc_id", "text", eval, "text")
+      .count() === 0L)
+  }
+
+  test("decontaminateBloom plan: single-row broadcast bitset prefilter") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dec = Curation.decontaminateBloom(docs, "doc_id", "text",
+      docs.where($"doc_id" % 7 === 0), "text")
+    dec.count()
+    val plan = dec.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the bitset rides a BroadcastNestedLoopJoin (ONE build row); the
+    // exact verify stays a broadcast hash join — no sort-merge anywhere
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }
