@@ -579,6 +579,14 @@ object SparkEntry {
       graft.ops.Curation.topNgrams(t(s, d, "documents"), "text",
         n = 3, k = 20, minCount = 2)),
 
+    // BPE tokenizer-training merge step: corpus-wide adjacent char-pair
+    // frequencies via the vocab-collapsed decomposition (the pair explode
+    // runs over DISTINCT words weighted by freq — TextAnalysisSpec proves
+    // ≡ the naive per-occurrence explode)
+    "q_bpe_pairs" -> ((s, d) =>
+      graft.ops.TextAnalysis.bpePairCounts(t(s, d, "documents"), "text",
+        k = 40, minCount = 2)),
+
     // Token-BUDGET mixture quota (2000 tokens per language, sampleRank
     // order): the oracle replays the NAIVE full-group prefix-sum window
     // definition, independently proving the engine's skew-safe bucketed
@@ -1265,6 +1273,27 @@ object SparkEntry {
         |)
         |SELECT ngram, n_occurrences FROM c
         |ORDER BY n_occurrences DESC, ngram LIMIT 20""".stripMargin,
+
+    // BPE merge-pair counts: the oracle explodes per word OCCURRENCE
+    // (the naive definition), independently proving the engine's
+    // vocab-collapsed weighted decomposition; substr is 1-based and
+    // range(1, n) is [1, n) in both engines
+    "q_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT list_filter(string_split(
+        |    regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '),
+        |    x -> x <> '') AS words
+        |  FROM documents
+        |), t AS (
+        |  SELECT unnest(words) AS word FROM w
+        |), p AS (
+        |  SELECT substr(word, i, 1) AS lhs, substr(word, i + 1, 1) AS rhs
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(word))) AS i) s
+        |  WHERE len(word) >= 2
+        |)
+        |SELECT lhs, rhs, CAST(COUNT(*) AS BIGINT) AS pair_count
+        |FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |ORDER BY pair_count DESC, lhs, rhs LIMIT 40""".stripMargin,
 
     "q_mixture_sample" ->
       """SELECT doc_id, lang FROM documents

@@ -77,6 +77,48 @@ object TextAnalysis {
       filter(split(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+"),
         w => w =!= ""), " "))
 
+  /** BPE merge-step statistics — the inner loop of byte-pair-encoding
+    * tokenizer training: the corpus-wide frequency of every ADJACENT
+    * symbol pair, where the initial symbol sequence of a word is its
+    * characters (the classic Sennrich et al. setup before any merge).
+    * The highest-count pair is the next merge a BPE trainer would apply;
+    * the top-k frame is the trainer's candidate table. Output at most k
+    * rows (lhs, rhs, pair_count), count desc, ties by (lhs, rhs) —
+    * a total order, so the k-boundary is deterministic across engines.
+    *
+    * Scale shape (the reason this is corpus-size-robust): pairs are NOT
+    * exploded from the corpus. The first aggregation collapses the corpus
+    * to the (word, freq) vocabulary — map-side partials absorb hot words,
+    * and the vocabulary is bounded by the language, not the corpus (a
+    * 100 TB crawl still has ~10^7-10^8 distinct normalized words). The
+    * per-character pair explode then runs over DISTINCT words only,
+    * weighted by freq; the second aggregation is over the tiny pair
+    * dimension (≤ alphabet²·avg-word-len groups) and the final top-k
+    * plans as TakeOrderedAndProject — bounded per-partition k, single
+    * driver merge, never a full sort.
+    */
+  def bpePairCounts(df: DataFrame, textCol: String, k: Int,
+                    minCount: Long = 2L): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    val vocab = df
+      .select(explode(Curation.normWords(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    vocab
+      .select(col("freq"), explode(
+        when(length(col("w")) >= 2,
+          transform(sequence(lit(1), length(col("w")) - 1),
+            i => struct(col("w").substr(i, lit(1)).as("lhs"),
+              col("w").substr(i + 1, lit(1)).as("rhs"))))
+          .otherwise(array().cast("array<struct<lhs:string,rhs:string>>")))
+        .as("p"))
+      .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+      .agg(sum(col("freq")).as("pair_count"))
+      .where(col("pair_count") >= minCount)
+      .orderBy(col("pair_count").desc, col("lhs"), col("rhs"))
+      .limit(k)
+  }
+
   /** One-stop profile frame used by tests and SparkEntry queries. */
   def profile(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("lang_id", langId(col(textCol)))

@@ -56,4 +56,42 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(p.count() === docs.count())
     assert(p.where($"n_tokens_ws" <= 0).count() === 0)
   }
+
+  test("bpePairCounts: hand corpus — adjacent char pairs weighted by word freq") {
+    val df = Seq("ab ab abc", "x").toDF("text")
+    val pairs = TextAnalysis.bpePairCounts(df, "text", k = 10, minCount = 1)
+      .as[(String, String, Long)].collect().toSeq
+    // ab×2 + abc×1 → (a,b)=3; abc → (b,c)=1; "x" has no pair
+    assert(pairs === Seq(("a", "b", 3L), ("b", "c", 1L)))
+  }
+
+  test("bpePairCounts: vocab-collapsed ≡ naive corpus explode on real docs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fast = TextAnalysis.bpePairCounts(docs, "text", k = 40)
+      .as[(String, String, Long)].collect().toSeq
+    // naive baseline: explode every word OCCURRENCE, pair per position
+    val naive = docs
+      .select(explode(Curation.normWords($"text")).as("w"))
+      .where(length($"w") >= 2)
+      .select(explode(transform(sequence(lit(1), length($"w") - 1),
+        i => struct($"w".substr(i, lit(1)).as("lhs"),
+          $"w".substr(i + 1, lit(1)).as("rhs")))).as("p"))
+      .groupBy($"p.lhs".as("lhs"), $"p.rhs".as("rhs"))
+      .agg(count(lit(1)).as("pair_count"))
+      .where($"pair_count" >= 2)
+      .orderBy($"pair_count".desc, $"lhs", $"rhs")
+      .limit(40)
+      .as[(String, String, Long)].collect().toSeq
+    assert(fast === naive)
+    assert(fast.nonEmpty)
+  }
+
+  test("bpePairCounts plan: top-k is TakeOrderedAndProject, never a full sort") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val q = TextAnalysis.bpePairCounts(docs, "text", k = 40)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }
