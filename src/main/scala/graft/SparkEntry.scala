@@ -783,6 +783,29 @@ object SparkEntry {
         .withColumn("cosine", round(col("cosine"), 6))
     }),
 
+    // Exact KNN GRAPH: every corpus row is its own query — the self-join
+    // semantic curation / graph-based data selection builds on. Oracled
+    // as a direct brute-force self-join + window top-k.
+    "q_knn_graph" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      graft.ops.Similarity.knnGraph(emb, "vec_id", "embedding", k = 3)
+        .withColumn("cosine", round(col("cosine"), 6))
+    }),
+
+    // Approximate KNN graph at corpus scale: LSH-bucketed, hot-bucket-
+    // capped, SALTED index self-join. Deterministic, so fully replayable:
+    // buckets come from the _input_vecs dump; the cap (row_number by id),
+    // multiprobe expansion (bucket ^ 2^p), candidate join, double cosine,
+    // and tie-broken top-k are all replayed in SQL. The salt is proven
+    // result-invariant in SimilaritySpec (salt=1 ≡ salt=8), so the oracle
+    // replays the unsalted pair set.
+    "q_knn_graph_lsh" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      graft.ops.Similarity.knnGraphLsh(emb, "vec_id", "embedding",
+        k = 3, planes = 6, salt = 4)
+        .withColumn("cosine", round(col("cosine"), 6))
+    }),
+
     // ANN recall@k at nProbe < nCells — the number an IVF user actually
     // tunes: per-query |IVF top-k ∩ brute-force top-k| / k. The oracle
     // replays BOTH sides in SQL: brute force directly, IVF from the dumped
@@ -1640,6 +1663,48 @@ object SparkEntry {
         |      FROM s)
         |SELECT query_id, id, CAST(ROUND(cos, 6) AS DOUBLE) AS cosine, rank
         |FROM r WHERE rank <= 5""".stripMargin,
+
+    // Exact KNN graph: brute-force self-join, window top-k, ties by id.
+    "q_knn_graph" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |           FROM embeddings),
+        |s AS (SELECT q.vec_id AS query_id, c.vec_id AS id,
+        |        list_cosine_similarity(c.emb, q.emb) AS cos
+        |      FROM e c, e q WHERE c.vec_id <> q.vec_id),
+        |r AS (SELECT query_id, id, cos,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |          ORDER BY cos DESC, id) AS INT) AS rank
+        |      FROM s)
+        |SELECT query_id, id, CAST(ROUND(cos, 6) AS DOUBLE) AS cosine, rank
+        |FROM r WHERE rank <= 3""".stripMargin,
+
+    // LSH KNN graph: buckets from the _input_vecs dump; hot-bucket cap
+    // (deterministic id order), multiprobe expansion, candidate join,
+    // double cosine, and tie-broken top-k replayed relationally. Salt is
+    // result-invariant (SimilaritySpec), so the replay is unsalted.
+    "q_knn_graph_lsh" ->
+      """WITH v AS (SELECT vec_id, bucket6
+        |           FROM read_parquet('__OUT__/_input_vecs/*.parquet')),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |capped AS (SELECT vec_id, bucket6 FROM (
+        |    SELECT vec_id, bucket6, ROW_NUMBER() OVER (PARTITION BY bucket6
+        |      ORDER BY vec_id) AS rn FROM v) WHERE rn <= 2048),
+        |probes AS (SELECT vec_id AS query_id,
+        |    unnest([bucket6, xor(bucket6, 1), xor(bucket6, 2), xor(bucket6, 4),
+        |            xor(bucket6, 8), xor(bucket6, 16), xor(bucket6, 32)])
+        |      AS bucket FROM v),
+        |cand AS (SELECT p.query_id, c.vec_id AS id
+        |         FROM probes p JOIN capped c ON c.bucket6 = p.bucket
+        |         WHERE c.vec_id <> p.query_id),
+        |s AS (SELECT query_id, id, list_cosine_similarity(ec.emb, eq.emb) AS cos
+        |      FROM cand JOIN e ec ON cand.id = ec.vec_id
+        |                JOIN e eq ON cand.query_id = eq.vec_id),
+        |r AS (SELECT query_id, id, cos,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |          ORDER BY cos DESC, id) AS INT) AS rank
+        |      FROM s)
+        |SELECT query_id, id, CAST(ROUND(cos, 6) AS DOUBLE) AS cosine, rank
+        |FROM r WHERE rank <= 3""".stripMargin,
 
     // PQ ANN: codes and per-query LUTs are dumped primitives (_input_pq,
     // _input_pqlut — exact doubles the engine scores with); the ADC sum

@@ -170,6 +170,81 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Exact k-nearest-neighbor GRAPH: every corpus row is its own query —
+    * (query_id, id, cosine, rank) with the row's k nearest OTHER rows.
+    * This is [[bruteForceTopK]] with queries = corpus, so the whole
+    * corpus rides a broadcast: the contract is a corpus that fits one
+    * executor (the recall/oracle baseline, and fine up to ~10^6 rows).
+    * The scale path is [[knnGraphLsh]].
+    */
+  def knnGraph(corpus: DataFrame, idCol: String, vecCol: String,
+               k: Int = 10): DataFrame =
+    bruteForceTopK(corpus, idCol, vecCol, corpus, idCol, vecCol, k)
+
+  /** Approximate KNN graph at corpus scale — the all-rows-are-queries
+    * self-join that SemDeDup-style semantic curation and graph-based
+    * data selection need, without ever broadcasting the corpus or going
+    * all-pairs:
+    *
+    *  - candidates are rows sharing an LSH bucket (multiprobe: the
+    *    query side also probes every 1-bit-flipped bucket, so a vector
+    *    straddling a hyperplane still meets its neighbors);
+    *  - the INDEX side is capped per bucket ([[Dedup]]'s hot-bucket
+    *    guard shape: deterministic smallest-id order, optional observe
+    *    accounting), bounding any bucket's candidate list — a degenerate
+    *    corpus (10^7 near-identical vectors in one bucket) costs
+    *    O(bucket_rows × cap), never O(bucket_rows²);
+    *  - the capped index side is SALTED: each index row replicates into
+    *    `salt` sub-buckets (bounded: ≤ salt × cap rows per bucket) and
+    *    each probe row hashes to ONE salt, so a hot bucket's probe rows
+    *    spread over `salt` reducers instead of funnelling into one task.
+    *    The pair set — hence the result — is salt-invariant
+    *    (SimilaritySpec proves salt=1 ≡ salt=8).
+    *
+    * Output: (query_id, id, cosine, rank ≤ k), ties by smaller id. A
+    * query row whose buckets hold no other vector yields no rows (the
+    * recall trade; raise planes/multiprobe/cap to trade cost for recall
+    * — recall is measured, not argued, in SimilaritySpec).
+    */
+  def knnGraphLsh(corpus: DataFrame, idCol: String, vecCol: String,
+                  k: Int = 10, planes: Int = 6, seed: Long = 7L,
+                  multiprobe: Boolean = true, bucketCap: Int = 2048,
+                  salt: Int = 8, obsTag: Option[String] = None): DataFrame = {
+    require(bucketCap >= 1, s"bucketCap must be >= 1: $bucketCap")
+    require(salt >= 1, s"salt must be >= 1: $salt")
+    import org.apache.spark.sql.expressions.Window
+    // buckets + norms computed ONCE for both sides of the self-join
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+        norm(col(vecCol)).as("_nv"),
+        hyperplaneBucket(col(vecCol), planes, seed).as("bucket"))
+      .localCheckpoint(true)
+    val ranked = base.withColumn("_bn", row_number().over(
+      Window.partitionBy(col("bucket")).orderBy(col("id"))))
+    val tagged = obsTag.map(t => ranked.observe(t,
+      count(lit(1)).as("rows"),
+      count_if(col("_bn") > bucketCap).as("dropped"))).getOrElse(ranked)
+    val idx = tagged.where(col("_bn") <= bucketCap).drop("_bn")
+      .withColumn("_salt", explode(sequence(lit(0), lit(salt - 1))))
+    val qb = base.select(col("id").as("query_id"), col("v").as("qv"),
+      col("_nv").as("_nq"), col("bucket").as("qbucket"))
+    val probes =
+      (if (!multiprobe) qb.withColumn("bucket", col("qbucket"))
+       else qb.withColumn("bucket",
+         explode(array_union(
+           array(col("qbucket")),
+           transform(sequence(lit(0), lit(planes - 1)),
+             p => col("qbucket").bitwiseXOR(
+               call_function("shiftleft", lit(1L), p.cast("int"))))))))
+        .withColumn("_salt",
+          pmod(xxhash64(col("query_id"), lit(seed)), lit(salt.toLong))
+            .cast("int"))
+    val scored = idx.join(probes, Seq("bucket", "_salt"))
+      .where(col("id") =!= col("query_id"))
+      .withColumn("cosine",
+        cosinePre(col("v"), col("qv"), col("_nv"), col("_nq")))
+    topKPerQuery(scored, k)
+  }
+
   /** LSH-bucketed ANN top-k: score only candidates sharing the query's
     * bucket (multiprobe: also buckets at Hamming distance 1).
     */

@@ -99,4 +99,81 @@ class SimilaritySpec extends SparkTestBase {
     assert(lsh.count() > 0)
     assert(lsh.where($"rank" > 5).count() === 0)
   }
+
+  /** Clustered corpus with real neighbor structure (same generator shape as
+    * the lshTopK recall test): nClusters × perCluster members around
+    * deterministic centers, cosine ≈ .95 within a cluster.
+    */
+  private def clusteredVecs(nClusters: Int, perCluster: Int) = {
+    def rng(seed: Long): Double = {
+      val x = seed * 6364136223846793005L + 1442695040888963407L
+      ((math.abs(x >>> 11) % 2000000) / 1000000.0) - 1.0
+    }
+    (0 until nClusters * perCluster).map { i =>
+      val c = i / perCluster
+      val v = Array.tabulate(16)(d =>
+        (rng(c * 31 + d) + 0.15 * rng(i * 97 + d + 7)).toFloat)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("knnGraph: every row is a query, self excluded, neighbors are " +
+    "cluster-mates on clustered vectors") {
+    val vecs = clusteredVecs(10, 8)
+    val g = Similarity.knnGraph(vecs, "vec_id", "embedding", k = 3).cache()
+    // 80 queries × 3 neighbors, no self edges
+    assert(g.count() === 240)
+    assert(g.where($"query_id" === $"id").count() === 0)
+    // exact graph on clustered data: neighbors share the query's cluster
+    val wrongCluster = g.where(
+      floor($"query_id" / 8) =!= floor($"id" / 8)).count()
+    assert(wrongCluster === 0)
+  }
+
+  test("knnGraphLsh is salt-invariant: salt=1 ≡ salt=8 bit-for-bit") {
+    val vecs = clusteredVecs(12, 6)
+    def run(salt: Int) = Similarity.knnGraphLsh(vecs, "vec_id", "embedding",
+        k = 4, planes = 5, salt = salt)
+      .select($"query_id", $"id", $"rank", round($"cosine", 9).as("c"))
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(run(1) === run(8))
+  }
+
+  test("knnGraphLsh recall vs exact knnGraph is measured, not argued") {
+    val vecs = clusteredVecs(20, 10)
+    val exact = Similarity.knnGraph(vecs, "vec_id", "embedding", k = 5)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.knnGraphLsh(vecs, "vec_id", "embedding",
+        k = 5, planes = 6)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.7, s"knnGraphLsh recall too low on clustered data: $recall")
+    // multiprobe off can only shrink the candidate (hence hit) set
+    val noProbe = Similarity.knnGraphLsh(vecs, "vec_id", "embedding",
+        k = 5, planes = 6, multiprobe = false)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val npRecall = (exact intersect noProbe).size.toDouble / exact.size
+    assert(npRecall <= recall + 1e-12,
+      s"multiprobe=false recall $npRecall exceeds multiprobe recall $recall")
+  }
+
+  test("knnGraphLsh hot-bucket cap: observe-counted drops, bounded pairs") {
+    // one degenerate bucket: identical vectors all hash together
+    val vecs = (0 until 64).map(i => (i.toLong, Array.fill(8)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val metrics = new graft.ObsMetrics(spark)
+    val listener = new graft.ObsQueryListener(metrics)
+    spark.listenerManager.register(listener)
+    try {
+      val rows = Similarity.knnGraphLsh(vecs, "vec_id", "embedding",
+        k = 3, planes = 4, bucketCap = 10, salt = 4,
+        obsTag = Some("graft_knn_cap")).count()
+      // index side capped at 10 ⇒ any query sees ≤ 10 candidates (≤ 9 after
+      // self-exclusion), and the 54 rows past the cap are counted as dropped
+      assert(rows > 0 && rows <= 64L * 3)
+      org.apache.spark.sql.GraftBridge.waitListenerBusEmpty(spark.sparkContext)
+      assert(metrics.dropped("knn_cap").value === 54L)
+      assert(metrics.accepted("knn_cap").value === 64L)
+    } finally spark.listenerManager.unregister(listener)
+  }
 }
