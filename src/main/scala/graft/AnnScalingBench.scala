@@ -167,9 +167,21 @@ object AnnScalingBench {
           require(kept > 0 && kept < nVecs, s"semdedup kept $kept of $nVecs")
         }
 
+        def knnGraphRun(): Unit = {
+          // approximate KNN GRAPH: every corpus row is its own query — the
+          // heaviest self-join shape in the family (≈ rows × (planes+1)
+          // probes × avg-bucket candidates); cap + salt bound hot buckets.
+          // planes sized so avg bucket ≈ corpus/2^planes stays ~60 rows.
+          val n = graft.ops.Similarity.knnGraphLsh(corpus, "vec_id",
+            "embedding", k = K, planes = 12, bucketCap = 2048, salt = 4)
+            .count()
+          require(n > 0, s"knn_graph rows: $n")
+        }
+
         val io = new IoListener
         spark.sparkContext.addSparkListener(io)
         // build stages run (warm + timed) before their probe stages read
+        val optIn = Set("semdedup", "knn_graph")
         val stages = Seq(
           "bruteforce" -> (() => bfRun()),
           "ivf_build" -> (() => ivfBuildRun()),
@@ -177,11 +189,12 @@ object AnnScalingBench {
           "pq_encode" -> (() => pqEncodeRun()),
           "pq_adc" -> (() => pqAdcRun()),
           "pq_rerank" -> (() => pqRerankRun()),
-          "semdedup" -> (() => semDedupRun()))
+          "semdedup" -> (() => semDedupRun()),
+          "knn_graph" -> (() => knnGraphRun()))
           .filter { case (name, _) =>
-            // semdedup is opt-in: the historical 6-stage full run (the
-            // published ANN table) stays reproducible as-is
-            if (stageSet.isEmpty) name != "semdedup" else stageSet(name) }
+            // semdedup/knn_graph are opt-in: the historical 6-stage full
+            // run (the published ANN table) stays reproducible as-is
+            if (stageSet.isEmpty) !optIn(name) else stageSet(name) }
         require(stages.nonEmpty, s"no stage matches $stageSet")
         // a probe-only subset would silently time probes against whatever
         // STALE artifact a previous run left in the persistent workDir —

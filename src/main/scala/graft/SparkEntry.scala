@@ -587,6 +587,28 @@ object SparkEntry {
       graft.ops.TextAnalysis.bpePairCounts(t(s, d, "documents"), "text",
         k = 40, minCount = 2)),
 
+    // DSIR importance weights (Xie et al. 2023): per-doc hashed-bigram
+    // log importance vs the doc_id%7 target sample, exact long micro-unit
+    // sums. The oracle recomputes bucket counts/totals/smoothing and the
+    // per-doc sums from the dumped (doc_id, bucket, cnt) primitive; only
+    // the dictionary's quantized ln imports (joined ON (bucket, c_tgt,
+    // c_raw), so every count is cross-checked).
+    "q_dsir_weights" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.ops.Dsir.importanceWeights(docs, "doc_id", "text",
+        docs.where(col("doc_id") % 7 === 0), "text", n = 2, bucketBits = 12)
+    }),
+
+    // DSIR top-k selection: the resampling step's deterministic top-k
+    // variant — rank by (weight_micro desc, doc_id), keep 50
+    "q_dsir_select" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.ops.Dsir.selectTopK(
+        graft.ops.Dsir.importanceWeights(docs, "doc_id", "text",
+          docs.where(col("doc_id") % 7 === 0), "text",
+          n = 2, bucketBits = 12), k = 50)
+    }),
+
     // Token-BUDGET mixture quota (2000 tokens per language, sampleRank
     // order): the oracle replays the NAIVE full-group prefix-sum window
     // definition, independently proving the engine's skew-safe bucketed
@@ -1317,6 +1339,22 @@ object SparkEntry {
         |SELECT lhs, rhs, CAST(COUNT(*) AS BIGINT) AS pair_count
         |FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 2
         |ORDER BY pair_count DESC, lhs, rhs LIMIT 40""".stripMargin,
+
+    // DSIR: bucket counts, totals, add-one smoothing structure, and the
+    // per-doc exact micro-unit sums all recomputed in SQL from the dumped
+    // (doc_id, bucket, cnt) primitive; the dict join ON (bucket, c_tgt,
+    // c_raw) cross-checks every count while importing only the quantized
+    // ln (the _input_bm25 idf convention).
+    "q_dsir_weights" -> SparkEntry.dsirWeightsSql,
+
+    "q_dsir_select" ->
+      s"""WITH w AS (${SparkEntry.dsirWeightsSql}),
+        |r AS (SELECT doc_id, n_ngrams, weight_micro,
+        |        CAST(ROW_NUMBER() OVER (ORDER BY weight_micro DESC, doc_id)
+        |          AS INT) AS rank
+        |      FROM w)
+        |SELECT doc_id, n_ngrams, weight_micro, rank
+        |FROM r WHERE rank <= 50""".stripMargin,
 
     "q_mixture_sample" ->
       """SELECT doc_id, lang FROM documents
@@ -2271,4 +2309,30 @@ object SparkEntry {
       |      FROM s)
       |SELECT query_id, id, CAST(ROUND(cos, 6) AS DOUBLE) AS cosine, rank
       |FROM r WHERE rank <= 5""".stripMargin
+
+  /** DSIR weight replay, shared by q_dsir_weights (verbatim) and
+    * q_dsir_select (wrapped with the top-k rank). Bucket counts, totals,
+    * and per-doc sums recomputed from the _input_dsir primitive; the
+    * count-cross-checking dict join imports only the quantized ln.
+    */
+  private val dsirWeightsSql: String =
+    """WITH d AS (SELECT doc_id, bucket, CAST(cnt AS BIGINT) AS cnt
+      |           FROM read_parquet('__OUT__/_input_dsir/*.parquet')),
+      |tgt AS (SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS c_tgt FROM d
+      |        WHERE doc_id % 7 = 0 GROUP BY 1),
+      |raw AS (SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS c_raw FROM d
+      |        GROUP BY 1),
+      |lr AS (SELECT r.bucket, i.logratio_micro
+      |       FROM raw r LEFT JOIN tgt t USING (bucket)
+      |       JOIN read_parquet('__OUT__/_input_dsir_dict/*.parquet') i
+      |         ON i.bucket = r.bucket AND i.c_tgt = COALESCE(t.c_tgt, 0)
+      |        AND i.c_raw = r.c_raw),
+      |sums AS (SELECT d.doc_id, CAST(SUM(d.cnt) AS BIGINT) AS n_ngrams,
+      |           CAST(SUM(d.cnt * lr.logratio_micro) AS BIGINT)
+      |             AS weight_micro
+      |         FROM d JOIN lr USING (bucket) GROUP BY 1)
+      |SELECT doc.doc_id,
+      |  CAST(COALESCE(s.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+      |  CAST(COALESCE(s.weight_micro, 0) AS BIGINT) AS weight_micro
+      |FROM documents doc LEFT JOIN sums s USING (doc_id)""".stripMargin
 }

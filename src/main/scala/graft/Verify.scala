@@ -77,6 +77,23 @@ object Verify {
     // tokenization/tf/saturation/sums/top-k replay relationally.
     graft.ops.Bm25.idfTableWords(docs, "doc_id", "text")
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_input_bm25")
+    // DSIR primitives (q_dsir_weights/q_dsir_select): the per-doc hashed
+    // bigram-bucket counts (xxhash64 — the hash primitive) and the
+    // quantized log-ratio dictionary. The dict rides its exact counts so
+    // the oracle joins ON (bucket, c_tgt, c_raw) — the counts are
+    // RECOMPUTED in SQL from the doc-bucket rows and cross-checked by the
+    // join; only the ln import is trusted (the Bm25 idf convention).
+    locally {
+      val dsirDocs = graft.ops.Dsir.docBucketRows(docs, "doc_id", "text",
+        n = 2, bucketBits = 12)
+      dsirDocs.coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/_input_dsir")
+      graft.ops.Dsir.weightsWithDict(docs, "doc_id", "text",
+          docs.where(col("doc_id") % 7 === 0), "text",
+          n = 2, bucketBits = 12)._2
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/_input_dsir_dict")
+    }
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     // cell16/probes: the IVF coarse-assignment PRIMITIVES for q_ann_recall
     // (same nCells=16, kmeansIters=0, seed defaults as the query) — the
