@@ -2314,6 +2314,12 @@ object SparkEntry {
     * q_dsir_select (wrapped with the top-k rank). Bucket counts, totals,
     * and per-doc sums recomputed from the _input_dsir primitive; the
     * count-cross-checking dict join imports only the quantized ln.
+    * The dict lookup is a LEFT join with a 2^62 poison sentinel: a raw
+    * bucket MISSING from the dumped dictionary (a coverage regression —
+    * e.g. logRatioDict losing its full_outer) would make the engine drop
+    * that bucket's contributions while an inner-join oracle silently
+    * dropped the same rows; the sentinel forces the oracle's sums wildly
+    * off instead, so the row goes red.
     */
   private val dsirWeightsSql: String =
     """WITH d AS (SELECT doc_id, bucket, CAST(cnt AS BIGINT) AS cnt
@@ -2322,9 +2328,11 @@ object SparkEntry {
       |        WHERE doc_id % 7 = 0 GROUP BY 1),
       |raw AS (SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS c_raw FROM d
       |        GROUP BY 1),
-      |lr AS (SELECT r.bucket, i.logratio_micro
+      |lr AS (SELECT r.bucket,
+      |         COALESCE(i.logratio_micro, 4611686018427387904)
+      |           AS logratio_micro
       |       FROM raw r LEFT JOIN tgt t USING (bucket)
-      |       JOIN read_parquet('__OUT__/_input_dsir_dict/*.parquet') i
+      |       LEFT JOIN read_parquet('__OUT__/_input_dsir_dict/*.parquet') i
       |         ON i.bucket = r.bucket AND i.c_tgt = COALESCE(t.c_tgt, 0)
       |        AND i.c_raw = r.c_raw),
       |sums AS (SELECT d.doc_id, CAST(SUM(d.cnt) AS BIGINT) AS n_ngrams,

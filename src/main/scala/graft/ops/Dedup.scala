@@ -162,21 +162,31 @@ object Dedup {
       .withColumn("band_hash", col("band.band_hash"))
       .drop("band")
 
-  /** Hot-bucket guard: cap rows per (band_idx, band_hash) in deterministic
-    * id order, optionally reporting rows/dropped through an observe tag.
+  /** Hot-bucket guard, generalized over the bucket key: cap rows per key
+    * group in deterministic id order, optionally reporting rows/dropped
+    * through an observe tag. ONE definition of the drop-accounting
+    * contract (rows = pre-cap total, dropped = overflow) shared by the
+    * minhash band join and [[Similarity.knnGraphLsh]] — ObsMetrics
+    * harvesting and the spec suites depend on it not drifting.
     * The window shuffles on the same key as the downstream join, so the
     * join reuses its partitioning instead of adding an exchange.
     */
-  private def capBuckets(banded: DataFrame, idCol: String, bucketCap: Int,
-                         obsTag: Option[String]): DataFrame = {
+  private[ops] def capBucketsBy(df: DataFrame, keyCols: Seq[String],
+                                idCol: String, bucketCap: Int,
+                                obsTag: Option[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ranked = banded.withColumn("_bn", row_number().over(
-      Window.partitionBy(col("band_idx"), col("band_hash")).orderBy(col(idCol))))
+    val ranked = df.withColumn("_bn", row_number().over(
+      Window.partitionBy(keyCols.map(col): _*).orderBy(col(idCol))))
     val tagged = obsTag.map(t => ranked.observe(t,
       count(lit(1)).as("rows"),
       count_if(col("_bn") > bucketCap).as("dropped"))).getOrElse(ranked)
     tagged.where(col("_bn") <= bucketCap).drop("_bn")
   }
+
+  private def capBuckets(banded: DataFrame, idCol: String, bucketCap: Int,
+                         obsTag: Option[String]): DataFrame =
+    capBucketsBy(banded, Seq("band_idx", "band_hash"), idCol, bucketCap,
+      obsTag)
 
   /** Candidates from a precomputed/persisted `(id, sig)` frame — at real
     * scale the signature frame is a durable index table reused across

@@ -210,31 +210,22 @@ object Similarity {
                   k: Int = 10, planes: Int = 6, seed: Long = 7L,
                   multiprobe: Boolean = true, bucketCap: Int = 2048,
                   salt: Int = 8, obsTag: Option[String] = None): DataFrame = {
+    checkPlanes(planes)
     require(bucketCap >= 1, s"bucketCap must be >= 1: $bucketCap")
     require(salt >= 1, s"salt must be >= 1: $salt")
-    import org.apache.spark.sql.expressions.Window
     // buckets + norms computed ONCE for both sides of the self-join
     val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
         norm(col(vecCol)).as("_nv"),
         hyperplaneBucket(col(vecCol), planes, seed).as("bucket"))
       .localCheckpoint(true)
-    val ranked = base.withColumn("_bn", row_number().over(
-      Window.partitionBy(col("bucket")).orderBy(col("id"))))
-    val tagged = obsTag.map(t => ranked.observe(t,
-      count(lit(1)).as("rows"),
-      count_if(col("_bn") > bucketCap).as("dropped"))).getOrElse(ranked)
-    val idx = tagged.where(col("_bn") <= bucketCap).drop("_bn")
+    val idx = Dedup.capBucketsBy(base, Seq("bucket"), "id", bucketCap, obsTag)
       .withColumn("_salt", explode(sequence(lit(0), lit(salt - 1))))
     val qb = base.select(col("id").as("query_id"), col("v").as("qv"),
       col("_nv").as("_nq"), col("bucket").as("qbucket"))
     val probes =
       (if (!multiprobe) qb.withColumn("bucket", col("qbucket"))
        else qb.withColumn("bucket",
-         explode(array_union(
-           array(col("qbucket")),
-           transform(sequence(lit(0), lit(planes - 1)),
-             p => col("qbucket").bitwiseXOR(
-               call_function("shiftleft", lit(1L), p.cast("int"))))))))
+         explode(probeBuckets(col("qbucket"), planes))))
         .withColumn("_salt",
           pmod(xxhash64(col("query_id"), lit(seed)), lit(salt.toLong))
             .cast("int"))
@@ -245,6 +236,26 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Multiprobe expansion — the query's own bucket plus every
+    * 1-bit-flipped bucket. ONE definition shared by [[lshTopK]] and
+    * [[knnGraphLsh]]: both paths' SQL oracles hardcode the matching XOR
+    * list, so the expansion must never diverge between them.
+    */
+  private def probeBuckets(qbucket: Column, planes: Int): Column =
+    array_union(
+      array(qbucket),
+      transform(sequence(lit(0), lit(planes - 1)),
+        p => qbucket.bitwiseXOR(
+          call_function("shiftleft", lit(1L), p.cast("int")))))
+
+  /** planes = 0 would put every row in bucket 0 (the O(n²) self-join the
+    * cap/salt machinery exists to prevent) and make the multiprobe
+    * sequence emit a garbage shiftleft(1, -1) probe — fail fast instead.
+    */
+  private def checkPlanes(planes: Int): Unit =
+    require(planes >= 1 && planes <= 62,
+      s"planes must be in [1, 62]: $planes")
+
   /** LSH-bucketed ANN top-k: score only candidates sharing the query's
     * bucket (multiprobe: also buckets at Hamming distance 1).
     */
@@ -252,6 +263,7 @@ object Similarity {
               queries: DataFrame, qIdCol: String, qVecCol: String,
               k: Int = 10, planes: Int = 8, seed: Long = 7L,
               multiprobe: Boolean = true): DataFrame = {
+    checkPlanes(planes)
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
         norm(col(vecCol)).as("_nv"))
       .withColumn("bucket", hyperplaneBucket(col("v"), planes, seed))
@@ -260,11 +272,7 @@ object Similarity {
       .withColumn("qbucket", hyperplaneBucket(col("qv"), planes, seed))
     val probes =
       if (!multiprobe) qb.withColumn("bucket", col("qbucket"))
-      else qb.withColumn("bucket",
-        explode(array_union(
-          array(col("qbucket")),
-          transform(sequence(lit(0), lit(planes - 1)),
-            p => col("qbucket").bitwiseXOR(call_function("shiftleft", lit(1L), p.cast("int")))))))
+      else qb.withColumn("bucket", explode(probeBuckets(col("qbucket"), planes)))
     val scored = c.join(broadcast(probes), "bucket")
       .where(col("id") =!= col("query_id"))
       .withColumn("cosine",

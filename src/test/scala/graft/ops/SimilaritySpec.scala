@@ -176,4 +176,15 @@ class SimilaritySpec extends SparkTestBase {
       assert(metrics.accepted("knn_cap").value === 64L)
     } finally spark.listenerManager.unregister(listener)
   }
+
+  test("LSH paths fail fast on non-positive planes (bucket-0 degeneracy)") {
+    val vecs = Seq((1L, Array(1.0f, 0.5f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.knnGraphLsh(vecs, "vec_id", "embedding", planes = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.lshTopK(vecs, "vec_id", "embedding",
+        vecs, "vec_id", "embedding", planes = -1)
+    }
+  }
 }
