@@ -15,7 +15,8 @@ object Bench {
     "q_case_route", "q_agg_countdistinct", "q_decontaminate",
     "q_dup_spans", "q_asof_join", "q_pack_chunks", "q_range_join",
     "q_overlap_join", "q_simhash_sigs", "q_dup_runs", "q_jaccard_neardups",
-    "q_semantic_dedup", "q_bm25_topk", "q_knn_graph_lsh")
+    "q_semantic_dedup", "q_bm25_topk", "q_knn_graph_lsh",
+    "q_paragraph_dedup")
 
   def time[A](f: => A): Double = {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9

@@ -587,6 +587,23 @@ object SparkEntry {
       graft.ops.TextAnalysis.bpePairCounts(t(s, d, "documents"), "text",
         k = 40, minCount = 2)),
 
+    // Paragraph-level exact dedup (the RefinedWeb/CCNet line-dedup pass).
+    // The synthetic docs are flat word streams, so the query first lays
+    // them out as deterministic 3-word paragraphs — which genuinely
+    // collide across docs, so the dedup is real. The oracle rebuilds the
+    // same chunks from the word lists and replays ownership, keep-first,
+    // and ordered reassembly on the paragraph STRINGS (the engine keys on
+    // xxhash64 — a hash collision would go red, not silently pass).
+    "q_paragraph_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val w = split(col("text"), " ")
+      val chunked = docs.select(col("doc_id"),
+        array_join(transform(
+          sequence(lit(0), floor((size(w) + 2) / 3).cast("int") - 1),
+          i => array_join(slice(w, i * 3 + 1, lit(3)), " ")), "\n\n").as("text"))
+      graft.ops.Dedup.paragraphDedup(chunked, "doc_id", "text")
+    }),
+
     // DSIR importance weights (Xie et al. 2023): per-doc hashed-bigram
     // log importance vs the doc_id%7 target sample, exact long micro-unit
     // sums. The oracle recomputes bucket counts/totals/smoothing and the
@@ -1339,6 +1356,32 @@ object SparkEntry {
         |SELECT lhs, rhs, CAST(COUNT(*) AS BIGINT) AS pair_count
         |FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 2
         |ORDER BY pair_count DESC, lhs, rhs LIMIT 40""".stripMargin,
+
+    // Paragraph dedup: chunk construction, ownership (MIN doc per
+    // paragraph), keep-first, and ordered reassembly replayed on the
+    // paragraph strings.
+    "q_paragraph_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |p0 AS (SELECT doc_id, CAST(i AS INT) AS idx,
+        |         trim(array_to_string(
+        |           ws[CAST(i*3+1 AS INT) : CAST(i*3+3 AS INT)], ' ')) AS para
+        |       FROM w, LATERAL (SELECT unnest(range(
+        |         CAST(ceil(len(ws) / 3.0) AS BIGINT))) AS i) s),
+        |p AS (SELECT doc_id, idx, para FROM p0 WHERE para <> ''),
+        |own AS (SELECT para, MIN(doc_id) AS keep_id FROM p GROUP BY 1),
+        |m AS (SELECT p.doc_id, p.idx, p.para, p.doc_id = o.keep_id AS keep
+        |      FROM p JOIN own o USING (para)),
+        |a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras,
+        |        CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_kept,
+        |        COALESCE(string_agg(CASE WHEN keep THEN para END,
+        |          chr(10) || chr(10) ORDER BY idx), '') AS clean_text
+        |      FROM m GROUP BY 1)
+        |SELECT d.doc_id, CAST(COALESCE(a.n_paras, 0) AS BIGINT) AS n_paras,
+        |  CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+        |  COALESCE(a.clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin,
 
     // DSIR: bucket counts, totals, add-one smoothing structure, and the
     // per-doc exact micro-unit sums all recomputed in SQL from the dumped

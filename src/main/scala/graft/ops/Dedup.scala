@@ -47,6 +47,54 @@ object Dedup {
       .select(df.columns.map(col): _*) // using-join reorders; restore input order
   }
 
+  /** PARAGRAPH-level exact dedup (the RefinedWeb / CCNet line-dedup pass —
+    * boilerplate paragraphs repeat across millions of pages while the
+    * documents containing them are unique, so document-level dedup never
+    * sees them): split each document on `sepRegex`, trim, drop empty
+    * segments, and keep each distinct paragraph ONLY in the smallest
+    * doc_id containing it (keep-first, the [[exact]] convention). Returns
+    * every corpus row: (doc_id, n_paras, n_kept, clean_text) with
+    * clean_text = the surviving paragraphs re-joined by `joinSep` in
+    * original document order ("" when everything was dropped).
+    *
+    * Scale shape: paragraphs explode narrowly (doc_id, idx, para); the
+    * winner-per-paragraph frame is a partial-agg'd groupBy on the 8-byte
+    * xxhash64 of the paragraph — map-side combine collapses a boilerplate
+    * paragraph shared by 10^7 docs before the shuffle (never a
+    * row_number-over-content window, same reasoning as [[exactKeep]]).
+    * The ownership join back is keyed on that hash; a mega-hot paragraph
+    * makes a skewed join partition, which AQE's skew-join split handles
+    * (the build side is one row per hash). Reassembly is one per-doc
+    * aggregation: collect kept (idx, para) structs, array_sort (struct
+    * order = idx order), join — bounded by one document's length, never
+    * by key frequency. Matching is on xxhash64 (8-byte keys through the
+    * exchanges); DedupSpec cross-checks against string-keyed replay.
+    */
+  def paragraphDedup(corpus: DataFrame, idCol: String, textCol: String,
+                     sepRegex: String = "\\n{2,}",
+                     joinSep: String = "\n\n"): DataFrame = {
+    val paras = corpus
+      .select(col(idCol).as("doc_id"),
+        posexplode(filter(transform(split(col(textCol), sepRegex),
+          p => trim(p)), p => p =!= "")).as(Seq("idx", "para")))
+      .withColumn("_h", xxhash64(col("para")))
+    val owners = paras.groupBy(col("_h")).agg(min(col("doc_id")).as("_keep_id"))
+    val marked = paras.join(owners, Seq("_h"))
+      .withColumn("_keep", col("doc_id") === col("_keep_id"))
+    val agg = marked.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"),
+        count_if(col("_keep")).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("_keep"),
+            struct(col("idx"), col("para"))))),
+          s => s("para")), joinSep).as("clean_text"))
+    corpus.select(col(idCol).as("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_paras"), lit(0L)).as("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   // ------------------------------------------------------------- shingles
 
   /** Word k-shingles of a text column (lowercased), distinct. Implemented

@@ -108,4 +108,60 @@ class DedupSpec extends SparkTestBase {
     assert(sigs(0L) === sigs(1L))
     assert(sigs(0L) !== sigs(2L))
   }
+
+  test("paragraphDedup: keep-first across docs, original order, empty " +
+    "segments filtered, all-dup and empty docs covered") {
+    val corpus = Seq(
+      (0L, "alpha beta\n\nshared boilerplate\n\ngamma delta"),
+      (1L, "shared boilerplate\n\nunique to one\n\n\n\n  \n\nshared boilerplate"),
+      (2L, "shared boilerplate"), // every paragraph is owned elsewhere
+      (3L, "")                    // no paragraphs at all
+    ).toDF("doc_id", "text")
+    val got = Dedup.paragraphDedup(corpus, "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    // doc 0 owns everything it contains (smallest id)
+    assert(got(0) === ((0L, 3L, 3L,
+      "alpha beta\n\nshared boilerplate\n\ngamma delta")))
+    // doc 1: "shared boilerplate" owned by doc 0 — BOTH its copies drop
+    // (the whitespace-only segment never counts as a paragraph)
+    assert(got(1) === ((1L, 3L, 1L, "unique to one")))
+    assert(got(2) === ((2L, 1L, 0L, "")))
+    assert(got(3) === ((3L, 0L, 0L, "")))
+  }
+
+  test("paragraphDedup ≡ string-keyed driver replay on generated chunks; " +
+    "partitioning-invariant") {
+    // 3-word chunks over the real docs table → genuine cross-doc paragraph
+    // collisions (the q_paragraph_dedup construction)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val chunked = docs.select($"doc_id", $"text").as[(Long, String)]
+      .collect().map { case (id, t) =>
+        (id, t.split(" ").filter(_.nonEmpty).grouped(3)
+          .map(_.mkString(" ")).mkString("\n\n"))
+      }
+    // independent plain-Scala replay keyed on the paragraph STRING
+    val all = chunked.flatMap { case (id, t) =>
+      t.split("\n{2,}").map(_.trim).filter(_.nonEmpty)
+        .zipWithIndex.map { case (p, i) => (id, i, p) }
+    }
+    val owner = all.groupBy(_._3).map { case (p, rs) => p -> rs.map(_._1).min }
+    val expected = chunked.map { case (id, _) =>
+      val mine = all.filter(_._1 == id).sortBy(_._2)
+      val kept = mine.filter(r => owner(r._3) == id)
+      id -> ((id, mine.length.toLong, kept.length.toLong,
+        kept.map(_._3).mkString("\n\n")))
+    }.toMap
+    val input = chunked.toSeq.toDF("doc_id", "text")
+    def run(parts: Int) = Dedup.paragraphDedup(input.repartition(parts),
+        "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect().toSet
+    val got = run(4)
+    assert(got === run(1)) // partitioning invariance
+    got.foreach { case r @ (id, _, _, _) =>
+      assert(r === expected(id), s"doc $id")
+    }
+    // the construction must actually exercise dedup (collisions exist)
+    assert(got.exists { case (_, np, nk, _) => nk < np },
+      "chunk construction produced no cross-doc duplicates")
+  }
 }
