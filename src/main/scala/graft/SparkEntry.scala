@@ -587,6 +587,19 @@ object SparkEntry {
       graft.ops.TextAnalysis.bpePairCounts(t(s, d, "documents"), "text",
         k = 40, minCount = 2)),
 
+    // FUZZY decontamination: corpus docs near-duplicating (shingle
+    // Jaccard ≥ 0.5) any doc_id%7 eval doc. Eval ids offset by 1,000,000
+    // (the op's disjoint-id contract); the oracle replays the banded
+    // candidate join, both caps, side attribution, and the exact-Jaccard
+    // verify from the dumped band hashes.
+    "q_fuzzy_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.ops.Curation.decontaminateFuzzy(docs, "doc_id", "text",
+        docs.where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")),
+        "doc_id", "text", threshold = 0.5)
+    }),
+
     // Paragraph-level exact dedup (the RefinedWeb/CCNet line-dedup pass).
     // The synthetic docs are flat word streams, so the query first lays
     // them out as deterministic 3-word paragraphs — which genuinely
@@ -1356,6 +1369,42 @@ object SparkEntry {
         |SELECT lhs, rhs, CAST(COUNT(*) AS BIGINT) AS pair_count
         |FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 2
         |ORDER BY pair_count DESC, lhs, rhs LIMIT 40""".stripMargin,
+
+    // Fuzzy decontamination: the q_dedup_incremental replay shape with
+    // the union side = corpus ∪ offset eval docs and the batch side =
+    // corpus; side attribution by the id offset, exact-Jaccard verify,
+    // per-doc aggregation.
+    "q_fuzzy_decontaminate" ->
+      """WITH d AS (SELECT doc_id AS id, sh, sig, bands
+        |           FROM read_parquet('__OUT__/_input_docs/*.parquet')),
+        |ev AS (SELECT id + 1000000 AS id, sh, sig, bands FROM d
+        |       WHERE id % 7 = 0),
+        |u AS (SELECT * FROM d UNION ALL SELECT * FROM ev),
+        |b AS (SELECT id, sig, unnest(bands, recursive := true) FROM u),
+        |ca AS (SELECT id, band_idx, band_hash FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY band_idx, band_hash
+        |      ORDER BY id) AS rn FROM b) WHERE rn <= 2048),
+        |cb AS (SELECT id, band_idx, band_hash FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY band_idx, band_hash
+        |      ORDER BY id) AS rn FROM b WHERE id < 1000000)
+        |    WHERE rn <= 2048),
+        |cand AS (SELECT DISTINCT LEAST(a.id, b2.id) AS id_a,
+        |    GREATEST(a.id, b2.id) AS id_b
+        |  FROM ca a JOIN cb b2 USING (band_idx, band_hash)
+        |  WHERE a.id <> b2.id),
+        |j AS (SELECT id_a, id_b,
+        |    CASE WHEN len(list_distinct(ua.sh || ub.sh)) = 0 THEN 1.0
+        |         ELSE CAST(len(list_intersect(ua.sh, ub.sh)) AS DOUBLE)
+        |              / len(list_distinct(ua.sh || ub.sh)) END AS jaccard
+        |  FROM cand JOIN u ua ON cand.id_a = ua.id
+        |            JOIN u ub ON cand.id_b = ub.id),
+        |x AS (SELECT CASE WHEN id_a >= 1000000 THEN id_b ELSE id_a END
+        |        AS doc_id, jaccard
+        |      FROM j WHERE jaccard >= 0.5
+        |        AND ((id_a >= 1000000) <> (id_b >= 1000000)))
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_eval_matches,
+        |       MAX(jaccard) AS max_jaccard
+        |FROM x GROUP BY 1""".stripMargin,
 
     // Paragraph dedup: chunk construction, ownership (MIN doc per
     // paragraph), keep-first, and ordered reassembly replayed on the

@@ -137,6 +137,57 @@ object Curation {
       .agg(count_distinct(col("ng")).as("n_hits"))
   }
 
+  /** FUZZY benchmark decontamination — the near-duplicate complement of
+    * the exact n-gram overlap [[decontaminate]] (the GPT-3/Llama-style
+    * contamination sweep: an eval item lightly paraphrased or truncated
+    * shares few exact 13-grams but is still a shingle-Jaccard near-dup):
+    * flag every corpus document whose shingle set has Jaccard ≥ threshold
+    * against ANY eval-set document. Returns (doc_id, n_eval_matches,
+    * max_jaccard); clean documents are absent ([[decontaminate]]'s
+    * convention).
+    *
+    * Pure composition: the eval set becomes a stored minhash signature
+    * index ([[Dedup.minhashIndex]]) and the corpus streams against it as
+    * an ingest batch ([[Dedup.minhashNearDupsAgainst]] — banded candidate
+    * join, both sides hot-bucket capped, exact shingle-Jaccard verify on
+    * candidates only; the eval index is never self-joined). Pair sides
+    * are then resolved against the (small, broadcast) eval-id set, so
+    * intra-corpus near-dup pairs — which the banded join also surfaces —
+    * are excluded from the contamination report.
+    *
+    * CONTRACT: corpus ids and eval ids must be disjoint (the pair frame
+    * carries ids only; a shared id would make its pairs unattributable).
+    * Callers offset eval ids (the harness query uses +1,000,000).
+    */
+  def decontaminateFuzzy(corpus: DataFrame, idCol: String, textCol: String,
+                         evalSet: DataFrame, evalIdCol: String,
+                         evalTextCol: String, threshold: Double = 0.8,
+                         numHashes: Int = 64, bands: Int = 16,
+                         shingleK: Int = 3,
+                         bucketCap: Int = Dedup.DefaultBucketCap,
+                         obsTag: Option[String] = None): DataFrame = {
+    val evalIds = evalSet
+      .select(col(evalIdCol).cast("long").as("_eid")).distinct()
+    val idx = Dedup.minhashIndex(evalSet, evalIdCol, evalTextCol,
+      numHashes, shingleK)
+    val pairs = Dedup.minhashNearDupsAgainst(idx, corpus, idCol, textCol,
+      threshold, numHashes, bands, shingleK, bucketCap, obsTag)
+    // keep only (corpus, eval) pairs, oriented corpus-first; the banded
+    // join normalizes pair order by id, so the eval side can be either
+    val e1 = pairs
+      .join(broadcast(evalIds.select(col("_eid").as("id_a"))), Seq("id_a"))
+      .select(col("id_b").as("doc_id"), col("jaccard"))
+    val e2 = pairs
+      .join(broadcast(evalIds.select(col("_eid").as("id_b"))), Seq("id_b"))
+      .select(col("id_a").as("doc_id"), col("jaccard"))
+    e1.unionByName(e2)
+      .join(broadcast(evalIds.select(col("_eid").as("doc_id"))),
+        Seq("doc_id"), "left_anti") // drop eval×eval orientations
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_eval_matches"),
+        max(col("jaccard")).as("max_jaccard"))
+  }
+
   /** Probe j's bit index for key `k`: xxhash64(k, j) mod m — deterministic
     * across executors/retries/engines (plain BIGINT arithmetic, so a SQL
     * oracle can replay membership given the dumped hash primitives).

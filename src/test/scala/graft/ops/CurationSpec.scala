@@ -410,4 +410,28 @@ class CurationSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("decontaminateFuzzy: near-dups of eval docs flagged, intra-corpus " +
+    "dups and eval ids excluded, multi-eval matches counted") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (1L, "the quick brown fox jumps over the lazy dog near the river shore"),
+      (2L, "completely different content about spark query engines and shuffles"),
+      (3L, "completely different content about spark query engines and shuffles")
+    ).toDF("doc_id", "text")
+    val evalSet = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (101L, "the quick brown fox jumps over the lazy dog near the river shore")
+    ).toDF("doc_id", "text")
+    val got = Curation.decontaminateFuzzy(corpus, "doc_id", "text",
+        evalSet, "doc_id", "text", threshold = 0.5)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    // docs 0 and 1 each match BOTH eval docs (exact vs one, near-dup vs
+    // the other); docs 2/3 near-dup each other but no eval doc, so the
+    // intra-corpus pair the banded join also finds must NOT surface
+    assert(got.map(_._1).toSeq === Seq(0L, 1L))
+    got.foreach { case (_, n, j) => assert(n === 2L); assert(j === 1.0) }
+    // and eval ids themselves never appear as contaminated docs
+    assert(!got.exists(_._1 >= 100L))
+  }
 }
