@@ -112,6 +112,22 @@ object CurationScalingBench {
           forceAll(curated)
           require(report.head._2 == nDocs, s"attrition input != corpus: $report")
         }
+        def paragraphRun(): Unit = {
+          // paragraph-level dedup over a 3-word chunk layout (the flat
+          // word-stream corpus has no newlines — the q_paragraph_dedup
+          // construction). Template-derived docs share chunks massively,
+          // so the winner aggregation + ownership join see genuinely hot
+          // paragraph keys — the skew shape the op is designed for.
+          // forceAll: clean_text reassembly must materialize, not just
+          // the counts.
+          val w = split(col("text"), " ")
+          val chunked = docs.select(col("doc_id"),
+            array_join(transform(
+              sequence(lit(0), floor((size(w) + 2) / 3).cast("int") - 1),
+              i => array_join(slice(w, i * 3 + 1, lit(3)), " ")), "\n\n")
+              .as("text"))
+          forceAll(graft.ops.Dedup.paragraphDedup(chunked, "doc_id", "text"))
+        }
 
         val io = new IoListener
         spark.sparkContext.addSparkListener(io)
@@ -124,7 +140,8 @@ object CurationScalingBench {
         val stages = Seq("minhash" -> (() => minhashRun()),
           "jaccard" -> (() => jaccardRun()),
           "bm25" -> (() => bm25Run()),
-          "curation" -> (() => curationRun()))
+          "curation" -> (() => curationRun()),
+          "paragraph" -> (() => paragraphRun()))
           .filter { case (name, _) =>
             if (stageSet.isEmpty) default(name) else stageSet(name) }
         require(stages.nonEmpty, s"no stage matches $stageSet")
