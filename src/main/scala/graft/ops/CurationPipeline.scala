@@ -29,6 +29,13 @@ object CurationPipeline {
       shingleK: Int = 3,
       nearDupThreshold: Double = 0.8,
       decontaminateN: Int = 13,
+      // fuzzy (near-duplicate) decontamination: a paraphrased/truncated
+      // eval item shares few exact decontaminateN-grams but is still a
+      // shingle-Jaccard near-dup. Off by default (the exact pass is the
+      // published baseline); requires corpus ids ≥ 0 (eval docs get
+      // synthetic negative ids for side attribution).
+      fuzzyDecontaminate: Boolean = false,
+      fuzzyThreshold: Double = 0.8,
       maxDupWordRatio: Double = 0.5,
       maxDupNgramRatio: Double = 0.5,
       minTokens: Int = 5,
@@ -40,9 +47,13 @@ object CurationPipeline {
       splits: Seq[(String, Double)] =
         Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01))
 
-  /** Stage names in pipeline order (report rows appear in this order). */
+  /** Stage names in pipeline order (report rows appear in this order).
+    * `fuzzy` reports pass-through counts unless
+    * [[CurationConfig.fuzzyDecontaminate]] is on.
+    */
   val Stages: Seq[String] =
-    Seq("input", "exact", "neardup", "decontaminated", "quality", "mixture")
+    Seq("input", "exact", "neardup", "decontaminated", "fuzzy",
+      "quality", "mixture")
 
   /** Curate `docs`. Returns (curated frame, per-stage survivor counts).
     *
@@ -111,6 +122,27 @@ object CurationPipeline {
       case None => flagged1.withColumn("_k_decontaminated", lit(true))
     }
 
+    // stage 3b — FUZZY decontamination (opt-in): near-dup sweep against
+    // the eval set via the stored-minhash-index machinery. Eval docs get
+    // deterministic NEGATIVE synthetic ids (xxhash64 of their text), so
+    // side attribution never collides with the (non-negative) corpus ids.
+    val flagged2b = (evalSet, cfg.fuzzyDecontaminate) match {
+      case (Some(ev), true) =>
+        val evIds = ev.select(
+          (lit(-1L) - pmod(xxhash64(col(evalTextCol)), lit(Long.MaxValue)))
+            .as("_fid"),
+          col(evalTextCol).as("_ftext"))
+        val fhits = Curation.decontaminateFuzzy(docs, idCol, textCol,
+            evIds, "_fid", "_ftext", cfg.fuzzyThreshold,
+            shingleK = cfg.shingleK)
+          .select(col("doc_id").as("_fz_id"))
+        flagged2.join(broadcast(fhits),
+            id.cast("long") === col("_fz_id"), "left")
+          .withColumn("_k_fuzzy", col("_fz_id").isNull)
+          .drop("_fz_id")
+      case _ => flagged2.withColumn("_k_fuzzy", lit(true))
+    }
+
     // stage 4 — quality gates: pure per-row column math. The word array is
     // MATERIALIZED as a projected column first — dupNgramRatioFromWords'
     // transform lambda must capture an attribute reference, never the
@@ -132,7 +164,7 @@ object CurationPipeline {
       else Curation.mixtureKeep(col(langCol), id, cfg.mixture,
         cfg.defaultFraction)
 
-    val flagged = flagged2
+    val flagged = flagged2b
       .withColumn("_words", Curation.normWords(text))
       .withColumn("_ng2", Curation.ngramsFromWords(col("_words"), 2))
       .withColumn("_k_quality", qualityFlag)

@@ -25,11 +25,40 @@ class CurationPipelineSpec extends SparkTestBase {
   private val cfg = CurationPipeline.CurationConfig(
     mixture = Seq("en" -> 1.0), defaultFraction = 0.0, nShards = 4)
 
+  test("fuzzy stage drops a near-dup of an eval doc that shares NO exact " +
+    "13-gram; pass-through when disabled") {
+    // 27 e-words with substitutions at positions 8 and 20: every 13-word
+    // window touches a substitution (exact decontamination blind), but
+    // shingle Jaccard stays ~0.61 (fuzzy near-dup at threshold 0.55)
+    val evLong = (0 until 27).map(i => s"e$i").mkString(" ")
+    val paraphrased = (0 until 27).map {
+      case 7 => "zz"; case 19 => "yy"; case i => s"e$i"
+    }.mkString(" ")
+    val c = Seq(
+      (0L, "en", base50),
+      (1L, "en", paraphrased),
+      (2L, "en", (200 until 250).map(i => s"r$i").mkString(" "))
+    ).toDF("doc_id", "lang", "text")
+    val ev = Some(Seq(evLong).toDF("text"))
+    val off = CurationPipeline.curate(c, "doc_id", "text", "lang",
+      ev, "text", cfg)._2.toMap
+    assert(off("fuzzy") === off("decontaminated")) // disabled → pass-through
+    val fcfg = cfg.copy(fuzzyDecontaminate = true, fuzzyThreshold = 0.55)
+    val (curated, report) = CurationPipeline.curate(c, "doc_id", "text",
+      "lang", ev, "text", fcfg)
+    val rep = report.toMap
+    assert(rep("decontaminated") === 3L,
+      s"exact pass must not see a shared 13-gram: $report")
+    assert(rep("fuzzy") === 2L, s"paraphrase must fall at fuzzy: $report")
+    assert(!curated.select("doc_id").as[Long].collect().contains(1L))
+  }
+
   test("curate: per-stage attrition report and survivor set") {
     val (curated, report) = CurationPipeline.curate(corpus, "doc_id",
       "text", "lang", Some(Seq(evalText).toDF("text")), "text", cfg)
     assert(report === Seq("input" -> 9L, "exact" -> 8L, "neardup" -> 7L,
-      "decontaminated" -> 6L, "quality" -> 4L, "mixture" -> 3L))
+      "decontaminated" -> 6L, "fuzzy" -> 6L, "quality" -> 4L,
+      "mixture" -> 3L))
     val rows = curated.orderBy("doc_id")
       .select("doc_id", "text", "shard", "split")
       .as[(Long, String, Long, String)].collect()
