@@ -587,6 +587,18 @@ object SparkEntry {
       graft.ops.TextAnalysis.bpePairCounts(t(s, d, "documents"), "text",
         k = 40, minCount = 2)),
 
+    // BPE tokenizer: 8 merge rules learned on the corpus (iterative
+    // most-frequent-pair fusion over the collapsed vocabulary), then
+    // per-doc token counts under them. Training is deterministic (total-
+    // order tie-break), so the query's rules equal the dumped
+    // _input_bpe_merges primitive; the oracle replays the whole ENCODE
+    // per distinct word as a recursive CTE over that list.
+    "q_bpe_encode" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.ops.Bpe.tokenCounts(docs, "doc_id", "text",
+        graft.ops.Bpe.train(docs, "text", nMerges = 8))
+    }),
+
     // FUZZY decontamination: corpus docs near-duplicating (shingle
     // Jaccard ≥ 0.5) any doc_id%7 eval doc. Eval ids offset by 1,000,000
     // (the op's disjoint-id contract); the oracle replays the banded
@@ -1369,6 +1381,65 @@ object SparkEntry {
         |SELECT lhs, rhs, CAST(COUNT(*) AS BIGINT) AS pair_count
         |FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 2
         |ORDER BY pair_count DESC, lhs, rhs LIMIT 40""".stripMargin,
+
+    // BPE encode: full recursive-CTE replay — every distinct word starts
+    // as its character list and repeatedly merges the LEFTMOST occurrence
+    // of the lowest-rank applicable rule (provably ≡ the engine's one
+    // in-order pass per rule: new pairs always involve a newly fused
+    // token, which only higher-rank rules can reference). Pair matching
+    // is string-encoded with a chr(1) separator (tokens are [a-z0-9]+,
+    // so the separator cannot collide). The merge list imports from
+    // _input_bpe_merges; its rank-1 row is additionally FORCED to equal
+    // the argmax of the initial pair table (a training cross-check — a
+    // wrong first merge would null the whole encode and go red).
+    "q_bpe_encode" ->
+      """WITH RECURSIVE
+        |m0 AS (SELECT rank, lhs, rhs
+        |       FROM read_parquet('__OUT__/_input_bpe_merges/*.parquet')),
+        |w0 AS (SELECT list_filter(string_split(
+        |         regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '),
+        |         x -> x <> '') AS words FROM documents),
+        |words AS (SELECT unnest(words) AS w FROM w0),
+        |top1 AS (SELECT lhs, rhs FROM (
+        |    SELECT substr(w, i, 1) AS lhs, substr(w, i + 1, 1) AS rhs,
+        |           COUNT(*) AS c
+        |    FROM words, LATERAL (SELECT unnest(range(1, len(w))) AS i) s
+        |    GROUP BY 1, 2)
+        |  ORDER BY c DESC, lhs, rhs LIMIT 1),
+        |m AS (SELECT m0.rank,
+        |        CASE WHEN m0.rank = 1 AND NOT EXISTS (SELECT 1 FROM top1
+        |          WHERE top1.lhs = m0.lhs AND top1.rhs = m0.rhs)
+        |          THEN NULL ELSE m0.lhs END AS lhs,
+        |        m0.rhs FROM m0),
+        |init AS (SELECT DISTINCT w FROM words),
+        |rec AS (
+        |  SELECT w, list_transform(range(1, len(w) + 1),
+        |           i -> w[i]) AS syms, 1 AS r
+        |  FROM init
+        |  UNION ALL
+        |  SELECT w,
+        |    CASE WHEN pos > 0 THEN
+        |      syms[1:pos-1] || [syms[pos] || syms[pos+1]]
+        |        || syms[pos+2:len(syms)]
+        |    ELSE syms END,
+        |    CASE WHEN pos > 0 THEN r ELSE r + 1 END
+        |  FROM (SELECT rec.w, rec.syms, rec.r,
+        |          COALESCE(list_position(
+        |            list_transform(range(1, len(rec.syms)),
+        |              i -> rec.syms[i] || chr(1) || rec.syms[i + 1]),
+        |            m.lhs || chr(1) || m.rhs), 0) AS pos
+        |        FROM rec JOIN m ON m.rank = rec.r) s),
+        |done AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_tok FROM rec
+        |         WHERE r = (SELECT MAX(rank) + 1 FROM m0)),
+        |d AS (SELECT doc_id, list_filter(string_split(
+        |        regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '),
+        |        x -> x <> '') AS ws FROM documents),
+        |per AS (SELECT doc_id, unnest(ws) AS w FROM d),
+        |agg AS (SELECT per.doc_id, CAST(SUM(done.n_tok) AS BIGINT) AS bpe_tokens
+        |        FROM per JOIN done ON done.w = per.w GROUP BY 1)
+        |SELECT doc.doc_id, CAST(COALESCE(agg.bpe_tokens, 0) AS BIGINT)
+        |  AS bpe_tokens
+        |FROM documents doc LEFT JOIN agg USING (doc_id)""".stripMargin,
 
     // Fuzzy decontamination: the q_dedup_incremental replay shape with
     // the union side = corpus ∪ offset eval docs and the batch side =

@@ -77,6 +77,15 @@ object Verify {
     // tokenization/tf/saturation/sums/top-k replay relationally.
     graft.ops.Bm25.idfTableWords(docs, "doc_id", "text")
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_input_bm25")
+    // BPE merge list (q_bpe_encode): the trainer's iterative argmax loop
+    // cannot replay in one SQL query (per-iteration global aggregation
+    // inside a recursion), so the learned (rank, lhs, rhs) list is the
+    // dumped primitive — but rank 1 IS independently checkable (argmax of
+    // the initial pair table, which q_bpe_pairs already replays) and the
+    // ENCODE under the list replays fully (recursive CTE).
+    graft.ops.Bpe.mergesFrame(docs,
+        graft.ops.Bpe.train(docs, "text", nMerges = 8))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_input_bpe_merges")
     // DSIR primitives (q_dsir_weights/q_dsir_select): the per-doc hashed
     // bigram-bucket counts (xxhash64 — the hash primitive) and the
     // quantized log-ratio dictionary. The dict rides its exact counts so
