@@ -587,6 +587,14 @@ object SparkEntry {
       graft.ops.TextAnalysis.bpePairCounts(t(s, d, "documents"), "text",
         k = 40, minCount = 2)),
 
+    // Perplexity-style LM quality scoring (CCNet-shaped): per-doc total
+    // and mean token NLL in integer micro-nats under the corpus unigram
+    // distribution — exact long sums + exact integer division, so the
+    // score is partitioning-invariant and fully SQL-replayable (the
+    // quantized ln imports from _input_lm joined ON (w, cnt)).
+    "q_lm_score" -> ((s, d) =>
+      graft.ops.TextAnalysis.lmScore(t(s, d, "documents"), "doc_id", "text")),
+
     // BPE tokenizer: 8 merge rules learned on the corpus (iterative
     // most-frequent-pair fusion over the collapsed vocabulary), then
     // per-doc token counts under them. Training is deterministic (total-
@@ -1381,6 +1389,28 @@ object SparkEntry {
         |SELECT lhs, rhs, CAST(COUNT(*) AS BIGINT) AS pair_count
         |FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 2
         |ORDER BY pair_count DESC, lhs, rhs LIMIT 40""".stripMargin,
+
+    // LM scoring: token counts, per-doc exact micro-nat sums, and the
+    // integer-division mean replayed; dict join ON (w, cnt) cross-checks
+    // the counting while importing only the quantized ln.
+    "q_lm_score" ->
+      """WITH w AS (SELECT doc_id, unnest(list_filter(string_split(
+        |         regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '),
+        |         x -> x <> '')) AS w FROM documents),
+        |cnts AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM w
+        |         GROUP BY 1),
+        |dict AS (SELECT c.w, i.nll_micro FROM cnts c
+        |         JOIN read_parquet('__OUT__/_input_lm/*.parquet') i
+        |           ON i.w = c.w AND i.cnt = c.cnt),
+        |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |          CAST(SUM(d.nll_micro) AS BIGINT) AS nll_micro
+        |        FROM w JOIN dict d USING (w) GROUP BY 1)
+        |SELECT doc.doc_id,
+        |  CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(a.nll_micro, 0) AS BIGINT) AS nll_micro,
+        |  CAST(COALESCE(a.nll_micro // a.n_tokens, 0) AS BIGINT)
+        |    AS mean_nll_micro
+        |FROM documents doc LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     // BPE encode: full recursive-CTE replay — every distinct word starts
     // as its character list and repeatedly merges the LEFTMOST occurrence

@@ -77,6 +77,11 @@ object Verify {
     // tokenization/tf/saturation/sums/top-k replay relationally.
     graft.ops.Bm25.idfTableWords(docs, "doc_id", "text")
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_input_bm25")
+    // Unigram-LM NLL dictionary (q_lm_score): counts recomputed and
+    // cross-checked by the oracle's join ON (w, cnt); only the quantized
+    // ln imports (the Bm25/DSIR convention).
+    graft.ops.TextAnalysis.unigramNllDict(docs, "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_input_lm")
     // BPE merge list (q_bpe_encode): the trainer's iterative argmax loop
     // cannot replay in one SQL query (per-iteration global aggregation
     // inside a recursion), so the learned (rank, lhs, rhs) list is the

@@ -119,6 +119,50 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Unigram LM negative-log-likelihood dictionary over a reference
+    * corpus: (w, cnt, nll_micro) with nll = −ln(cnt / T), quantized ONCE
+    * per dictionary row (the [[Bm25]] idf_micro convention — `ln` runs
+    * per distinct word, never per token; exact counts ride along so an
+    * oracle's join ON (w, cnt) cross-checks the counting while importing
+    * only the quantized transcendental).
+    */
+  def unigramNllDict(ref: DataFrame, textCol: String): DataFrame = {
+    val counts = ref
+      .select(explode(Curation.normWords(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum(col("cnt")).as("_t"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("w"), col("cnt"),
+        floor(-log(col("cnt").cast("double") / col("_t")) * 1e6 + 0.5d)
+          .cast("long").as("nll_micro"))
+  }
+
+  /** Perplexity-style quality scoring (the CCNet / Wenzek et al. LM
+    * filter, scale-shaped: CCNet scores with a KenLM 5-gram — the Spark
+    * side is IDENTICAL for any order (broadcast token→score dictionary,
+    * exact integer sums per document); the n-gram table itself is a
+    * documented model seam, like the Multimodal codec). Scores every
+    * document by total and mean token NLL in integer micro-nats:
+    * (doc_id, n_tokens, nll_micro, mean_nll_micro) — exact long sums and
+    * an exact integer division, so ranking/thresholding on the score is
+    * partitioning-invariant and bit-replayable in SQL. Documents with no
+    * tokens score (0, 0, 0). Scoring corpus = dictionary corpus (the
+    * self-scoring setup), so every token is in the dictionary.
+    */
+  def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val dict = unigramNllDict(df, textCol)
+    df.select(col(idCol).as("doc_id"),
+        explode_outer(Curation.normWords(col(textCol))).as("w"))
+      .join(broadcast(dict.select(col("w"), col("nll_micro"))), Seq("w"),
+        "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("w")).as("n_tokens"),
+        coalesce(sum(col("nll_micro")), lit(0L)).as("nll_micro"))
+      .withColumn("mean_nll_micro",
+        when(col("n_tokens") === 0, lit(0L))
+          .otherwise(expr("nll_micro div n_tokens"))) // exact integer div
+  }
+
   /** One-stop profile frame used by tests and SparkEntry queries. */
   def profile(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("lang_id", langId(col(textCol)))

@@ -94,4 +94,40 @@ class TextAnalysisSpec extends SparkTestBase {
       .split("== Initial Plan ==").head
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("lmScore ≡ driver replay (exact micro-nat sums + integer-div " +
+    "mean); rare words score above common; empty doc zeros; " +
+    "partitioning-invariant") {
+    val c = Seq(
+      (0L, "common common common common rare"),
+      (1L, "common common common common common"),
+      (2L, ""),
+      (3L, "rare unique common")
+    ).toDF("doc_id", "text")
+    // independent replay: counts + Math.log quantization + exact sums
+    val words = c.select($"text").as[String].collect().flatMap(
+      _.toLowerCase.replaceAll("[^a-z0-9 ]", " ").split(" ")
+        .filter(_.nonEmpty))
+    val cnt = words.groupBy(identity).map { case (w, ws) => w -> ws.size }
+    val t = words.length.toDouble
+    def nll(w: String): Long =
+      math.floor(-math.log(cnt(w) / t) * 1e6 + 0.5).toLong
+    val expected = c.select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, txt) =>
+        val ws = txt.toLowerCase.replaceAll("[^a-z0-9 ]", " ").split(" ")
+          .filter(_.nonEmpty)
+        val s = ws.map(nll).sum
+        id -> ((id, ws.length.toLong, s, if (ws.isEmpty) 0L else s / ws.length))
+      }.toMap
+    def run(parts: Int) =
+      TextAnalysis.lmScore(c.repartition(parts), "doc_id", "text")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val got = run(3)
+    assert(got === run(1))
+    got.foreach { case r @ (id, _, _, _) => assert(r === expected(id)) }
+    // the rare-word doc has strictly higher mean NLL than the all-common doc
+    val byId = got.map(r => r._1 -> r._4).toMap
+    assert(byId(0L) > byId(1L) && byId(3L) > byId(0L))
+    assert(byId(2L) === 0L)
+  }
 }
