@@ -129,6 +129,23 @@ object CurationScalingBench {
           forceAll(graft.ops.Dedup.paragraphDedup(chunked, "doc_id", "text"))
         }
 
+        def dsirRun(): Unit = {
+          // DSIR importance weights for the full corpus against a ~1/997
+          // target sample, then the top-k selection — the weights frame
+          // is eagerly materialized ONCE (localCheckpoint, every doc's
+          // exact weight — the production persist-then-select shape) and
+          // the TakeOrderedAndProject selection reads the materialized
+          // frame instead of recomputing the pipeline
+          val w = graft.ops.Dsir.importanceWeights(docs, "doc_id", "text",
+              docs.where(col("doc_id") % 997 === 0), "text",
+              n = 2, bucketBits = 16)
+            .localCheckpoint(true)
+          try {
+            val k = graft.ops.Dsir.selectTopK(w, 10000).count()
+            require(k == 10000L, s"dsir top-k rows: $k")
+          } finally w.unpersist(blocking = true)
+        }
+
         val io = new IoListener
         spark.sparkContext.addSparkListener(io)
         // jaccard/bm25 are OPT-IN (same rationale as AnnScalingBench's
@@ -141,7 +158,8 @@ object CurationScalingBench {
           "jaccard" -> (() => jaccardRun()),
           "bm25" -> (() => bm25Run()),
           "curation" -> (() => curationRun()),
-          "paragraph" -> (() => paragraphRun()))
+          "paragraph" -> (() => paragraphRun()),
+          "dsir" -> (() => dsirRun()))
           .filter { case (name, _) =>
             if (stageSet.isEmpty) default(name) else stageSet(name) }
         require(stages.nonEmpty, s"no stage matches $stageSet")
