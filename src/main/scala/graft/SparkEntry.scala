@@ -33,6 +33,31 @@ object SparkEntry {
       .unionByName(edges(col("n_chars").cast("string")))
   }
 
+  /** Deterministic line layout for the line-rule queries (q_c4_lines,
+    * q_gopher_rules): the synthetic docs are flat word streams, so lines
+    * are constructed 4 words wide with arithmetic-decided decorations the
+    * oracle replays exactly — terminal '.' unless (doc_id+i)%3==0 (so the
+    * C4 terminal-punctuation rule has real negatives); with
+    * `bullets = true` additionally a "- " prefix when (doc_id+i)%7==0 and
+    * a "..." terminal when (doc_id+i)%11==0 (so the Gopher bullet/ellipsis
+    * line rules have real positives).
+    */
+  private def linedDocs(docs: DataFrame, bullets: Boolean): DataFrame = {
+    val w = split(col("text"), " ")
+    val nl = floor((size(w) + 3) / lit(4)).cast("int")
+    val mk = transform(sequence(lit(0), nl - 1), i => {
+      val k = col("doc_id") + i
+      val base = array_join(slice(w, i * 4 + 1, lit(4)), " ")
+      val pre = if (bullets) when(k % 7 === 0, "- ").otherwise("") else lit("")
+      val suf =
+        if (bullets)
+          when(k % 11 === 0, "...").when(k % 3 =!= 0, ".").otherwise("")
+        else when(k % 3 =!= 0, ".").otherwise("")
+      concat(pre, base, suf)
+    })
+    docs.select(col("doc_id"), array_join(mk, "\n").as("text"))
+  }
+
   /** Flagship: full transcript pipeline (parse→enrich→route→aggregate) on a
     * deterministic synthetic corpus; driver smoke-checks rows>0.
     */
@@ -636,6 +661,38 @@ object SparkEntry {
           i => array_join(slice(w, i * 3 + 1, lit(3)), " ")), "\n\n").as("text"))
       graft.ops.Dedup.paragraphDedup(chunked, "doc_id", "text")
     }),
+
+    // C4 line-level filtering (Raffel et al. 2020): lines constructed by
+    // linedDocs (terminal '.' unless (doc_id+i)%3==0); rules = terminal
+    // punctuation, ≥3 words, token blocklist ("vector" — a real corpus
+    // word, so drops are genuine); doc level = "big vector" phrase (also
+    // really present) + ≥3 surviving lines. The oracle replays the
+    // construction, every rule with first-match attribution, the ordered
+    // reassembly, and the doc verdict in SQL.
+    "q_c4_lines" -> ((s, d) =>
+      graft.ops.QualityRules.c4LineFilter(
+        linedDocs(t(s, d, "documents"), bullets = false),
+        "doc_id", "text", minWordsPerLine = 3,
+        lineBlocklist = Seq("vector"),
+        docBlocklist = Seq("lorem ipsum", "big vector"),
+        minKeptLines = 3)),
+
+    // Gopher quality rules (Rae et al. 2021 Table A1) over bullet/
+    // ellipsis-decorated constructed lines; word-count band tightened to
+    // [20,60] so the sf corpus (~30-40 words/doc, plus injected bullet
+    // tokens) produces both verdicts. Every ratio rule is an integer
+    // cross-multiplication — the oracle replays construction, all 9
+    // counts, and all 7 flags exactly.
+    "q_gopher_rules" -> ((s, d) =>
+      graft.ops.QualityRules.gopherRules(
+        linedDocs(t(s, d, "documents"), bullets = true),
+        "doc_id", "text", minWords = 20L, maxWords = 60L)),
+
+    // Sliding-window chunking with overlap (RAG/long-context layout):
+    // 12-token windows every 8 tokens, chunks never cross doc boundaries
+    "q_sliding_chunks" -> ((s, d) =>
+      graft.ops.Packing.slidingChunks(t(s, d, "documents"),
+        "doc_id", "text", window = 12, stride = 8)),
 
     // DSIR importance weights (Xie et al. 2023): per-doc hashed-bigram
     // log importance vs the doc_id%7 target sample, exact long micro-unit
@@ -1532,6 +1589,133 @@ object SparkEntry {
         |  CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
         |  COALESCE(a.clean_text, '') AS clean_text
         |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin,
+
+    // C4 line filter: the line construction (4-word lines, arithmetic
+    // punctuation), all three line rules with FIRST-failing attribution,
+    // the ordered reassembly, and the doc-level verdict replayed in SQL.
+    "q_c4_lines" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |l AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+        |        array_to_string(
+        |          ws[CAST(i*4+1 AS INT) : CAST(i*4+4 AS INT)], ' ')
+        |        || CASE WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END
+        |          AS line
+        |      FROM w, LATERAL (SELECT unnest(range((len(ws)+3)//4)) AS i) s),
+        |v AS (SELECT doc_id, i, line,
+        |        NOT regexp_matches(trim(line), '[.!?"]$') AS no_punct,
+        |        len(list_filter(string_split_regex(trim(line), '\s+'),
+        |            x -> x <> '')) < 3 AS few_raw,
+        |        len(list_filter(string_split_regex(trim(line), '\s+'),
+        |            x -> x <> '' AND lower(x) = 'vector')) > 0 AS block_raw
+        |      FROM l),
+        |f AS (SELECT doc_id, i, line, no_punct,
+        |        (NOT no_punct) AND few_raw AS few_words,
+        |        (NOT no_punct) AND (NOT few_raw) AND block_raw AS blocked
+        |      FROM v),
+        |d AS (SELECT doc_id,
+        |        lower(string_agg(line, chr(10) ORDER BY i)) AS full_text
+        |      FROM f GROUP BY 1),
+        |a AS (SELECT doc_id,
+        |        CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |        CAST(SUM(CASE WHEN NOT (no_punct OR few_words OR blocked)
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |        CAST(SUM(CASE WHEN no_punct THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_no_punct,
+        |        CAST(SUM(CASE WHEN few_words THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_few_words,
+        |        CAST(SUM(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_blocklist,
+        |        COALESCE(string_agg(
+        |          CASE WHEN NOT (no_punct OR few_words OR blocked)
+        |          THEN line END, chr(10) ORDER BY i), '') AS clean_text
+        |      FROM f GROUP BY 1)
+        |SELECT a.doc_id, a.n_lines, a.n_kept, a.n_no_punct, a.n_few_words,
+        |  a.n_blocklist, a.clean_text,
+        |  (NOT (contains(d.full_text, 'lorem ipsum')
+        |        OR contains(d.full_text, 'big vector')))
+        |    AND a.n_kept >= 3 AS doc_keep
+        |FROM a JOIN d USING (doc_id)""".stripMargin,
+
+    // Gopher rules: construction (bullets/ellipses), all 9 exact counts,
+    // and all 7 integer-arithmetic flags replayed in SQL.
+    "q_gopher_rules" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |l AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+        |        CASE WHEN (doc_id + i) % 7 = 0 THEN '- ' ELSE '' END
+        |        || array_to_string(
+        |             ws[CAST(i*4+1 AS INT) : CAST(i*4+4 AS INT)], ' ')
+        |        || CASE WHEN (doc_id + i) % 11 = 0 THEN '...'
+        |                WHEN (doc_id + i) % 3 <> 0 THEN '.'
+        |                ELSE '' END AS line
+        |      FROM w, LATERAL (SELECT unnest(range((len(ws)+3)//4)) AS i) s),
+        |t2 AS (SELECT doc_id,
+        |         string_agg(line, chr(10) ORDER BY i) AS text
+        |       FROM l GROUP BY 1),
+        |c AS (SELECT doc_id, text,
+        |        list_filter(string_split_regex(trim(text), '\s+'),
+        |          x -> x <> '') AS lw,
+        |        string_split(text, chr(10)) AS ls
+        |      FROM t2),
+        |m AS (SELECT doc_id,
+        |        CAST(len(lw) AS BIGINT) AS n_words,
+        |        CAST(COALESCE(list_sum(list_transform(lw, x -> len(x))), 0)
+        |          AS BIGINT) AS n_word_chars,
+        |        CAST((len(text) - len(replace(text, '#', '')))
+        |          + (len(text) - len(replace(text, '...', '')))//3
+        |          AS BIGINT) AS n_symbols,
+        |        CAST(len(ls) AS BIGINT) AS n_lines,
+        |        CAST(len(list_filter(ls,
+        |          x -> regexp_matches(trim(x), '^[-*•]')))
+        |          AS BIGINT) AS n_bullet,
+        |        CAST(len(list_filter(ls,
+        |          x -> regexp_matches(trim(x), '(\.\.\.|…)$')))
+        |          AS BIGINT) AS n_ellipsis,
+        |        CAST(len(list_filter(lw, x -> regexp_matches(x, '[A-Za-z]')))
+        |          AS BIGINT) AS n_alpha_words,
+        |        CAST(len(list_filter(lw, x -> list_contains(
+        |          ['the','be','to','of','and','that','have','with'],
+        |          lower(x)))) AS BIGINT) AS n_stop_hits
+        |      FROM c)
+        |SELECT doc_id, n_words, n_word_chars, n_symbols, n_lines, n_bullet,
+        |  n_ellipsis, n_alpha_words, n_stop_hits,
+        |  n_words BETWEEN 20 AND 60 AS f_word_count,
+        |  n_words > 0 AND n_word_chars >= 3*n_words
+        |    AND n_word_chars <= 10*n_words AS f_mean_len,
+        |  10*n_symbols <= n_words AS f_symbol,
+        |  10*n_bullet <= 9*n_lines AS f_bullet,
+        |  10*n_ellipsis <= 3*n_lines AS f_ellipsis,
+        |  5*n_alpha_words >= 4*n_words AS f_alpha,
+        |  n_stop_hits >= 2 AS f_stop,
+        |  (n_words BETWEEN 20 AND 60)
+        |    AND (n_words > 0 AND n_word_chars >= 3*n_words
+        |         AND n_word_chars <= 10*n_words)
+        |    AND 10*n_symbols <= n_words
+        |    AND 10*n_bullet <= 9*n_lines
+        |    AND 10*n_ellipsis <= 3*n_lines
+        |    AND 5*n_alpha_words >= 4*n_words
+        |    AND n_stop_hits >= 2 AS keep
+        |FROM m""".stripMargin,
+
+    // Sliding chunks: chunk-count arithmetic, window slicing, and the
+    // overlap layout replayed in SQL (empty docs emit no rows).
+    "q_sliding_chunks" ->
+      """WITH w AS (SELECT doc_id,
+        |        list_filter(string_split_regex(trim(text), '\s+'),
+        |          x -> x <> '') AS lw
+        |      FROM documents),
+        |c AS (SELECT doc_id, lw, CAST(len(lw) AS BIGINT) AS n,
+        |        CASE WHEN len(lw) = 0 THEN 0
+        |             WHEN len(lw) <= 12 THEN 1
+        |             ELSE (len(lw) - 12 + 7)//8 + 1 END AS nc
+        |      FROM w)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |  CAST(i*8 AS BIGINT) AS tok_start,
+        |  CAST(least(12, n - i*8) AS BIGINT) AS chunk_tokens,
+        |  array_to_string(
+        |    lw[CAST(i*8+1 AS INT) : CAST(i*8+12 AS INT)], ' ') AS chunk_text
+        |FROM c, LATERAL (SELECT unnest(range(nc)) AS i) s""".stripMargin,
 
     // DSIR: bucket counts, totals, add-one smoothing structure, and the
     // per-doc exact micro-unit sums all recomputed in SQL from the dumped

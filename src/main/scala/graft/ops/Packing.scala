@@ -126,4 +126,53 @@ object Packing {
           .as("begin"),
         least(col("start_off") + col("n_tokens") - col("pack") * col("_b"),
           col("_b")).as("end"))
+
+  /** Per-document sliding-window chunking with overlap — the RAG /
+    * long-context ingest layout (each document is cut into `window`-token
+    * chunks every `stride` tokens, so consecutive chunks overlap by
+    * window − stride tokens and no token is skipped). Unlike
+    * [[packChunks]] (cross-document concat-and-chunk), chunks never cross
+    * a document boundary.
+    *
+    * Tokens are the document's whitespace tokens; chunk i covers token
+    * positions [i·stride, i·stride + window). Chunk count is
+    * 1 + ⌈(n − window)/stride⌉ for n > window, 1 for 0 < n ≤ window, and
+    * 0 for an empty document (no row emitted — chunking has nothing to
+    * carry; attrition accounting belongs to the upstream filters).
+    * `stride ≤ window` is required: it guarantees full coverage (no
+    * gaps) and every chunk non-empty (last chunk holds n − start ≥ 1
+    * tokens). Deterministic in the text alone.
+    *
+    * Output: (idCol, chunk_idx, tok_start, chunk_tokens, chunk_text).
+    *
+    * Scale shape: one narrow transform + explode per row — zero
+    * exchanges; row amplification is Σ n_chunks ≈ corpus_tokens/stride,
+    * the output's intrinsic size.
+    */
+  def slidingChunks(df: DataFrame, idCol: String, textCol: String,
+                    window: Int, stride: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    require(stride >= 1 && stride <= window,
+      s"stride must be in [1, window=$window]: $stride")
+    val words = filter(split(trim(col(textCol)), "\\s+"), w => w =!= "")
+    val n = size(col("_w"))
+    // ⌈(n−W)/S⌉ + 1 via exact integer arithmetic (values are ints, the
+    // double division is exact far past any real document length)
+    val nChunks = when(n <= window, lit(1))
+      .otherwise(floor((n - window + stride - 1) / lit(stride))
+        .cast("int") + 1)
+    val chunks = when(n === 0,
+        array().cast("array<struct<i:int>>"))
+      .otherwise(transform(sequence(lit(0), nChunks - 1),
+        i => struct(i.as("i"))))
+    df.select(col(idCol), words.as("_w"))
+      .select(col(idCol), col("_w"), explode(chunks).as("_c"))
+      .select(col(idCol),
+        col("_c.i").cast("long").as("chunk_idx"),
+        (col("_c.i") * stride).cast("long").as("tok_start"),
+        least(lit(window), size(col("_w")) - col("_c.i") * stride)
+          .cast("long").as("chunk_tokens"),
+        array_join(slice(col("_w"), col("_c.i") * stride + 1, lit(window)),
+          " ").as("chunk_text"))
+  }
 }
