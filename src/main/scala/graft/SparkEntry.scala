@@ -694,6 +694,14 @@ object SparkEntry {
       graft.ops.Packing.slidingChunks(t(s, d, "documents"),
         "doc_id", "text", window = 12, stride = 8)),
 
+    // Temperature-based mixture weights (p_g ∝ n_g^0.5, 1000-example
+    // target): counts, normalization, and both integer divisions replay
+    // in SQL; only the quantized pow imports from _input_temp, joined
+    // ON (lang, n_docs) so the counts are cross-checked.
+    "q_temperature_mixture" -> ((s, d) =>
+      graft.ops.Curation.temperatureWeights(t(s, d, "documents"), "lang",
+        alpha = 0.5, targetTotal = 1000L)),
+
     // DSIR importance weights (Xie et al. 2023): per-doc hashed-bigram
     // log importance vs the doc_id%7 target sample, exact long micro-unit
     // sums. The oracle recomputes bucket counts/totals/smoothing and the
@@ -1697,6 +1705,22 @@ object SparkEntry {
         |    AND 5*n_alpha_words >= 4*n_words
         |    AND n_stop_hits >= 2 AS keep
         |FROM m""".stripMargin,
+
+    // Temperature mixture: group counts recomputed and cross-checked by
+    // the dictionary join; the max-normalized pow is the only import;
+    // p_ppm and weight_micro integer divisions replayed exactly.
+    "q_temperature_mixture" ->
+      """WITH g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |           FROM documents GROUP BY 1),
+        |i AS (SELECT g.lang, g.n_docs, t.pow_micro
+        |      FROM g JOIN read_parquet('__OUT__/_input_temp/*.parquet') t
+        |        ON t.lang = g.lang AND t.n_docs = g.n_docs),
+        |s AS (SELECT CAST(SUM(pow_micro) AS BIGINT) AS tot FROM i)
+        |SELECT i.lang, i.n_docs, CAST(i.pow_micro AS BIGINT) AS pow_micro,
+        |  CAST((i.pow_micro * 1000000) // s.tot AS BIGINT) AS p_ppm,
+        |  CAST((((i.pow_micro * 1000000) // s.tot) * 1000) // i.n_docs
+        |    AS BIGINT) AS weight_micro
+        |FROM i, s""".stripMargin,
 
     // Sliding chunks: chunk-count arithmetic, window slicing, and the
     // overlap layout replayed in SQL (empty docs emit no rows).

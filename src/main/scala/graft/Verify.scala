@@ -82,6 +82,13 @@ object Verify {
     // ln imports (the Bm25/DSIR convention).
     graft.ops.TextAnalysis.unigramNllDict(docs, "text")
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_input_lm")
+    // Temperature-mixture pow dictionary (q_temperature_mixture): the
+    // max-normalized (n/n_max)^alpha is the one transcendental — dumped
+    // quantized per group WITH n_docs so the oracle's join cross-checks
+    // the counts; p_ppm/weight_micro divisions replay relationally.
+    graft.ops.Curation.temperatureWeights(docs, "lang", 0.5, 1000L)
+      .select(col("lang"), col("n_docs"), col("pow_micro"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_input_temp")
     // BPE merge list (q_bpe_encode): the trainer's iterative argmax loop
     // cannot replay in one SQL query (per-iteration global aggregation
     // inside a recursion), so the learned (rank, lhs, rhs) list is the

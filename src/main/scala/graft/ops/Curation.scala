@@ -593,6 +593,58 @@ object Curation {
       .withColumn("epoch", explode(sequence(lit(0), col("n_copies") - 1)))
   }
 
+  /** Temperature-based mixture weights — the standard multilingual /
+    * multi-domain sampling scheme (Conneau & Lample 2019; mT5): group g
+    * is sampled with probability p_g ∝ n_g^alpha, flattening the natural
+    * distribution toward uniform as alpha → 0, and the per-group EPOCH
+    * weight to realize a `targetTotal`-example draw is
+    * w_g = p_g · targetTotal / n_g (small groups repeat, huge groups
+    * subsample — exactly the `weights` input of [[upsampleMixture]]).
+    *
+    * Exactness convention (the Bm25 idf / DSIR ln discipline): the one
+    * transcendental, (n_g/n_max)^alpha, quantizes ONCE per GROUP into
+    * `pow_micro` ∈ [0, 10^6] (max-normalized, so no corpus size can
+    * overflow the quantization); everything downstream is exact long
+    * arithmetic — p_ppm = (pow_micro·10^6) div Σpow_micro and
+    * weight_micro = (p_ppm·targetTotal) div n_g — so the whole frame is
+    * partitioning-invariant and SQL-replayable given the dumped
+    * pow_micro dictionary (joined ON (group, n_docs), cross-checking the
+    * counts). Resolution: a group below ~10^-6 of the largest group's
+    * alpha-scaled mass quantizes to 0 (absent from any real mixture).
+    *
+    * Scale shape: ONE count aggregation over the corpus (map-side
+    * partials); pow/normalize/divide all run on the ≤ #groups-row frame
+    * with two broadcast scalars. The corpus itself is never reshuffled.
+    */
+  def temperatureWeights(df: DataFrame, groupCol: String, alpha: Double,
+                         targetTotal: Long): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1]: $alpha")
+    require(targetTotal >= 1, s"targetTotal must be >= 1: $targetTotal")
+    val g = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
+    val mx = g.agg(max(col("n_docs")).as("_mx"))
+    val p = g.crossJoin(broadcast(mx))
+      .select(col(groupCol), col("n_docs"),
+        floor(pow(col("n_docs").cast("double") / col("_mx").cast("double"),
+          lit(alpha)) * 1e6 + lit(0.5)).as("pow_micro"))
+    val tot = p.agg(sum(col("pow_micro")).as("_tot"))
+    p.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n_docs"), col("pow_micro"),
+        expr("(pow_micro * 1000000L) div _tot").as("p_ppm"),
+        expr(s"(((pow_micro * 1000000L) div _tot) * ${targetTotal}L)" +
+          " div n_docs").as("weight_micro"))
+  }
+
+  /** [[temperatureWeights]] collected into the `weights` argument of
+    * [[upsampleMixture]] (epochs as doubles, micro-resolution). The
+    * collect is the ≤ #groups-row dictionary — the same tiny-frame
+    * driver hop as IVF centroids, never corpus-sized.
+    */
+  def temperatureEpochs(df: DataFrame, groupCol: String, alpha: Double,
+                        targetTotal: Long): Seq[(String, Double)] =
+    temperatureWeights(df, groupCol, alpha, targetTotal)
+      .select(col(groupCol).cast("string"), col("weight_micro"))
+      .collect().map(r => r.getString(0) -> r.getLong(1) / 1e6).toSeq
+
   /** Token-BUDGET quota sampling: for each group, keep documents in
     * ascending ([[sampleRank]], id) order until the group's token budget
     * is exhausted — a doc is kept iff the token sum of every doc ordered
