@@ -129,6 +129,29 @@ object CurationScalingBench {
           forceAll(graft.ops.Dedup.paragraphDedup(chunked, "doc_id", "text"))
         }
 
+        def qualityRun(): Unit = {
+          // the three narrow pre-dedup filters (C4 lines, Gopher rules,
+          // sliding chunks) over the q_c4_lines-style constructed line
+          // layout — zero-exchange per-row plans, so this stage measures
+          // pure scan+compute scaling (the shape the 100 TB first pass
+          // runs before any shuffle is spent). forceAll: clean_text /
+          // chunk_text reassembly must materialize, not just counts.
+          val w = split(col("text"), " ")
+          val nl = floor((size(w) + 3) / lit(4)).cast("int")
+          val lined = docs.select(col("doc_id"),
+            array_join(transform(sequence(lit(0), nl - 1),
+              i => concat(array_join(slice(w, i * 4 + 1, lit(4)), " "),
+                when((col("doc_id") + i) % 3 =!= 0, ".").otherwise(""))),
+              "\n").as("text"))
+          forceAll(graft.ops.QualityRules.c4LineFilter(lined, "doc_id",
+            "text", lineBlocklist = Seq("vector"),
+            docBlocklist = Seq("lorem ipsum")))
+          forceAll(graft.ops.QualityRules.gopherRules(lined, "doc_id",
+            "text"))
+          forceAll(graft.ops.Packing.slidingChunks(docs, "doc_id", "text",
+            window = 64, stride = 48))
+        }
+
         def dsirRun(): Unit = {
           // DSIR importance weights for the full corpus against a ~1/997
           // target sample, then the top-k selection — the weights frame
@@ -159,6 +182,7 @@ object CurationScalingBench {
           "bm25" -> (() => bm25Run()),
           "curation" -> (() => curationRun()),
           "paragraph" -> (() => paragraphRun()),
+          "quality" -> (() => qualityRun()),
           "dsir" -> (() => dsirRun()))
           .filter { case (name, _) =>
             if (stageSet.isEmpty) default(name) else stageSet(name) }
