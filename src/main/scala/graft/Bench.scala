@@ -57,6 +57,31 @@ object Bench {
     (sec, n)
   }
 
+  /** SFT render job for the scaling bench: [[graft.ops.SftPrep.chatTemplate]]
+    * over the corpus with EVERY output column (the rendered string and the
+    * span array included) forced through the all-columns hash — count()
+    * would let Catalyst prune the render itself, the documented bench
+    * trap. Returns (seconds, turns rendered). On the conv-bucketed layout
+    * the conversation groupBy is exchange-free (the bucketing satisfies
+    * the aggregation's distribution), so the stage measures pure
+    * scan+render compute scaling; on the scattered layout the ENTIRE
+    * corpus shuffles on conv_id — the same bucketed-vs-scattered contrast
+    * the routing rows quantify.
+    */
+  def sftRunFrom(spark: SparkSession,
+                 turns: org.apache.spark.sql.DataFrame): (Double, Long) = {
+    import org.apache.spark.sql.functions._
+    val r = graft.ops.SftPrep.chatTemplate(turns)
+    var n = 0L
+    val sec = time {
+      n = r.select(xxhash64(r.columns.map(col): _*).as("h"),
+          col("n_turns").cast("long").as("nt"))
+        .agg(bit_xor(col("h")).as("x"), sum(col("nt")).as("n"))
+        .head().getLong(1)
+    }
+    (sec, n)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -69,6 +69,11 @@ object ScalingBench {
     val nConvs = args.headOption.map(_.toLong).getOrElse(5000000L)
     val lo = args.lift(1).map(_.toInt).getOrElse(8)
     val hi = args.lift(2).map(_.toInt).getOrElse(32)
+    // optional 4th arg: which job to time over the corpus —
+    // "pipeline" (default: parse→enrich→route→aggregate) or
+    // "sft" (SftPrep.chatTemplate render, all columns forced)
+    val stage = args.lift(3).getOrElse("pipeline")
+    require(Set("pipeline", "sft")(stage), s"unknown stage: $stage")
 
     // production shape: the timed job READS the corpus (vectorized parquet
     // scan from tmpfs) rather than generating rows inline — a real
@@ -94,15 +99,18 @@ object ScalingBench {
           if (bucketed) BucketedCorpus.open(spark, corpusDir, "graft_corpus")
           else spark.read.parquet(corpusDir)
         val salt = Aggregate.saltFor(convClustered = bucketed)
+        val job: () => (Double, Long) =
+          if (stage == "sft") () => Bench.sftRunFrom(spark, turns)
+          else () => Bench.pipelineRunFrom(spark, turns, salt)
         // full-size warmup: codegen + classloading outside the timed runs
-        Bench.pipelineRunFrom(spark, turns, salt)
+        job()
         val io = new IoListener
         spark.sparkContext.addSparkListener(io)
         io.reset()
-        val (s1, n1) = Bench.pipelineRunFrom(spark, turns, salt)
+        val (s1, n1) = job()
         org.apache.spark.sql.GraftBridge.waitListenerBusEmpty(spark.sparkContext)
         val (in, sw, sr) = (io.input.get, io.shufWrite.get, io.shufRead.get)
-        val (s2, _) = Bench.pipelineRunFrom(spark, turns, salt)
+        val (s2, _) = job()
         (math.min(s1, s2), n1, in, sw, sr)   // best-of-2, warm
       } finally spark.stop()
     }
@@ -118,14 +126,14 @@ object ScalingBench {
       // Usage: runMain graft.ScalingBench <nConvs> <cores> <cores>
       val (sec, turns, in, sw, sr) = run(lo)
       val tps = turns / sec
-      println(f"""{"metric":"throughput","value":$tps%.0f,"unit":"turns_per_sec","turns":$turns,"cores":$lo,"sec":$sec%.2f,${ioJson(in, sw, sr)}}""")
+      println(f"""{"metric":"throughput","stage":"$stage%s","value":$tps%.0f,"unit":"turns_per_sec","turns":$turns,"cores":$lo,"sec":$sec%.2f,${ioJson(in, sw, sr)}}""")
     } else {
       val (secLo, turns, inLo, swLo, srLo) = run(lo)
       val (secHi, _, _, _, _) = run(hi)
       val tpsLo = turns / secLo
       val tpsHi = turns / secHi
       val eff = (tpsHi / tpsLo) / (hi.toDouble / lo)
-      println(f"""{"metric":"scaling_efficiency","value":$eff%.3f,"unit":"ratio","turns":$turns,"cores_lo":$lo,"cores_hi":$hi,"sec_lo":$secLo%.2f,"sec_hi":$secHi%.2f,"tps_lo":$tpsLo%.0f,"tps_hi":$tpsHi%.0f,${ioJson(inLo, swLo, srLo)}}""")
+      println(f"""{"metric":"scaling_efficiency","stage":"$stage%s","value":$eff%.3f,"unit":"ratio","turns":$turns,"cores_lo":$lo,"cores_hi":$hi,"sec_lo":$secLo%.2f,"sec_hi":$secHi%.2f,"tps_lo":$tpsLo%.0f,"tps_hi":$tpsHi%.0f,${ioJson(inLo, swLo, srLo)}}""")
     }
   }
 }

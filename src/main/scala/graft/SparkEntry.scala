@@ -362,6 +362,67 @@ object SparkEntry {
         element_at(m, "tname").as("tname"), element_at(m, "stat").as("stat"))
     }),
 
+    // ---------------- SFT prep (transcripts → training examples)
+    // Chat-template render: one row per turn span with the self-checking
+    // piece = substr(rendered, start, len) plus the conv-level md5 of the
+    // WHOLE rendered string; the oracle rebuilds every offset from window
+    // prefix sums, the full string from an ordered string_agg, and emits
+    // the source text as piece — so render, offsets, and markers are all
+    // independently replayed.
+    "q_sft_render" -> ((s, _) => {
+      val rendered = graft.ops.SftPrep.chatTemplate(
+        TranscriptGen.turnsDs(s, 500).toDF())
+      rendered.select(col("conv_id"), md5(col("rendered")).as("rhash"),
+          col("rendered_len"), col("rendered"), explode(col("spans")).as("sp"))
+        .select(col("conv_id"), col("sp.turn_idx").as("turn_idx"),
+          col("sp.role").as("role"), col("sp.start").as("start"),
+          col("sp.len").as("len"), col("rendered_len"),
+          col("rendered").substr(col("sp.start").cast("int"),
+            col("sp.len").cast("int")).as("piece"),
+          col("rhash"))
+    }),
+
+    // Assistant-only loss spans (text + end marker) with dense ordinals.
+    "q_sft_lossmask" -> ((s, _) =>
+      graft.ops.SftPrep.lossMaskSpans(graft.ops.SftPrep.chatTemplate(
+          TranscriptGen.turnsDs(s, 500).toDF()))
+        .select(col("conv_id"), col("span_ord"), col("turn_idx"),
+          col("start"), col("len"), col("rendered_len"))),
+
+    // Whole-turn suffix truncation to a 64-token budget (ws tokens).
+    "q_sft_truncate" -> ((s, _) =>
+      graft.ops.SftPrep.truncateToBudget(
+          TranscriptGen.turnsDs(s, 500).toDF(), budget = 64)
+        .select(col("conv_id"), col("turn_idx"), col("n_tokens"),
+          col("cum_tokens"))),
+
+    // Preference pairs over assistant turns scored by parsed latency
+    // (lower is better → score = -latency); strict margins only.
+    "q_sft_pairs" -> ((s, _) => {
+      val cands = TranscriptGen.turnsDs(s, 500).toDF()
+        .where(col("role") === "assistant")
+        .select(col("conv_id"), col("turn_idx"), col("text"),
+          (lit(0L) - regexp_extract(col("text"), "latency=([0-9]+)ms", 1)
+            .cast("long")).as("score"))
+      graft.ops.SftPrep.preferencePairs(cands, "conv_id", "turn_idx",
+          "score", "text")
+        .select(col("conv_id"), col("chosen_id").as("chosen_idx"),
+          col("rejected_id").as("rejected_idx"),
+          (lit(0L) - col("chosen_score")).as("chosen_ms"),
+          (lit(0L) - col("rejected_score")).as("rejected_ms"),
+          col("margin").as("margin_ms"),
+          col("chosen_payload").as("chosen_text"),
+          col("rejected_payload").as("rejected_text"))
+    }),
+
+    // Structural validation rollup per conversation.
+    "q_sft_validate" -> ((s, _) =>
+      graft.ops.SftPrep.validateTranscripts(
+          TranscriptGen.turnsDs(s, 500).toDF())
+        .select(col("conv_id"), col("n_turns"), col("n_role_repeats"),
+          col("n_empty"), col("has_assistant"), col("contiguous"),
+          col("valid"))),
+
     // ---------------- dedup ops (training-data; FIXTURES §5 documents)
     "q_dedup_keep" -> ((s, d) =>
       graft.ops.Dedup.exactKeep(t(s, d, "documents"), "doc_id", Seq("text"))
@@ -2549,7 +2610,113 @@ object SparkEntry {
         |      ORDER BY sampled0 DESC, conv_id) AS rk FROM d)
         |SELECT conv_id, strftime(last_ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
         |  (sampled0 AND rk <= 1) AS sampled
-        |FROM rk""".stripMargin
+        |FROM rk""".stripMargin,
+
+    // Chat-template render fully replayed: offsets from window prefix sums
+    // over exact header/text/footer character counts (header = role+5,
+    // footer = 8), the whole rendered string rebuilt by an ordered
+    // string_agg and compared via md5, the span content via piece = text.
+    // DuckDB SUM(BIGINT) → HUGEINT, hence the final CASTs.
+    "q_sft_render" ->
+      """WITH t AS (SELECT conv_id, turn_idx, role, text,
+        |    length(role) + 5 AS hlen, length(text) AS tlen
+        |  FROM read_parquet('__OUT__/_input_turns/*.parquet')),
+        |o AS (SELECT conv_id, turn_idx, role, text, hlen, tlen,
+        |    COALESCE(SUM(hlen + tlen + 8) OVER (PARTITION BY conv_id
+        |      ORDER BY turn_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior,
+        |    SUM(hlen + tlen + 8) OVER (PARTITION BY conv_id) AS rlen
+        |  FROM t),
+        |r AS (SELECT conv_id,
+        |    md5(string_agg('<|' || role || '|>' || chr(10) || text ||
+        |      '<|end|>' || chr(10), '' ORDER BY turn_idx)) AS rhash
+        |  FROM t GROUP BY conv_id)
+        |SELECT o.conv_id, o.turn_idx, o.role,
+        |  CAST(o.prior + o.hlen + 1 AS BIGINT) AS start,
+        |  CAST(o.tlen AS BIGINT) AS len,
+        |  CAST(o.rlen AS BIGINT) AS rendered_len,
+        |  o.text AS piece, r.rhash
+        |FROM o JOIN r ON o.conv_id = r.conv_id""".stripMargin,
+
+    // Loss spans: assistant rows of the same offset replay, span length
+    // extended through the 8-char end marker, ordinals dense by turn_idx.
+    "q_sft_lossmask" ->
+      """WITH t AS (SELECT conv_id, turn_idx, role,
+        |    length(role) + 5 AS hlen, length(text) AS tlen
+        |  FROM read_parquet('__OUT__/_input_turns/*.parquet')),
+        |o AS (SELECT conv_id, turn_idx, role, hlen, tlen,
+        |    COALESCE(SUM(hlen + tlen + 8) OVER (PARTITION BY conv_id
+        |      ORDER BY turn_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior,
+        |    SUM(hlen + tlen + 8) OVER (PARTITION BY conv_id) AS rlen
+        |  FROM t)
+        |SELECT conv_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY conv_id
+        |    ORDER BY turn_idx) AS INT) AS span_ord,
+        |  turn_idx,
+        |  CAST(prior + hlen + 1 AS BIGINT) AS start,
+        |  CAST(tlen + 8 AS BIGINT) AS len,
+        |  CAST(rlen AS BIGINT) AS rendered_len
+        |FROM o WHERE role = 'assistant'""".stripMargin,
+
+    // Whole-turn suffix truncation: ws token counts (with the empty-text
+    // CASE the engine's tokenCountWs uses) cumulated from the LAST turn.
+    "q_sft_truncate" ->
+      """WITH t AS (SELECT conv_id, turn_idx,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+        |  FROM read_parquet('__OUT__/_input_turns/*.parquet')),
+        |c AS (SELECT conv_id, turn_idx, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY conv_id
+        |      ORDER BY turn_idx DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_tokens
+        |  FROM t)
+        |SELECT conv_id, turn_idx, n_tokens, cum_tokens
+        |FROM c WHERE cum_tokens <= 64""".stripMargin,
+
+    // Preference pairs: chosen = fastest assistant turn (tie → smallest
+    // turn_idx), rejected = slowest (tie → largest), strict margin only.
+    "q_sft_pairs" ->
+      """WITH a AS (SELECT conv_id, turn_idx, text,
+        |    CAST(regexp_extract(text, 'latency=([0-9]+)ms', 1)
+        |      AS BIGINT) AS ms
+        |  FROM read_parquet('__OUT__/_input_turns/*.parquet')
+        |  WHERE role = 'assistant'),
+        |c AS (SELECT conv_id, turn_idx, text, ms,
+        |    ROW_NUMBER() OVER (PARTITION BY conv_id
+        |      ORDER BY ms ASC, turn_idx ASC) AS rc,
+        |    ROW_NUMBER() OVER (PARTITION BY conv_id
+        |      ORDER BY ms DESC, turn_idx DESC) AS rr
+        |  FROM a)
+        |SELECT ch.conv_id, ch.turn_idx AS chosen_idx,
+        |  rj.turn_idx AS rejected_idx, ch.ms AS chosen_ms,
+        |  rj.ms AS rejected_ms, rj.ms - ch.ms AS margin_ms,
+        |  ch.text AS chosen_text, rj.text AS rejected_text
+        |FROM (SELECT * FROM c WHERE rc = 1) ch
+        |JOIN (SELECT * FROM c WHERE rr = 1) rj USING (conv_id)
+        |WHERE rj.ms > ch.ms""".stripMargin,
+
+    // Transcript structure rollup: contiguity from 0, empties, consecutive
+    // same-role repeats, assistant presence.
+    "q_sft_validate" ->
+      """WITH t AS (SELECT conv_id, turn_idx, role, text,
+        |    LAG(role) OVER (PARTITION BY conv_id
+        |      ORDER BY turn_idx) AS prev_role
+        |  FROM read_parquet('__OUT__/_input_turns/*.parquet'))
+        |SELECT conv_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_turns,
+        |  CAST(SUM(CASE WHEN role = prev_role THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_role_repeats,
+        |  CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_empty,
+        |  BOOL_OR(role = 'assistant') AS has_assistant,
+        |  (MIN(turn_idx) = 0 AND MAX(turn_idx) = COUNT(*) - 1) AS contiguous,
+        |  (MIN(turn_idx) = 0 AND MAX(turn_idx) = COUNT(*) - 1
+        |   AND BOOL_OR(role = 'assistant')
+        |   AND SUM(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END) = 0)
+        |    AS valid
+        |FROM t GROUP BY conv_id""".stripMargin
   )
 
   /** Shared CTE chain recomputing SimHash signatures in DuckDB from the

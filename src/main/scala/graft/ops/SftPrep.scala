@@ -1,0 +1,229 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** SFT / preference-tuning preparation over conversation transcripts —
+  * the last mile between the curated turn table (SURVEY.md §1.4 item
+  * model: conv_id, turn_idx, role, text) and a trainer's input: render a
+  * conversation into one training string under a chat template, compute
+  * the character spans the loss applies to (assistant turns only),
+  * truncate to a token budget on whole-turn boundaries, build
+  * chosen/rejected preference pairs from scored candidate responses, and
+  * validate transcript structure before any of it.
+  *
+  * Scale shape, shared by the family: every operator is ONE exchange on
+  * the conversation key (a groupBy or a window partitioned by conv_id),
+  * and the per-group work is linear in conversation length. Group size is
+  * bounded by the longest conversation — the same bound a trainer's
+  * example assembly needs anyway, and orders of magnitude below the
+  * hot-content-key degeneracy the dedup family guards against (a crawl
+  * has millions of byte-identical docs; a transcript store has
+  * conversations of at most a few thousand turns). All offset arithmetic
+  * is exact integer character counts, so every span is bit-replayable in
+  * SQL and invariant to partitioning — the spans are verified by the
+  * self-checking `piece == substr(rendered, start, len)` invariant.
+  *
+  * Template (fixed, documented contract): each turn renders as
+  * `<|ROLE|>\n` + text + `<|end|>\n`, concatenated in turn_idx order.
+  * Header length = length(role) + 5, footer length = 8; spans are 1-based
+  * (SQL substring convention) and cover the TEXT portion; loss spans
+  * extend through the footer so the end-of-turn marker is supervised
+  * (the EOS convention in published SFT recipes).
+  */
+object SftPrep {
+
+  /** Footer `<|end|>\n` length. */
+  private val FooterLen = 8L
+
+  private def checkCols(df: DataFrame, cols: Seq[String],
+                        internal: Seq[String]): Unit = {
+    cols.foreach(c => require(df.columns.contains(c),
+      s"missing input column: $c"))
+    internal.foreach(c => require(!df.columns.contains(c),
+      s"input must not contain internal column name: $c"))
+  }
+
+  /** Render each conversation into one training string plus the per-turn
+    * character spans.
+    *
+    * Output: (convCol, n_turns, rendered_len, rendered,
+    * spans: array<struct<turn_idx, role, start, len>>) — `start` is the
+    * 1-based offset of the turn's TEXT inside `rendered`, `len` its
+    * character length, so `substr(rendered, start, len)` is exactly the
+    * turn text (the invariant SftPrepSpec and the q_sft_render oracle
+    * both assert).
+    *
+    * Plan: one hash-agg shuffle on the conversation key
+    * (`collect_list` + `array_sort` puts turns in turn_idx order — struct
+    * ordering is lexicographic and turn_idx leads), then the string and
+    * the spans are built by one `array_join(transform(...))` and one
+    * linear `aggregate` fold per row — no second exchange, no window, no
+    * UDF. Duplicate turn_idx within a conversation would silently render
+    * twice, so it raises (the library's fail-fast-on-data-bugs
+    * convention, see AsOfJoin's duplicate-instant guard).
+    */
+  def chatTemplate(df: DataFrame, convCol: String = "conv_id",
+                   idxCol: String = "turn_idx", roleCol: String = "role",
+                   textCol: String = "text"): DataFrame = {
+    checkCols(df, Seq(convCol, idxCol, roleCol, textCol),
+      Seq("_ts", "_acc", "n_turns", "rendered_len", "rendered", "spans"))
+    val sorted = array_sort(collect_list(struct(
+      col(idxCol).as("i"), col(roleCol).as("r"), col(textCol).as("t"))))
+    val spanType =
+      "array<struct<turn_idx:int,role:string,start:bigint,len:bigint>>"
+    val acc = aggregate(
+      col("_ts"),
+      struct(lit(0L).as("pos"), array().cast(spanType).as("spans"),
+        lit(-1).as("prev")),
+      (a, t) => {
+        val pos = a.getField("pos")
+        val hlen = length(t.getField("r")).cast("long") + lit(5L)
+        val tlen = length(t.getField("t")).cast("long")
+        val dup = when(t.getField("i") <= a.getField("prev"),
+          raise_error(concat(lit("chatTemplate: duplicate turn_idx "),
+            t.getField("i").cast("string")))).otherwise(t.getField("i"))
+        struct(
+          (pos + hlen + tlen + lit(FooterLen)).as("pos"),
+          concat(a.getField("spans"), array(struct(
+            dup.as("turn_idx"), t.getField("r").as("role"),
+            (pos + hlen + lit(1L)).as("start"),
+            tlen.as("len")))).as("spans"),
+          t.getField("i").as("prev"))
+      })
+    df.groupBy(col(convCol))
+      .agg(sorted.as("_ts"))
+      .withColumn("_acc", acc)
+      .select(col(convCol),
+        size(col("_ts")).as("n_turns"),
+        col("_acc.pos").as("rendered_len"),
+        array_join(transform(col("_ts"), t => concat(
+          lit("<|"), t.getField("r"), lit("|>\n"),
+          t.getField("t"), lit("<|end|>\n"))), "").as("rendered"),
+        col("_acc.spans").as("spans"))
+  }
+
+  /** Assistant-only loss spans from a [[chatTemplate]] frame: one row per
+    * assistant turn with its 1-based ordinal among the conversation's
+    * assistant turns and the span the loss applies to — the turn text
+    * PLUS the `<|end|>\n` footer (len = text len + 8), so the end-of-turn
+    * marker is supervised. Pure per-row array math over the already-built
+    * spans (filter + transform-with-index + explode) — zero additional
+    * exchanges beyond chatTemplate's one.
+    */
+  def lossMaskSpans(rendered: DataFrame, convCol: String = "conv_id",
+                    lossRole: String = "assistant"): DataFrame = {
+    checkCols(rendered, Seq(convCol, "rendered_len", "spans"), Seq("_ls"))
+    require(lossRole.nonEmpty, "lossRole must be non-empty")
+    val ls = transform(
+      filter(col("spans"), s => s.getField("role") === lit(lossRole)),
+      (s, i) => struct((i + 1).as("span_ord"),
+        s.getField("turn_idx").as("turn_idx"),
+        s.getField("start").as("start"),
+        (s.getField("len") + lit(FooterLen)).as("len")))
+    rendered
+      .select(col(convCol), col("rendered_len"), explode(ls).as("_ls"))
+      .select(col(convCol), col("_ls.span_ord"), col("_ls.turn_idx"),
+        col("_ls.start"), col("_ls.len"), col("rendered_len"))
+  }
+
+  /** Keep the SUFFIX of each conversation that fits a whole-turn token
+    * budget — the standard SFT truncation (most recent context survives;
+    * a turn either fits entirely or is dropped). Tokens are whitespace
+    * tokens ([[TextAnalysis.tokenCountWs]] — swap in BPE counts upstream
+    * by pre-computing a column and passing its name as `tokenCol`).
+    *
+    * Output: the kept rows of `df` plus (n_tokens, cum_tokens) where
+    * cum_tokens sums from the LAST turn backwards; a row is kept iff its
+    * cum_tokens <= budget. One window exchange on the conversation key
+    * (group size = conversation length, see the object note).
+    */
+  def truncateToBudget(df: DataFrame, budget: Long,
+                       convCol: String = "conv_id",
+                       idxCol: String = "turn_idx",
+                       textCol: String = "text",
+                       tokenCol: Option[String] = None): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1: $budget")
+    checkCols(df,
+      Seq(convCol, idxCol) ++ tokenCol.map(Seq(_)).getOrElse(Seq(textCol)),
+      Seq("n_tokens", "cum_tokens"))
+    val nTok = tokenCol.map(col).getOrElse(
+      TextAnalysis.tokenCountWs(col(textCol)))
+    val w = Window.partitionBy(col(convCol)).orderBy(col(idxCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_tokens", nTok.cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .where(col("cum_tokens") <= budget)
+  }
+
+  /** Chosen/rejected preference pairs from scored candidates: one row per
+    * group with a strict preference — chosen = highest `scoreCol`
+    * (ties broken toward the SMALLEST `candCol`), rejected = lowest
+    * (ties toward the LARGEST), emitted only when chosen's score is
+    * strictly greater than rejected's (all-tied groups and singleton
+    * groups produce no pair). `candCol` must be numeric and unique within
+    * a group, which makes both orderings total — the pair is
+    * deterministic under any partitioning.
+    *
+    * Plan: ONE hash aggregation — `max_by`/`min_by` over the total
+    * ordering struct (score, -cand). Partial aggregation collapses
+    * candidates map-side, so a prompt with millions of sampled responses
+    * never concentrates on one task (contrast with a per-group
+    * row_number window — the exactKeep lesson, Dedup.scala).
+    *
+    * Output: (groupCol, chosen_id, rejected_id, chosen_score,
+    * rejected_score, margin, chosen_payload, rejected_payload).
+    */
+  def preferencePairs(df: DataFrame, groupCol: String, candCol: String,
+                      scoreCol: String, payloadCol: String): DataFrame = {
+    checkCols(df, Seq(groupCol, candCol, scoreCol, payloadCol),
+      Seq("_cand", "_ord", "_ch", "_rj"))
+    val cand = struct(col(candCol).as("id"), col(scoreCol).as("score"),
+      col(payloadCol).as("payload"))
+    val ord = struct(col(scoreCol).as("s"), negate(col(candCol)).as("ni"))
+    df.groupBy(col(groupCol))
+      .agg(max_by(cand, ord).as("_ch"), min_by(cand, ord).as("_rj"))
+      .where(col("_ch.score") > col("_rj.score"))
+      .select(col(groupCol),
+        col("_ch.id").as("chosen_id"), col("_rj.id").as("rejected_id"),
+        col("_ch.score").as("chosen_score"),
+        col("_rj.score").as("rejected_score"),
+        (col("_ch.score") - col("_rj.score")).as("margin"),
+        col("_ch.payload").as("chosen_payload"),
+        col("_rj.payload").as("rejected_payload"))
+  }
+
+  /** Structural validation before SFT prep: per conversation, the counts
+    * a data card needs and a `valid` verdict — turn_idx must be
+    * contiguous from 0, texts non-empty, and at least one assistant turn
+    * present. `n_role_repeats` counts consecutive same-role turns
+    * (alternation violations) without failing on them — repeated tool
+    * turns are legal in agent transcripts; the count lets a curation
+    * config threshold them. One window + one aggregation on the
+    * conversation key.
+    */
+  def validateTranscripts(df: DataFrame, convCol: String = "conv_id",
+                          idxCol: String = "turn_idx",
+                          roleCol: String = "role",
+                          textCol: String = "text"): DataFrame = {
+    checkCols(df, Seq(convCol, idxCol, roleCol, textCol),
+      Seq("_prev_role", "n_turns", "n_role_repeats", "n_empty",
+        "has_assistant", "contiguous", "valid"))
+    val w = Window.partitionBy(col(convCol)).orderBy(col(idxCol))
+    df.withColumn("_prev_role", lag(col(roleCol), 1).over(w))
+      .groupBy(col(convCol))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        sum(when(col(roleCol) === col("_prev_role"), 1L).otherwise(0L))
+          .as("n_role_repeats"),
+        sum(when(length(trim(col(textCol))) === 0, 1L).otherwise(0L))
+          .as("n_empty"),
+        max(when(col(roleCol) === "assistant", true).otherwise(false))
+          .as("has_assistant"),
+        (min(col(idxCol)) === 0 &&
+          max(col(idxCol)) === count(lit(1)) - 1).as("contiguous"))
+      .withColumn("valid",
+        col("contiguous") && col("has_assistant") && col("n_empty") === 0)
+  }
+}
