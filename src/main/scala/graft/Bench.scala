@@ -18,6 +18,18 @@ object Bench {
     "q_semantic_dedup", "q_bm25_topk", "q_knn_graph_lsh",
     "q_paragraph_dedup")
 
+  /** Headline rows timed under FULL materialization (all output columns
+    * hashed) instead of count(): these queries' expensive work is per-row
+    * computed columns (clean-text reassembly, per-doc scores, rendered
+    * strings) that do not change the row count, so count() would let
+    * Catalyst prune exactly the work the row claims to time — the
+    * documented bench trap. Kept separate from [[headline]] so the
+    * original rows' semantics stay comparable across rounds.
+    */
+  val headlineForced: Seq[String] = Seq(
+    "q_c4_lines", "q_gopher_rules", "q_lm_score", "q_dsir_weights",
+    "q_bloom_decontaminate", "q_fuzzy_decontaminate", "q_sft_render")
+
   def time[A](f: => A): Double = {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
   }
@@ -101,9 +113,20 @@ object Bench {
     // classloading don't bill the first timed call — the bench measures
     // steady-state throughput (the 100 TB regime), not JIT startup.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    def forceAll(df: org.apache.spark.sql.DataFrame): Unit = {
+      import org.apache.spark.sql.functions.{bit_xor, col, xxhash64}
+      df.select(xxhash64(df.columns.map(col): _*).as("h"))
+        .agg(bit_xor(col("h"))).head()
+      ()
+    }
     headline.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      }
+    }
+    headlineForced.foreach { name =>
+      SparkEntry.queries.get(name).foreach { fn =>
+        try forceAll(fn(spark, warmDir)) catch { case _: Throwable => () }
       }
     }
 
@@ -113,6 +136,12 @@ object Bench {
       SparkEntry.queries.get(name).map { fn =>
         name -> (try math.min(time(fn(spark, sfDir).count()),
                               time(fn(spark, sfDir).count()))
+                 catch { case _: Throwable => -1.0 })
+      }
+    } ++ headlineForced.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        name -> (try math.min(time(forceAll(fn(spark, sfDir))),
+                              time(forceAll(fn(spark, sfDir))))
                  catch { case _: Throwable => -1.0 })
       }
     }
