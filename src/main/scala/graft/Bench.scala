@@ -34,6 +34,19 @@ object Bench {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
   }
 
+  /** Full-materialization action over EVERY output column — the shared
+    * forcing idiom of the bench mains (count() would let Catalyst prune
+    * computed columns that don't change the row count, the documented
+    * bench trap). [[sftRunFrom]] inlines a fused variant because it also
+    * needs the turn count from the same single action.
+    */
+  private[graft] def forceAll(df: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{bit_xor, col, xxhash64}
+    df.select(xxhash64(df.columns.map(col): _*).as("h"))
+      .agg(bit_xor(col("h"))).head()
+    ()
+  }
+
   /** Transcript pipeline throughput: nConvs conversations (~3.45 turns/conv
     * at the Zipf default) through parse→enrich→route→aggregate, both
     * aggregates materialized. One full-data pass: the salted partial
@@ -113,12 +126,6 @@ object Bench {
     // classloading don't bill the first timed call — the bench measures
     // steady-state throughput (the 100 TB regime), not JIT startup.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    def forceAll(df: org.apache.spark.sql.DataFrame): Unit = {
-      import org.apache.spark.sql.functions.{bit_xor, col, xxhash64}
-      df.select(xxhash64(df.columns.map(col): _*).as("h"))
-        .agg(bit_xor(col("h"))).head()
-      ()
-    }
     headline.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }

@@ -58,11 +58,7 @@ object CurationScalingBench {
   }
 
   /** Full-materialization action over every output column (no pruning). */
-  private def forceAll(df: DataFrame): Unit = {
-    df.select(xxhash64(df.columns.map(col): _*).as("h"))
-      .agg(bit_xor(col("h"))).head()
-    ()
-  }
+  private def forceAll(df: DataFrame): Unit = Bench.forceAll(df)
 
   def main(args: Array[String]): Unit = {
     val nDocs = args.headOption.map(_.toLong).getOrElse(1000000L)

@@ -2711,8 +2711,10 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_empty,
         |  BOOL_OR(role = 'assistant') AS has_assistant,
-        |  (MIN(turn_idx) = 0 AND MAX(turn_idx) = COUNT(*) - 1) AS contiguous,
         |  (MIN(turn_idx) = 0 AND MAX(turn_idx) = COUNT(*) - 1
+        |   AND COUNT(DISTINCT turn_idx) = COUNT(*)) AS contiguous,
+        |  (MIN(turn_idx) = 0 AND MAX(turn_idx) = COUNT(*) - 1
+        |   AND COUNT(DISTINCT turn_idx) = COUNT(*)
         |   AND BOOL_OR(role = 'assistant')
         |   AND SUM(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END) = 0)
         |    AS valid

@@ -55,53 +55,61 @@ object SftPrep {
     * turn text (the invariant SftPrepSpec and the q_sft_render oracle
     * both assert).
     *
-    * Plan: one hash-agg shuffle on the conversation key
-    * (`collect_list` + `array_sort` puts turns in turn_idx order — struct
-    * ordering is lexicographic and turn_idx leads), then the string and
-    * the spans are built by one `array_join(transform(...))` and one
-    * linear `aggregate` fold per row — no second exchange, no window, no
-    * UDF. Duplicate turn_idx within a conversation would silently render
-    * twice, so it raises (the library's fail-fast-on-data-bugs
-    * convention, see AsOfJoin's duplicate-instant guard).
+    * Plan: a per-turn window prefix sum over exact character counts (the
+    * same formula the SQL oracle replays), then one hash aggregation on
+    * the conversation key (`collect_list` + `array_sort` puts turns in
+    * turn_idx order — struct ordering is lexicographic and turn_idx
+    * leads); the string and the span array are built by per-element
+    * `transform`s over the sorted list. Both the window and the
+    * aggregation distribute on the conversation key — ONE exchange on a
+    * scattered layout, ZERO on a conv-bucketed table — and every
+    * per-group step is linear in conversation length (no fold that
+    * re-copies the accumulated array per element). Duplicate turn_idx
+    * within a conversation would silently render twice, so every output
+    * column derived from the turn list raises on it (the library's
+    * fail-fast-on-data-bugs convention, see AsOfJoin's duplicate-instant
+    * guard); the guard rides the turn list itself, so column pruning
+    * cannot drop it while any rendered output is read.
     */
   def chatTemplate(df: DataFrame, convCol: String = "conv_id",
                    idxCol: String = "turn_idx", roleCol: String = "role",
                    textCol: String = "text"): DataFrame = {
     checkCols(df, Seq(convCol, idxCol, roleCol, textCol),
-      Seq("_ts", "_acc", "n_turns", "rendered_len", "rendered", "spans"))
+      Seq("_ts", "_hlen", "_tlen", "_start",
+        "n_turns", "rendered_len", "rendered", "spans"))
+    val w = Window.partitionBy(col(convCol)).orderBy(col(idxCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val hlen = (length(col(roleCol)) + lit(5)).cast("long")
+    val tlen = length(col(textCol)).cast("long")
+    val withSpans = df
+      .withColumn("_hlen", hlen)
+      .withColumn("_tlen", tlen)
+      .withColumn("_start",
+        coalesce(sum(col("_hlen") + col("_tlen") + lit(FooterLen)).over(w),
+          lit(0L)) + col("_hlen") + lit(1L))
     val sorted = array_sort(collect_list(struct(
-      col(idxCol).as("i"), col(roleCol).as("r"), col(textCol).as("t"))))
-    val spanType =
-      "array<struct<turn_idx:int,role:string,start:bigint,len:bigint>>"
-    val acc = aggregate(
-      col("_ts"),
-      struct(lit(0L).as("pos"), array().cast(spanType).as("spans"),
-        lit(-1).as("prev")),
-      (a, t) => {
-        val pos = a.getField("pos")
-        val hlen = length(t.getField("r")).cast("long") + lit(5L)
-        val tlen = length(t.getField("t")).cast("long")
-        val dup = when(t.getField("i") <= a.getField("prev"),
-          raise_error(concat(lit("chatTemplate: duplicate turn_idx "),
-            t.getField("i").cast("string")))).otherwise(t.getField("i"))
-        struct(
-          (pos + hlen + tlen + lit(FooterLen)).as("pos"),
-          concat(a.getField("spans"), array(struct(
-            dup.as("turn_idx"), t.getField("r").as("role"),
-            (pos + hlen + lit(1L)).as("start"),
-            tlen.as("len")))).as("spans"),
-          t.getField("i").as("prev"))
-      })
-    df.groupBy(col(convCol))
-      .agg(sorted.as("_ts"))
-      .withColumn("_acc", acc)
+      col(idxCol).as("i"), col(roleCol).as("r"), col(textCol).as("t"),
+      col("_start").as("s"), col("_tlen").as("l"))))
+    val guarded = when(
+      size(col("_ts")) =!=
+        size(array_distinct(transform(col("_ts"), t => t.getField("i")))),
+      raise_error(concat(lit("chatTemplate: duplicate turn_idx in "),
+        col(convCol).cast("string")))).otherwise(col("_ts"))
+    withSpans.groupBy(col(convCol))
+      .agg(sorted.as("_ts"),
+        sum(col("_hlen") + col("_tlen") + lit(FooterLen))
+          .as("rendered_len"))
+      .withColumn("_ts", guarded)
       .select(col(convCol),
         size(col("_ts")).as("n_turns"),
-        col("_acc.pos").as("rendered_len"),
+        col("rendered_len"),
         array_join(transform(col("_ts"), t => concat(
           lit("<|"), t.getField("r"), lit("|>\n"),
           t.getField("t"), lit("<|end|>\n"))), "").as("rendered"),
-        col("_acc.spans").as("spans"))
+        transform(col("_ts"), t => struct(
+          t.getField("i").as("turn_idx"), t.getField("r").as("role"),
+          t.getField("s").as("start"), t.getField("l").as("len")))
+          .as("spans"))
   }
 
   /** Assistant-only loss spans from a [[chatTemplate]] frame: one row per
@@ -162,9 +170,10 @@ object SftPrep {
     * (ties broken toward the SMALLEST `candCol`), rejected = lowest
     * (ties toward the LARGEST), emitted only when chosen's score is
     * strictly greater than rejected's (all-tied groups and singleton
-    * groups produce no pair). `candCol` must be numeric and unique within
-    * a group, which makes both orderings total — the pair is
-    * deterministic under any partitioning.
+    * groups produce no pair). `candCol` must be numeric and SHOULD be
+    * unique within a group; the ordering struct ends with the payload,
+    * so even a duplicated (score, cand) pair resolves deterministically
+    * (by payload ordering) under any partitioning.
     *
     * Plan: ONE hash aggregation — `max_by`/`min_by` over the total
     * ordering struct (score, -cand). Partial aggregation collapses
@@ -181,7 +190,8 @@ object SftPrep {
       Seq("_cand", "_ord", "_ch", "_rj"))
     val cand = struct(col(candCol).as("id"), col(scoreCol).as("score"),
       col(payloadCol).as("payload"))
-    val ord = struct(col(scoreCol).as("s"), negate(col(candCol)).as("ni"))
+    val ord = struct(col(scoreCol).as("s"), negate(col(candCol)).as("ni"),
+      col(payloadCol).as("p"))
     df.groupBy(col(groupCol))
       .agg(max_by(cand, ord).as("_ch"), min_by(cand, ord).as("_rj"))
       .where(col("_ch.score") > col("_rj.score"))
@@ -222,7 +232,8 @@ object SftPrep {
         max(when(col(roleCol) === "assistant", true).otherwise(false))
           .as("has_assistant"),
         (min(col(idxCol)) === 0 &&
-          max(col(idxCol)) === count(lit(1)) - 1).as("contiguous"))
+          max(col(idxCol)) === count(lit(1)) - 1 &&
+          countDistinct(col(idxCol)) === count(lit(1))).as("contiguous"))
       .withColumn("valid",
         col("contiguous") && col("has_assistant") && col("n_empty") === 0)
   }

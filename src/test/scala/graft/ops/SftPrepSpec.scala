@@ -61,6 +61,23 @@ class SftPrepSpec extends SparkTestBase {
       SftPrep.chatTemplate(dup).collect()
     }
     assert(e.getMessage.contains("duplicate turn_idx"))
+    // the guard must survive column pruning: reading ONLY `rendered`
+    // (spans never materialized) still raises instead of silently
+    // rendering the duplicate twice
+    val e2 = intercept[Exception] {
+      SftPrep.chatTemplate(dup).select("rendered").collect()
+    }
+    assert(e2.getMessage.contains("duplicate turn_idx"))
+  }
+
+  test("chatTemplate accepts negative turn_idx (distinct indices, any base)") {
+    val df = Seq(("c1", -1, "system", "be nice"), ("c1", 0, "user", "hi"))
+      .toDF("conv_id", "turn_idx", "role", "text")
+    val r = SftPrep.chatTemplate(df).collect()(0)
+    assert(r.getAs[String]("rendered") ===
+      "<|system|>\nbe nice<|end|>\n<|user|>\nhi<|end|>\n")
+    val spans = r.getSeq[org.apache.spark.sql.Row](4)
+    assert(spans.map(_.getInt(0)) === Seq(-1, 0))
   }
 
   test("lossMaskSpans covers assistant text plus the end marker, ordinals dense") {
@@ -128,7 +145,10 @@ class SftPrepSpec extends SparkTestBase {
       ("p3", 0, 7L, "x"), ("p3", 1, 2L, "y"), ("p3", 2, 2L, "z"),
       // all tied → no pair; singleton → no pair
       ("p4", 0, 3L, "q"), ("p4", 1, 3L, "r"),
-      ("p5", 0, 8L, "s")
+      ("p5", 0, 8L, "s"),
+      // duplicated (score, cand): ordering falls through to the payload,
+      // so chosen resolves deterministically to the larger payload
+      ("p6", 0, 9L, "dup-a"), ("p6", 0, 9L, "dup-b"), ("p6", 1, 1L, "lo")
     ).toDF("prompt", "cand", "score", "payload")
     val got = SftPrep.preferencePairs(df, "prompt", "cand", "score", "payload")
       .select("prompt", "chosen_id", "rejected_id", "chosen_score",
@@ -138,7 +158,8 @@ class SftPrepSpec extends SparkTestBase {
     assert(got === Array(
       ("p1", 1, 0, 9L, 1L, 8L, "t1", "t0"),
       ("p2", 0, 2, 5L, 1L, 4L, "a", "c"),
-      ("p3", 0, 2, 7L, 2L, 5L, "x", "z")))
+      ("p3", 0, 2, 7L, 2L, 5L, "x", "z"),
+      ("p6", 0, 1, 9L, 1L, 8L, "dup-b", "lo")))
   }
 
   test("validateTranscripts flags gaps, empties, repeats, missing assistant") {
@@ -151,7 +172,11 @@ class SftPrepSpec extends SparkTestBase {
       // starts at 1
       ("s", 1, "user", "a"), ("s", 2, "assistant", "b"),
       // empty text + no assistant
-      ("e", 0, "user", "  "), ("e", 1, "tool", "x")
+      ("e", 0, "user", "  "), ("e", 1, "tool", "x"),
+      // duplicate idx masking a gap: min=0, max=2, count=3 — only the
+      // distinct-count term catches it
+      ("d", 0, "user", "a"), ("d", 2, "assistant", "b"),
+      ("d", 2, "assistant", "c")
     ).toDF("conv_id", "turn_idx", "role", "text")
     val got = SftPrep.validateTranscripts(df)
       .select("conv_id", "n_turns", "n_role_repeats", "n_empty",
@@ -159,6 +184,7 @@ class SftPrepSpec extends SparkTestBase {
       .as[(String, Long, Long, Long, Boolean, Boolean, Boolean)]
       .collect().sortBy(_._1).toList
     assert(got === List(
+      ("d", 3L, 1L, 0L, true, false, false),
       ("e", 2L, 0L, 1L, false, true, false),
       ("g", 2L, 0L, 0L, true, false, false),
       ("s", 2L, 0L, 0L, true, false, false),
