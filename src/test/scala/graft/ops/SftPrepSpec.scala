@@ -191,6 +191,30 @@ class SftPrepSpec extends SparkTestBase {
       ("v", 3L, 1L, 0L, true, true, true)))
   }
 
+  test("rendered conversations pack greedily into training sequences (composition)") {
+    val turns = TranscriptGen.turnsDs(spark, 40).toDF()
+    val rendered = SftPrep.chatTemplate(turns)
+      .withColumn("id",
+        regexp_extract(col("conv_id"), "([0-9]+)$", 1).cast("long"))
+      .withColumn("n_toks",
+        TextAnalysis.tokenCountWs(col("rendered")).cast("long"))
+    val budget = 512
+    val packed = Packing.packGreedy(rendered.select("id", "n_toks"),
+      "id", "n_toks", budget = budget, nShards = 4)
+    // every rendered conversation lands in exactly one pack
+    assert(packed.count() === rendered.count())
+    assert(packed.select("id").distinct().count() === rendered.count())
+    // no pack exceeds the budget unless it holds a single oversized example
+    val over = packed.groupBy("shard", "pack")
+      .agg(sum("n_tokens").as("tot"), count(lit(1)).as("n"))
+      .where(col("tot") > budget && col("n") > 1)
+    assert(over.count() === 0)
+    // token accounting is lossless through the composition
+    val lhs = packed.agg(sum("n_tokens")).head().getLong(0)
+    val rhs = rendered.agg(sum("n_toks")).head().getLong(0)
+    assert(lhs === rhs)
+  }
+
   test("internal-name and fail-fast guards") {
     val bad = handConv.withColumn("spans", lit(1))
     intercept[IllegalArgumentException] { SftPrep.chatTemplate(bad) }
