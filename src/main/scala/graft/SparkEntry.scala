@@ -681,6 +681,17 @@ object SparkEntry {
     "q_lm_score" -> ((s, d) =>
       graft.ops.TextAnalysis.lmScore(t(s, d, "documents"), "doc_id", "text")),
 
+    // Bigram Stupid-Backoff LM scoring (Brants et al. 2007): dictionaries
+    // from the EVEN-doc subset, the whole corpus scored against them —
+    // so seen-bigram, backoff (unseen bigram over seen unigrams), OOV,
+    // and first-token paths all fire. Exact micro-nat long sums; the
+    // backoff charge is the integer spec constant 916291 = Q(-ln 0.4),
+    // hardcoded identically in the oracle.
+    "q_lm2_score" -> ((s, d) =>
+      graft.ops.TextAnalysis.lmScoreBigram(t(s, d, "documents"), "doc_id",
+        "text", t(s, d, "documents").where(col("doc_id") % 2 === 0),
+        "text")),
+
     // BPE tokenizer: 8 merge rules learned on the corpus (iterative
     // most-frequent-pair fusion over the collapsed vocabulary), then
     // per-doc token counts under them. Training is deterministic (total-
@@ -1537,6 +1548,70 @@ object SparkEntry {
         |  CAST(COALESCE(a.nll_micro // a.n_tokens, 0) AS BIGINT)
         |    AS mean_nll_micro
         |FROM documents doc LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // Bigram Stupid-Backoff replay: ref-subset unigram AND bigram counts
+    // recomputed in SQL and cross-checked by the dict joins (ON (w, cnt)
+    // and ON (w1, w2, c12, c1)); the token total cross-checks via the
+    // 1-row _input_lm2tot join, which also imports the quantized OOV
+    // floor ln(T); the backoff charge 916291 = round(-ln(0.4)·1e6) is the
+    // spec constant, hardcoded on both sides. A count mismatch empties a
+    // dict/oov CTE and NULLs the sums — poison semantics, the row goes
+    // red rather than silently passing.
+    "q_lm2_score" ->
+      """WITH rws AS (SELECT list_filter(string_split(
+        |      regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '),
+        |      x -> x <> '') AS ws
+        |    FROM documents WHERE doc_id % 2 = 0),
+        |rcw AS (SELECT unnest(ws) AS w FROM rws),
+        |cnts AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM rcw
+        |         GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM cnts),
+        |uni AS (SELECT c.w, i.nll_micro FROM cnts c
+        |        JOIN read_parquet('__OUT__/_input_lm2uni/*.parquet') i
+        |          ON i.w = c.w AND i.cnt = c.cnt),
+        |oov AS (SELECT o.oov_micro
+        |        FROM read_parquet('__OUT__/_input_lm2tot/*.parquet') o
+        |        JOIN tot ON o.t_total = tot.t),
+        |rbg AS (SELECT z[1] AS w1, z[2] AS w2,
+        |          CAST(COUNT(*) AS BIGINT) AS c12
+        |        FROM (SELECT unnest(list_zip(ws[1:len(ws)-1],
+        |                ws[2:len(ws)])) AS z
+        |              FROM rws WHERE len(ws) >= 2) q GROUP BY 1, 2),
+        |bi AS (SELECT b.w1, b.w2, i.nll_micro FROM rbg b
+        |       JOIN cnts c ON c.w = b.w1
+        |       JOIN read_parquet('__OUT__/_input_lm2/*.parquet') i
+        |         ON i.w1 = b.w1 AND i.w2 = b.w2
+        |        AND i.c12 = b.c12 AND i.c1 = c.cnt),
+        |dws AS (SELECT doc_id, list_filter(string_split(
+        |      regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '),
+        |      x -> x <> '') AS ws FROM documents),
+        |toks AS (
+        |  SELECT doc_id, CAST(NULL AS VARCHAR) AS w1, ws[1] AS w2
+        |  FROM dws WHERE len(ws) >= 1
+        |  UNION ALL
+        |  SELECT doc_id, z[1], z[2]
+        |  FROM (SELECT doc_id, unnest(list_zip(ws[1:len(ws)-1],
+        |          ws[2:len(ws)])) AS z
+        |        FROM dws WHERE len(ws) >= 2) q),
+        |sc AS (SELECT t.doc_id,
+        |         CASE WHEN b.nll_micro IS NOT NULL THEN b.nll_micro
+        |              WHEN t.w1 IS NULL THEN
+        |                COALESCE(u.nll_micro, (SELECT oov_micro FROM oov))
+        |              ELSE 916291 +
+        |                COALESCE(u.nll_micro, (SELECT oov_micro FROM oov))
+        |         END AS nll
+        |       FROM toks t
+        |       LEFT JOIN bi b ON b.w1 = t.w1 AND b.w2 = t.w2
+        |       LEFT JOIN uni u ON u.w = t.w2),
+        |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |          CAST(SUM(nll) AS BIGINT) AS nll_micro FROM sc
+        |        GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(a.nll_micro, 0) AS BIGINT) AS nll_micro,
+        |  CAST(COALESCE(a.nll_micro // a.n_tokens, 0) AS BIGINT)
+        |    AS mean_nll_micro
+        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     // BPE encode: full recursive-CTE replay — every distinct word starts
     // as its character list and repeatedly merges the LEFTMOST occurrence

@@ -82,6 +82,27 @@ object Verify {
     // ln imports (the Bm25/DSIR convention).
     graft.ops.TextAnalysis.unigramNllDict(docs, "text")
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_input_lm")
+    // Bigram Stupid-Backoff primitives (q_lm2_score): dictionaries built
+    // over the EVEN-doc reference subset so the backoff and OOV paths
+    // genuinely fire when the full corpus is scored against them. Exact
+    // counts ride along and are recomputed/cross-checked by the oracle's
+    // joins; only the quantized ln imports (the Bm25 idf convention). The
+    // 1-row total frame carries the OOV floor ln(T), joined ON t_total so
+    // the token total itself is cross-checked.
+    locally {
+      import spark.implicits._
+      val refDocs = docs.where(col("doc_id") % 2 === 0)
+      graft.ops.TextAnalysis.bigramNllDict(refDocs, "text")
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_input_lm2")
+      val uni = graft.ops.TextAnalysis.unigramNllDict(refDocs, "text")
+      uni.coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/_input_lm2uni")
+      val t = uni.agg(sum(col("cnt"))).head().getLong(0)
+      Seq((t, math.floor(math.log(t.toDouble) * 1e6 + 0.5).toLong))
+        .toDF("t_total", "oov_micro")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/_input_lm2tot")
+    }
     // Temperature-mixture pow dictionary (q_temperature_mixture): the
     // max-normalized (n/n_max)^alpha is the one transcendental — dumped
     // quantized per group WITH n_docs so the oracle's join cross-checks

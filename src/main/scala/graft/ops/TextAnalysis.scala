@@ -163,6 +163,133 @@ object TextAnalysis {
           .otherwise(expr("nll_micro div n_tokens"))) // exact integer div
   }
 
+  /** Stupid-Backoff score of −ln(0.4) in micro-nats: the backoff factor
+    * is a spec CONSTANT (Brants et al. 2007 fix α = 0.4), so both the
+    * engine and any SQL replay carry the same integer literal — it is
+    * not a per-row transcendental import.
+    */
+  val BackoffNllMicro: Long = 916291L // round(-ln(0.4) * 1e6)
+
+  /** Bigram conditional-NLL dictionary over a reference corpus:
+    * (w1, w2, c12, c1, nll_micro) with nll = −ln(c12 / c1), quantized
+    * ONCE per dictionary row (the [[unigramNllDict]] / [[Bm25]]
+    * convention — both exact counts ride along so an oracle's join
+    * ON (w1, w2, c12, c1) cross-checks the counting while importing only
+    * the quantized transcendental). The dictionary is bounded by the
+    * OBSERVED bigram vocabulary, not the corpus: broadcastable to ~10^7
+    * rows; past that the scale path is the [[Bm25]]-style durable
+    * hash-range-clustered dictionary join.
+    */
+  def bigramNllDict(ref: DataFrame, textCol: String): DataFrame = {
+    val pc = pairCountRows(ref, textCol)
+    val c1 = pc.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    pc.where(col("w2").isNotNull).join(c1, Seq("w1"))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        floor(-log(col("c12").cast("double") / col("c1")) * 1e6 + 0.5d)
+          .cast("long").as("nll_micro"))
+  }
+
+  /** (w1, w2 = following word or NULL at document end, c12): every token
+    * contributes exactly one row as w1, so `SUM(c12) GROUP BY w1` is the
+    * corpus unigram count — the bigram AND unigram dictionaries both
+    * derive from this ONE corpus scan (the [[Bm25]] single-scan lesson).
+    */
+  private def pairCountRows(ref: DataFrame, textCol: String): DataFrame = {
+    val words = Curation.normWords(col(textCol))
+    ref.select(explode(when(size(words) >= 1,
+        zip_with(words,
+          concat(slice(words, lit(2), size(words) - 1),
+            array(lit(null).cast("string"))),
+          (a, b) => struct(a.as("w1"), b.as("w2"))))
+      .otherwise(array()
+        .cast("array<struct<w1:string,w2:string>>"))).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("c12"))
+  }
+
+  /** Bigram LM quality scoring with Stupid Backoff (Brants et al. 2007 —
+    * the published WEB-SCALE distributed n-gram LM: no normalization
+    * pass, so the dictionary build stays one aggregation): closes the
+    * [[lmScore]] doc's "KenLM-style n-gram table" seam at order 2. Each
+    * token scores
+    *
+    *   −ln( c(w1,w2)/c(w1) )          seen bigram,
+    *   −ln(0.4) + −ln( c(w2)/T )      unseen bigram, seen unigram,
+    *   −ln(0.4) + −ln( 1/T )          out-of-vocabulary token,
+    *
+    * and a document's FIRST token scores as a plain unigram (no backoff
+    * charge — there is no conditioning context to back off from). Every
+    * `ln` is quantized once per dictionary row; the backoff charge is the
+    * integer spec constant [[BackoffNllMicro]]; the OOV floor −ln(1/T)
+    * quantizes once per CORPUS (one tiny dictionary-total collect, like
+    * the BPE trainer's 1-row argmax). Per-doc scores are therefore exact
+    * long sums + one exact integer division — partitioning-invariant,
+    * rankable, bit-replayable in SQL.
+    *
+    * `ref` is the dictionary corpus (defaults to `df`, the self-scoring
+    * setup); pass a CLEAN reference (the Wenzek et al. usage) to score a
+    * raw corpus against it — unseen bigrams then genuinely back off and
+    * unknown words pay the OOV floor. Output: (doc_id, n_tokens,
+    * nll_micro, mean_nll_micro); empty docs score (0, 0, 0).
+    *
+    * Scale shape: both dictionaries broadcast; the corpus explodes to one
+    * row per token (narrow), takes two broadcast hash joins, and
+    * collapses back to one row per doc in a single partial-agg'd
+    * exchange — the [[lmScore]] plan plus one join, no new shuffle.
+    */
+  def lmScoreBigram(df: DataFrame, idCol: String, textCol: String,
+                    ref: DataFrame = null, refTextCol: String = null)
+      : DataFrame = {
+    val refDf = Option(ref).getOrElse(df)
+    val refText = Option(refTextCol).getOrElse(textCol)
+    // ONE reference-corpus scan: the (w1, w2-or-null) pair counts carry
+    // both dictionaries (the Bm25 single-scan lesson); the frame is
+    // bounded by the observed bigram vocabulary, so the eager
+    // localCheckpoint is small and every consumer below reuses it.
+    val pc = pairCountRows(refDf, refText).localCheckpoint(true)
+    val c1 = pc.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val bi = pc.where(col("w2").isNotNull).join(c1, Seq("w1"))
+      .select(col("w1"), col("w2"),
+        floor(-log(col("c12").cast("double") / col("c1")) * 1e6 + 0.5d)
+          .cast("long").as("_b"))
+    // OOV floor: -ln(1/T) = ln(T), quantized once per corpus (T is the
+    // reference token total — one tiny scalar action, like the BPE
+    // trainer's per-iteration argmax)
+    val tot = c1.agg(sum(col("c1"))).head().getLong(0)
+    require(tot > 0, "lmScoreBigram: reference corpus has no tokens")
+    val oovMicro = math.floor(math.log(tot.toDouble) * 1e6 + 0.5d).toLong
+    val uni = c1.select(col("w1").as("w2"),
+      floor(-log(col("c1").cast("double") / tot.toDouble) * 1e6 + 0.5d)
+        .cast("long").as("_u"))
+    val words = Curation.normWords(col(textCol))
+    // one row per token: (w1 = previous word or null-at-doc-start, w2)
+    val toks = df.select(col(idCol).as("doc_id"),
+        explode_outer(when(size(words) >= 1,
+          zip_with(
+            concat(array(lit(null).cast("string")),
+              slice(words, lit(1), size(words) - 1)),
+            words,
+            (a, b) => struct(a.as("w1"), b.as("w2"))))
+          .otherwise(array()
+            .cast("array<struct<w1:string,w2:string>>"))).as("t"))
+      .select(col("doc_id"), col("t.w1").as("w1"), col("t.w2").as("w2"))
+    toks
+      .join(broadcast(bi), Seq("w1", "w2"), "left")
+      .join(broadcast(uni), Seq("w2"), "left")
+      .withColumn("_nll",
+        when(col("w2").isNull, lit(null).cast("long")) // empty doc
+          .when(col("_b").isNotNull, col("_b"))        // seen bigram
+          .when(col("w1").isNull, coalesce(col("_u"), lit(oovMicro)))
+          .otherwise(lit(BackoffNllMicro) +
+            coalesce(col("_u"), lit(oovMicro))))
+      .groupBy(col("doc_id"))
+      .agg(count(col("w2")).as("n_tokens"),
+        coalesce(sum(col("_nll")), lit(0L)).as("nll_micro"))
+      .withColumn("mean_nll_micro",
+        when(col("n_tokens") === 0, lit(0L))
+          .otherwise(expr("nll_micro div n_tokens")))
+  }
+
   /** One-stop profile frame used by tests and SparkEntry queries. */
   def profile(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("lang_id", langId(col(textCol)))

@@ -130,4 +130,57 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(byId(0L) > byId(1L) && byId(3L) > byId(0L))
     assert(byId(2L) === 0L)
   }
+
+  test("lmScoreBigram ≡ driver Stupid-Backoff replay (seen bigram, " +
+    "backoff, OOV, first-token paths all fire); partitioning-invariant") {
+    val ref = Seq(
+      (0L, "the cat sat"), (2L, "the cat ran"), (4L, "a dog sat")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (0L, "the cat sat"),   // every bigram in the dictionary
+      (1L, "the cat zebra"), // unseen bigram whose w2 is also OOV
+      (2L, ""),              // empty doc → (0, 0, 0)
+      (3L, "sat the cat"),   // unseen bigram over SEEN unigrams → backoff
+      (5L, "zebra")          // single OOV token → first-token OOV floor
+    ).toDF("doc_id", "text")
+    // independent replay
+    def toks(s: String): Array[String] =
+      s.toLowerCase.replaceAll("[^a-z0-9 ]", " ").split(" ").filter(_.nonEmpty)
+    val refToks = ref.select($"text").as[String].collect().map(toks)
+    val c1 = refToks.flatten.groupBy(identity).map { case (w, o) => w -> o.size }
+    val c12 = refToks.flatMap(ws => ws.zip(ws.drop(1)))
+      .groupBy(identity).map { case (p, o) => p -> o.size }
+    val t = refToks.map(_.length).sum
+    def q(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+    val oov = q(math.log(t.toDouble))
+    def uniNll(w: String): Long =
+      c1.get(w).map(c => q(-math.log(c.toDouble / t.toDouble)))
+        .getOrElse(oov)
+    def tokNll(prev: Option[String], w: String): Long = prev match {
+      case None => uniNll(w)
+      case Some(p) => c12.get((p, w))
+        .map(c => q(-math.log(c.toDouble / c1(p))))
+        .getOrElse(916291L + uniNll(w))
+    }
+    val expected = corpus.as[(Long, String)].collect().map { case (id, s) =>
+      val ws = toks(s)
+      val nll = ws.zipWithIndex.map { case (w, i) =>
+        tokNll(if (i == 0) None else Some(ws(i - 1)), w) }.sum
+      id -> ((id, ws.length.toLong, nll,
+        if (ws.isEmpty) 0L else nll / ws.length))
+    }.toMap
+    def run(parts: Int) =
+      TextAnalysis.lmScoreBigram(corpus.repartition(parts), "doc_id", "text",
+          ref, "text")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val got = run(3)
+    assert(got === run(1))
+    got.foreach { case r @ (id, _, _, _) => assert(r === expected(id)) }
+    // self-scoring default: dictionary = corpus, no OOV path
+    val self = TextAnalysis.lmScoreBigram(ref, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(self.length === 3 && self.forall(_._3 > 0))
+    // the constant really is round(-ln(0.4) * 1e6)
+    assert(TextAnalysis.BackoffNllMicro === q(-math.log(0.4)))
+  }
 }
