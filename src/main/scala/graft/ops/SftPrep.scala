@@ -204,6 +204,70 @@ object SftPrep {
         col("_rj.payload").as("rejected_payload"))
   }
 
+  /** Ingest-time SFT assembly: render conversations AS THEY COMPLETE on
+    * the stream instead of re-scanning the corpus in batch. A
+    * conversation completes when the event-time watermark passes its
+    * session window (`gap` of silence closes it — the same
+    * session_window boundary the tail sampler uses); the closed
+    * session's turns then flow through the SAME batch [[chatTemplate]]
+    * inside foreachBatch, so the streamed output cannot drift from the
+    * batch operator (parity by construction, spec-verified). A
+    * conversation that resumes after the gap renders as a NEW example
+    * keyed `conv_id#<session-start-micros>`; the batch render over the
+    * full corpus remains the compaction-time re-render for consumers
+    * that need whole-history examples.
+    *
+    * Output: parquet under `outDir/rendered/batch_id=<id>` —
+    * deterministic per-batch directories with overwrite, the
+    * [[graft.StreamingPipeline]] idempotence pattern (a replayed batch
+    * rewrites identical bytes). State is bounded by the watermark
+    * window: closed sessions leave the store; this never caches
+    * corpus-lifetime keys.
+    */
+  def startStreamingRender(spark: org.apache.spark.sql.SparkSession,
+                           inputDir: String, outDir: String,
+                           checkpointDir: String,
+                           gap: String = "30 minutes",
+                           watermark: String = "10 minutes",
+                           triggerMs: Long = 200L)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.streaming.Trigger
+    val stream = spark.readStream.schema(graft.Schemas.turn)
+      .option("maxFilesPerTrigger", 8)
+      .parquet(inputDir)
+      .withWatermark("ts", watermark)
+    val sessions = stream
+      .groupBy(col("conv_id"), session_window(col("ts"), gap))
+      .agg(collect_list(struct(col("turn_idx"), col("role"), col("text")))
+        .as("_turns"))
+      .select(
+        concat(col("conv_id"), lit("#"),
+          unix_micros(col("session_window.start")).cast("string"))
+          .as("example_id"),
+        col("_turns"))
+    sessions.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val turns = batch
+          .select(col("example_id"), explode(col("_turns")).as("t"))
+          .select(col("example_id"), col("t.turn_idx").as("turn_idx"),
+            col("t.role").as("role"), col("t.text").as("text"))
+        chatTemplate(turns, convCol = "example_id")
+          .write.mode("overwrite")
+          .parquet(s"$outDir/rendered/batch_id=$batchId")
+        ()
+      }
+      .start()
+  }
+
+  /** Everything the streaming render produced (all batch directories). */
+  def readRendered(spark: org.apache.spark.sql.SparkSession,
+                   outDir: String): DataFrame =
+    spark.read.option("basePath", s"$outDir/rendered")
+      .parquet(s"$outDir/rendered/batch_id=*")
+
   /** Structural validation before SFT prep: per conversation, the counts
     * a data card needs and a `valid` verdict — turn_idx must be
     * contiguous from 0, texts non-empty, and at least one assistant turn

@@ -215,6 +215,64 @@ class SftPrepSpec extends SparkTestBase {
     assert(lhs === rhs)
   }
 
+  test("plan gate: chatTemplate on the conv-bucketed corpus has no data exchange") {
+    val dir = tmpDir("sft-bkt")
+    val turns = TranscriptGen.turnsDs(spark, 120).toDF()
+    graft.BucketedCorpus.write(turns, s"$dir/corpus",
+      "graft_corpus_sft_plan", buckets = 4)
+    try {
+      val opened = graft.BucketedCorpus.open(spark, s"$dir/corpus",
+        "graft_corpus_sft_plan", 4)
+      val rendered = SftPrep.chatTemplate(opened)
+      rendered.count()
+      val plan = rendered.queryExecution.executedPlan.toString
+      // HashPartitioning(conv_id) from the bucketed scan satisfies both
+      // the span window and the render aggregation — zero data exchange,
+      // the shape the SFT scaling row measured at 20.77M turns
+      assert(!plan.contains("Exchange hashpartitioning"), plan.take(4000))
+      assert(!plan.contains("Exchange SinglePartition"), plan.take(4000))
+      // and it renders the same strings as the scattered layout
+      val scattered = SftPrep.chatTemplate(turns.repartition(7))
+        .select("conv_id", "rendered")
+      assert(rendered.select("conv_id", "rendered")
+        .exceptAll(scattered).isEmpty && scattered.exceptAll(
+          rendered.select("conv_id", "rendered")).isEmpty)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_corpus_sft_plan")
+  }
+
+  test("streaming render ≡ batch chatTemplate once sessions close") {
+    val inputDir = tmpDir("sft-stream-in")
+    val outDir = tmpDir("sft-stream-out")
+    val ckptDir = tmpDir("sft-stream-ckpt")
+    val turns = TranscriptGen.turnsDs(spark, 60).toDF()
+    turns.repartition(3).write.mode("append").parquet(inputDir)
+    // gap larger than any intra-conversation step (≤ 60 s in the
+    // generator) → exactly one session per conversation
+    val q = SftPrep.startStreamingRender(spark, inputDir, outDir, ckptDir,
+      gap = "1 hour", watermark = "0 seconds")
+    q.processAllAvailable()
+    // sentinel far in the future pushes the watermark past every real
+    // session end so all sessions close and emit
+    Seq(("wm-sentinel", 0, "user", "x", "none", "2031-01-01 00:00:00"))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "s")
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
+        col("tool"), to_timestamp(col("s")).as("ts"))
+      .write.mode("append").parquet(inputDir)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = SftPrep.readRendered(spark, outDir)
+      .where(!col("example_id").startsWith("wm-sentinel"))
+      .select(regexp_extract(col("example_id"), "^(.*)#", 1).as("conv_id"),
+        col("n_turns"), col("rendered_len"), col("rendered"))
+    val batch = SftPrep.chatTemplate(turns)
+      .select(col("conv_id"), col("n_turns"), col("rendered_len"),
+        col("rendered"))
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty,
+      s"streamed=${streamed.count()} batch=${batch.count()}")
+    assert(batch.count() === 60)
+  }
+
   test("internal-name and fail-fast guards") {
     val bad = handConv.withColumn("spans", lit(1))
     intercept[IllegalArgumentException] { SftPrep.chatTemplate(bad) }
