@@ -389,6 +389,13 @@ object SparkEntry {
         .select(col("conv_id"), col("span_ord"), col("turn_idx"),
           col("start"), col("len"), col("rendered_len"))),
 
+    // Token-level span alignment: per-turn token ranges in the
+    // conversation's concatenated token stream, loss-flagged.
+    "q_sft_token_spans" -> ((s, _) =>
+      graft.ops.SftPrep.tokenSpans(TranscriptGen.turnsDs(s, 500).toDF())
+        .select(col("conv_id"), col("turn_idx"), col("role"),
+          col("n_toks"), col("tok_start"), col("is_loss"))),
+
     // Whole-turn suffix truncation to a 64-token budget (ws tokens).
     "q_sft_truncate" -> ((s, _) =>
       graft.ops.SftPrep.truncateToBudget(
@@ -2733,6 +2740,22 @@ object SparkEntry {
         |  CAST(tlen + 8 AS BIGINT) AS len,
         |  CAST(rlen AS BIGINT) AS rendered_len
         |FROM o WHERE role = 'assistant'""".stripMargin,
+
+    // Token spans: ws token counts (empty-text CASE) prefix-summed in
+    // turn order; 1-based half-open ranges.
+    "q_sft_token_spans" ->
+      """WITH t AS (SELECT conv_id, turn_idx, role,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END AS nt
+        |  FROM read_parquet('__OUT__/_input_turns/*.parquet'))
+        |SELECT conv_id, turn_idx, role,
+        |  CAST(nt AS BIGINT) AS n_toks,
+        |  CAST(COALESCE(SUM(nt) OVER (PARTITION BY conv_id
+        |    ORDER BY turn_idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+        |    AS BIGINT) AS tok_start,
+        |  role = 'assistant' AS is_loss
+        |FROM t""".stripMargin,
 
     // Whole-turn suffix truncation: ws token counts (with the empty-text
     // CASE the engine's tokenCountWs uses) cumulated from the LAST turn.

@@ -136,6 +136,45 @@ object SftPrep {
         col("_ls.start"), col("_ls.len"), col("rendered_len"))
   }
 
+  /** Token-level span alignment: per turn, the half-open token range the
+    * turn's TEXT occupies in its conversation's concatenated token
+    * stream, plus the loss flag — the coordinates a trainer's loss mask
+    * actually consumes (the char spans of [[chatTemplate]] serve
+    * retrieval/debugging; token spans serve masking and packing).
+    * Tokens are whitespace tokens over the turn texts ONLY — template
+    * markers carry no token budget, the same accounting convention the
+    * packing and quota operators use; swap in BPE counts by
+    * pre-computing a count column and passing its name as `tokenCol`.
+    *
+    * Output: one row per turn — (convCol, idxCol, roleCol, n_toks,
+    * tok_start, is_loss) with tok_start the 1-based first token index
+    * and `is_loss` true on `lossRole` turns. Invariants (spec-gated):
+    * ranges tile the stream exactly (turn i+1 starts where i ends) and
+    * Σ n_toks = the conversation's token count. One window exchange on
+    * the conversation key — zero on a conv-bucketed table, the
+    * [[chatTemplate]] plan shape.
+    */
+  def tokenSpans(df: DataFrame, convCol: String = "conv_id",
+                 idxCol: String = "turn_idx", roleCol: String = "role",
+                 textCol: String = "text", lossRole: String = "assistant",
+                 tokenCol: Option[String] = None): DataFrame = {
+    require(lossRole.nonEmpty, "lossRole must be non-empty")
+    checkCols(df,
+      Seq(convCol, idxCol, roleCol) ++
+        tokenCol.map(Seq(_)).getOrElse(Seq(textCol)),
+      Seq("n_toks", "tok_start", "is_loss"))
+    val nTok = tokenCol.map(col).getOrElse(
+      TextAnalysis.tokenCountWs(col(textCol))).cast("long")
+    val w = Window.partitionBy(col(convCol)).orderBy(col(idxCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("n_toks", nTok)
+      .withColumn("tok_start",
+        coalesce(sum(col("n_toks")).over(w), lit(0L)) + lit(1L))
+      .withColumn("is_loss", col(roleCol) === lit(lossRole))
+      .select(col(convCol), col(idxCol), col(roleCol), col("n_toks"),
+        col("tok_start"), col("is_loss"))
+  }
+
   /** Keep the SUFFIX of each conversation that fits a whole-turn token
     * budget — the standard SFT truncation (most recent context survives;
     * a turn either fits entirely or is dropped). Tokens are whitespace

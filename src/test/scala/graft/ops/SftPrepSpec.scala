@@ -104,6 +104,40 @@ class SftPrepSpec extends SparkTestBase {
     assert(ordsOk.count() === 0)
   }
 
+  test("tokenSpans tile the conversation token stream exactly") {
+    val turns = TranscriptGen.turnsDs(spark, 40).toDF()
+    val spans = SftPrep.tokenSpans(turns)
+    // tiling: next turn starts where this one ends
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    val broken = spans
+      .withColumn("_next", lead(col("tok_start"), 1).over(w))
+      .where(col("_next").isNotNull &&
+        col("_next") =!= col("tok_start") + col("n_toks"))
+    assert(broken.count() === 0)
+    // first turn starts at 1; Σ n_toks = conversation token count
+    assert(spans.where(col("turn_idx") === 0 && col("tok_start") =!= 1)
+      .count() === 0)
+    val totals = spans.groupBy("conv_id").agg(sum("n_toks").as("got"))
+      .join(turns.groupBy("conv_id").agg(
+        sum(TextAnalysis.tokenCountWs(col("text")).cast("long")).as("want")),
+        Seq("conv_id"))
+      .where(col("got") =!= col("want"))
+    assert(totals.count() === 0)
+    // loss flag marks exactly the assistant turns
+    assert(spans.where(col("is_loss") =!= (col("role") === "assistant"))
+      .count() === 0)
+    // hand case incl. an empty text (0 tokens → zero-width span)
+    val hand = Seq(("c", 0, "user", "a b"), ("c", 1, "assistant", "  "),
+      ("c", 2, "tool", "x y z"))
+      .toDF("conv_id", "turn_idx", "role", "text")
+    val got = SftPrep.tokenSpans(hand)
+      .select("turn_idx", "n_toks", "tok_start", "is_loss")
+      .as[(Int, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(got === Array((0, 2L, 1L, false), (1, 0L, 3L, true),
+      (2, 3L, 3L, false)))
+  }
+
   test("truncateToBudget keeps a whole-turn suffix within budget") {
     val df = Seq(
       ("c1", 0, "a b c d"),     // 4 tokens
