@@ -97,7 +97,10 @@ object Verify {
       val uni = graft.ops.TextAnalysis.unigramNllDict(refDocs, "text")
       uni.coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/_input_lm2uni")
-      val t = uni.agg(sum(col("cnt"))).head().getLong(0)
+      val tRow = uni.agg(sum(col("cnt"))).head()
+      require(!tRow.isNullAt(0) && tRow.getLong(0) > 0,
+        "bigram-LM dump: reference subset has no tokens")
+      val t = tRow.getLong(0)
       Seq((t, math.floor(math.log(t.toDouble) * 1e6 + 0.5).toLong))
         .toDF("t_total", "oov_micro")
         .coalesce(1).write.mode("overwrite")

@@ -167,9 +167,22 @@ object SftPrep {
       TextAnalysis.tokenCountWs(col(textCol))).cast("long")
     val w = Window.partitionBy(col(convCol)).orderBy(col(idxCol))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // duplicate turn_idx would make the prefix sum order-dependent
+    // (silently nondeterministic mask coordinates) — raise, like
+    // chatTemplate. The peer count reuses the same window spec (RANGE
+    // frame = rows tied on the ORDER BY value), so the guard costs no
+    // extra exchange or sort; it rides tok_start so pruning keeps it
+    // whenever the alignment output is read.
+    val peers = count(lit(1)).over(
+      Window.partitionBy(col(convCol)).orderBy(col(idxCol))
+        .rangeBetween(Window.currentRow, Window.currentRow))
     df.withColumn("n_toks", nTok)
       .withColumn("tok_start",
-        coalesce(sum(col("n_toks")).over(w), lit(0L)) + lit(1L))
+        when(peers > 1, raise_error(concat(
+          lit("tokenSpans: duplicate turn_idx in "),
+          col(convCol).cast("string"))).cast("long"))
+          .otherwise(coalesce(sum(col("n_toks")).over(w), lit(0L)) +
+            lit(1L)))
       .withColumn("is_loss", col(roleCol) === lit(lossRole))
       .select(col(convCol), col(idxCol), col(roleCol), col("n_toks"),
         col("tok_start"), col("is_loss"))
@@ -268,11 +281,14 @@ object SftPrep {
                            checkpointDir: String,
                            gap: String = "30 minutes",
                            watermark: String = "10 minutes",
-                           triggerMs: Long = 200L)
+                           triggerMs: Long = 200L,
+                           maxFilesPerTrigger: Int = 8)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(maxFilesPerTrigger > 0,
+      s"maxFilesPerTrigger must be positive: $maxFilesPerTrigger")
     import org.apache.spark.sql.streaming.Trigger
     val stream = spark.readStream.schema(graft.Schemas.turn)
-      .option("maxFilesPerTrigger", 8)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(inputDir)
       .withWatermark("ts", watermark)
     val sessions = stream
@@ -301,11 +317,27 @@ object SftPrep {
       .start()
   }
 
-  /** Everything the streaming render produced (all batch directories). */
+  /** Everything the streaming render produced (all batch directories);
+    * an empty frame with the render schema before the first batch lands
+    * (a consumer polling "produced so far" must not crash on the
+    * empty-start case). The empty schema derives from [[chatTemplate]]
+    * itself, so it cannot drift from the operator.
+    */
   def readRendered(spark: org.apache.spark.sql.SparkSession,
-                   outDir: String): DataFrame =
-    spark.read.option("basePath", s"$outDir/rendered")
-      .parquet(s"$outDir/rendered/batch_id=*")
+                   outDir: String): DataFrame = {
+    val base = new java.io.File(s"$outDir/rendered")
+    val batches = Option(base.listFiles())
+      .map(_.filter(_.getName.startsWith("batch_id="))).getOrElse(Array())
+    if (batches.isEmpty) {
+      val emptyTurns = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          graft.Schemas.turn)
+        .withColumnRenamed("conv_id", "example_id")
+      chatTemplate(emptyTurns, convCol = "example_id")
+    } else
+      spark.read.option("basePath", s"$outDir/rendered")
+        .parquet(s"$outDir/rendered/batch_id=*")
+  }
 
   /** Structural validation before SFT prep: per conversation, the counts
     * a data card needs and a `valid` verdict — turn_idx must be

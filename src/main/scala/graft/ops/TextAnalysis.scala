@@ -126,6 +126,14 @@ object TextAnalysis {
     * oracle's join ON (w, cnt) cross-checks the counting while importing
     * only the quantized transcendental).
     */
+  /** −ln(p) in integer micro-nats — the ONE quantization every LM
+    * dictionary row goes through (engine paths, Verify dumps, and the
+    * oracles' imports must stay bit-identical, so the formula lives
+    * exactly once).
+    */
+  private def nllMicro(p: Column): Column =
+    floor(-log(p) * 1e6 + 0.5d).cast("long")
+
   def unigramNllDict(ref: DataFrame, textCol: String): DataFrame = {
     val counts = ref
       .select(explode(Curation.normWords(col(textCol))).as("w"))
@@ -133,8 +141,7 @@ object TextAnalysis {
     val tot = counts.agg(sum(col("cnt")).as("_t"))
     counts.crossJoin(broadcast(tot))
       .select(col("w"), col("cnt"),
-        floor(-log(col("cnt").cast("double") / col("_t")) * 1e6 + 0.5d)
-          .cast("long").as("nll_micro"))
+        nllMicro(col("cnt").cast("double") / col("_t")).as("nll_micro"))
   }
 
   /** Perplexity-style quality scoring (the CCNet / Wenzek et al. LM
@@ -180,13 +187,18 @@ object TextAnalysis {
     * rows; past that the scale path is the [[Bm25]]-style durable
     * hash-range-clustered dictionary join.
     */
-  def bigramNllDict(ref: DataFrame, textCol: String): DataFrame = {
-    val pc = pairCountRows(ref, textCol)
+  def bigramNllDict(ref: DataFrame, textCol: String): DataFrame =
+    bigramNllDictFrom(pairCountRows(ref, textCol).localCheckpoint(true))
+
+  /** The dictionary select over a (computed-once) pair-count frame — the
+    * engine's scoring path and the Verify dump both route through here,
+    * so their quantized rows are bit-identical by construction.
+    */
+  private def bigramNllDictFrom(pc: DataFrame): DataFrame = {
     val c1 = pc.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     pc.where(col("w2").isNotNull).join(c1, Seq("w1"))
       .select(col("w1"), col("w2"), col("c12"), col("c1"),
-        floor(-log(col("c12").cast("double") / col("c1")) * 1e6 + 0.5d)
-          .cast("long").as("nll_micro"))
+        nllMicro(col("c12").cast("double") / col("c1")).as("nll_micro"))
   }
 
   /** (w1, w2 = following word or NULL at document end, c12): every token
@@ -248,19 +260,19 @@ object TextAnalysis {
     // localCheckpoint is small and every consumer below reuses it.
     val pc = pairCountRows(refDf, refText).localCheckpoint(true)
     val c1 = pc.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
-    val bi = pc.where(col("w2").isNotNull).join(c1, Seq("w1"))
-      .select(col("w1"), col("w2"),
-        floor(-log(col("c12").cast("double") / col("c1")) * 1e6 + 0.5d)
-          .cast("long").as("_b"))
+    val bi = bigramNllDictFrom(pc)
+      .select(col("w1"), col("w2"), col("nll_micro").as("_b"))
     // OOV floor: -ln(1/T) = ln(T), quantized once per corpus (T is the
     // reference token total — one tiny scalar action, like the BPE
-    // trainer's per-iteration argmax)
-    val tot = c1.agg(sum(col("c1"))).head().getLong(0)
-    require(tot > 0, "lmScoreBigram: reference corpus has no tokens")
+    // trainer's per-iteration argmax). head() on SUM of an empty frame
+    // yields a NULL cell, so check it before getLong.
+    val totRow = c1.agg(sum(col("c1"))).head()
+    require(!totRow.isNullAt(0) && totRow.getLong(0) > 0,
+      "lmScoreBigram: reference corpus has no tokens")
+    val tot = totRow.getLong(0)
     val oovMicro = math.floor(math.log(tot.toDouble) * 1e6 + 0.5d).toLong
     val uni = c1.select(col("w1").as("w2"),
-      floor(-log(col("c1").cast("double") / tot.toDouble) * 1e6 + 0.5d)
-        .cast("long").as("_u"))
+      nllMicro(col("c1").cast("double") / tot.toDouble).as("_u"))
     val words = Curation.normWords(col(textCol))
     // one row per token: (w1 = previous word or null-at-doc-start, w2)
     val toks = df.select(col(idCol).as("doc_id"),

@@ -136,6 +136,14 @@ class SftPrepSpec extends SparkTestBase {
       .as[(Int, Long, Long, Boolean)].collect().sortBy(_._1)
     assert(got === Array((0, 2L, 1L, false), (1, 0L, 3L, true),
       (2, 3L, 3L, false)))
+    // duplicate turn_idx would make the coordinates order-dependent →
+    // raises (like chatTemplate), even when only tok_start is read
+    val dup = Seq(("c", 5, "user", "a"), ("c", 5, "tool", "b c"))
+      .toDF("conv_id", "turn_idx", "role", "text")
+    val e = intercept[Exception] {
+      SftPrep.tokenSpans(dup).select("tok_start").collect()
+    }
+    assert(e.getMessage.contains("duplicate turn_idx"))
   }
 
   test("truncateToBudget keeps a whole-turn suffix within budget") {
@@ -282,18 +290,21 @@ class SftPrepSpec extends SparkTestBase {
     turns.repartition(3).write.mode("append").parquet(inputDir)
     // gap larger than any intra-conversation step (≤ 60 s in the
     // generator) → exactly one session per conversation
+    // before any batch lands, readRendered is an empty frame, not a crash
+    assert(SftPrep.readRendered(spark, outDir).count() === 0)
     val q = SftPrep.startStreamingRender(spark, inputDir, outDir, ckptDir,
       gap = "1 hour", watermark = "0 seconds")
-    q.processAllAvailable()
-    // sentinel far in the future pushes the watermark past every real
-    // session end so all sessions close and emit
-    Seq(("wm-sentinel", 0, "user", "x", "none", "2031-01-01 00:00:00"))
-      .toDF("conv_id", "turn_idx", "role", "text", "tool", "s")
-      .select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
-        col("tool"), to_timestamp(col("s")).as("ts"))
-      .write.mode("append").parquet(inputDir)
-    q.processAllAvailable()
-    q.stop()
+    try {
+      q.processAllAvailable()
+      // sentinel far in the future pushes the watermark past every real
+      // session end so all sessions close and emit
+      Seq(("wm-sentinel", 0, "user", "x", "none", "2031-01-01 00:00:00"))
+        .toDF("conv_id", "turn_idx", "role", "text", "tool", "s")
+        .select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
+          col("tool"), to_timestamp(col("s")).as("ts"))
+        .write.mode("append").parquet(inputDir)
+      q.processAllAvailable()
+    } finally q.stop()
     val streamed = SftPrep.readRendered(spark, outDir)
       .where(!col("example_id").startsWith("wm-sentinel"))
       .select(regexp_extract(col("example_id"), "^(.*)#", 1).as("conv_id"),

@@ -182,5 +182,12 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(self.length === 3 && self.forall(_._3 > 0))
     // the constant really is round(-ln(0.4) * 1e6)
     assert(TextAnalysis.BackoffNllMicro === q(-math.log(0.4)))
+    // an all-empty reference fails fast with the documented message, not
+    // an NPE on the null SUM cell
+    val emptyRef = Seq((0L, ""), (1L, "!!!")).toDF("doc_id", "text")
+    val err = intercept[IllegalArgumentException] {
+      TextAnalysis.lmScoreBigram(corpus, "doc_id", "text", emptyRef, "text")
+    }
+    assert(err.getMessage.contains("no tokens"))
   }
 }
