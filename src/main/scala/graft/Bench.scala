@@ -108,6 +108,36 @@ object Bench {
     (sec, n)
   }
 
+  /** The REST of the SFT family for the scaling bench — token-span
+    * alignment, whole-turn truncation, preference pairs, and structural
+    * validation, each forced through the all-columns hash. All four are
+    * one window/aggregation on the conversation key (zero exchange on
+    * the bucketed layout), so together with [[sftRunFrom]] this times
+    * the complete turns→trainer-input pass. Returns (seconds, turns
+    * validated).
+    */
+  def sftPrepRunFrom(spark: SparkSession,
+                     turns: org.apache.spark.sql.DataFrame): (Double, Long) = {
+    import org.apache.spark.sql.functions._
+    var n = 0L
+    val sec = time {
+      forceAll(graft.ops.SftPrep.tokenSpans(turns))
+      forceAll(graft.ops.SftPrep.truncateToBudget(turns, budget = 64))
+      val cands = turns.where(col("role") === "assistant")
+        .select(col("conv_id"), col("turn_idx"), col("text"),
+          (lit(0L) - regexp_extract(col("text"), "latency=([0-9]+)ms", 1)
+            .cast("long")).as("score"))
+      forceAll(graft.ops.SftPrep.preferencePairs(cands, "conv_id",
+        "turn_idx", "score", "text"))
+      val v = graft.ops.SftPrep.validateTranscripts(turns)
+      n = v.select(xxhash64(v.columns.map(col): _*).as("h"),
+          col("n_turns"))
+        .agg(bit_xor(col("h")).as("x"), sum(col("n_turns")).as("n"))
+        .head().getLong(1)
+    }
+    (sec, n)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -70,10 +70,13 @@ object ScalingBench {
     val lo = args.lift(1).map(_.toInt).getOrElse(8)
     val hi = args.lift(2).map(_.toInt).getOrElse(32)
     // optional 4th arg: which job to time over the corpus —
-    // "pipeline" (default: parse→enrich→route→aggregate) or
-    // "sft" (SftPrep.chatTemplate render, all columns forced)
+    // "pipeline" (default: parse→enrich→route→aggregate),
+    // "sft" (SftPrep.chatTemplate render, all columns forced), or
+    // "sftprep" (token spans + truncation + preference pairs +
+    // validation, all forced)
     val stage = args.lift(3).getOrElse("pipeline")
-    require(Set("pipeline", "sft")(stage), s"unknown stage: $stage")
+    require(Set("pipeline", "sft", "sftprep")(stage),
+      s"unknown stage: $stage")
 
     // production shape: the timed job READS the corpus (vectorized parquet
     // scan from tmpfs) rather than generating rows inline — a real
@@ -99,9 +102,11 @@ object ScalingBench {
           if (bucketed) BucketedCorpus.open(spark, corpusDir, "graft_corpus")
           else spark.read.parquet(corpusDir)
         val salt = Aggregate.saltFor(convClustered = bucketed)
-        val job: () => (Double, Long) =
-          if (stage == "sft") () => Bench.sftRunFrom(spark, turns)
-          else () => Bench.pipelineRunFrom(spark, turns, salt)
+        val job: () => (Double, Long) = stage match {
+          case "sft"     => () => Bench.sftRunFrom(spark, turns)
+          case "sftprep" => () => Bench.sftPrepRunFrom(spark, turns)
+          case _         => () => Bench.pipelineRunFrom(spark, turns, salt)
+        }
         // full-size warmup: codegen + classloading outside the timed runs
         job()
         val io = new IoListener
