@@ -680,6 +680,13 @@ object SparkEntry {
       graft.ops.TextAnalysis.bpePairCounts(t(s, d, "documents"), "text",
         k = 40, minCount = 2)),
 
+    // Corpus data card: per-(source, lang) exact integer statistics —
+    // docs/chars/tokens/empties, Gopher pass counts at the published
+    // defaults, normalized-word totals.
+    "q_corpus_report" -> ((s, d) =>
+      graft.ops.Curation.corpusReport(t(s, d, "documents"), "doc_id",
+        "text", Seq("source", "lang"))),
+
     // Perplexity-style LM quality scoring (CCNet-shaped): per-doc total
     // and mean token NLL in integer micro-nats under the corpus unigram
     // distribution — exact long sums + exact integer division, so the
@@ -1555,6 +1562,71 @@ object SparkEntry {
         |  CAST(COALESCE(a.nll_micro // a.n_tokens, 0) AS BIGINT)
         |    AS mean_nll_micro
         |FROM documents doc LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // Corpus report: the whole Gopher rule arithmetic (counts, ratio
+    // cross-multiplications, keep) replayed per document at the
+    // PUBLISHED defaults (50..100000 words), plus token/char/word stats,
+    // aggregated per (source, lang).
+    "q_corpus_report" ->
+      """WITH m AS (SELECT source, lang,
+        |    CAST(length(text) AS BIGINT) AS nchars,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END AS ntok,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> x <> '') AS lw,
+        |    string_split(text, chr(10)) AS ls,
+        |    (length(text) - length(replace(text, '#', '')))
+        |      + (length(text) - length(replace(text, '...', '')))//3
+        |      AS n_symbols,
+        |    list_filter(string_split(
+        |      regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '),
+        |      x -> x <> '') AS nw
+        |  FROM documents),
+        |f AS (SELECT source, lang, nchars, ntok, n_symbols,
+        |    len(lw) AS n_words,
+        |    COALESCE(list_sum(list_transform(lw, x -> len(x))), 0)
+        |      AS n_word_chars,
+        |    len(ls) AS n_lines,
+        |    len(list_filter(ls, x -> regexp_matches(trim(x), '^[-*•]')))
+        |      AS n_bullet,
+        |    len(list_filter(ls, x -> regexp_matches(trim(x),
+        |      '(\.\.\.|…)$'))) AS n_ellipsis,
+        |    len(list_filter(lw, x -> regexp_matches(x, '[A-Za-z]')))
+        |      AS n_alpha_words,
+        |    len(list_filter(lw, x -> list_contains(
+        |      ['the','be','to','of','and','that','have','with'],
+        |      lower(x)))) AS n_stop_hits,
+        |    len(nw) AS n_norm_words,
+        |    len(list_distinct(nw)) AS n_distinct_words
+        |  FROM m),
+        |k AS (SELECT *,
+        |    (n_words BETWEEN 50 AND 100000)
+        |      AND (n_words > 0 AND n_word_chars >= 3*n_words
+        |           AND n_word_chars <= 10*n_words)
+        |      AND 10*n_symbols <= n_words
+        |      AND 10*n_bullet <= 9*n_lines
+        |      AND 10*n_ellipsis <= 3*n_lines
+        |      AND 5*n_alpha_words >= 4*n_words
+        |      AND n_stop_hits >= 2 AS keep,
+        |    5*n_alpha_words >= 4*n_words AS f_alpha,
+        |    n_stop_hits >= 2 AS f_stop
+        |  FROM f)
+        |SELECT source, lang,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(nchars) AS BIGINT) AS n_chars,
+        |  CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN ntok = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_empty,
+        |  CAST(SUM(n_words) AS BIGINT) AS n_gopher_words,
+        |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_gopher_keep,
+        |  CAST(SUM(CASE WHEN f_alpha THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_alpha_ok,
+        |  CAST(SUM(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_stop_ok,
+        |  CAST(SUM(n_norm_words) AS BIGINT) AS n_norm_words,
+        |  CAST(SUM(n_distinct_words) AS BIGINT) AS n_distinct_words
+        |FROM k GROUP BY 1, 2""".stripMargin,
 
     // Bigram Stupid-Backoff replay: ref-subset unigram AND bigram counts
     // recomputed in SQL and cross-checked by the dict joins (ON (w, cnt)

@@ -758,4 +758,48 @@ object Curation {
       .select(keyCols.map(col) :+
         explode(col("picks").getField("id")).as(idCol): _*)
   }
+
+  /** Corpus data card: per group (source, language, shard, …) the exact
+    * integer statistics a dataset datasheet reports — document/char/token
+    * counts, empty docs, Gopher-rule pass counts ([[QualityRules
+    * .gopherRules]] flags at their published defaults, carried through
+    * the rule projection rather than joined back on the id, so the
+    * corpus never shuffles on the document key), and normalized-word
+    * totals (Σ per-doc words and Σ per-doc DISTINCT words — the exact
+    * building blocks of a vocabulary-richness ratio; ratios themselves
+    * are left to the reader so every reported number stays an exact
+    * long). ONE narrow scan + one aggregation whose group count is the
+    * (source × lang × …) dimensionality — broadcast-tiny at any corpus
+    * size.
+    */
+  def corpusReport(df: DataFrame, idCol: String, textCol: String,
+                   groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "corpusReport needs at least one group column")
+    val internal = Seq("_rep_nchars", "_rep_ntok", "_rep_nw", "_rep_ndw")
+    (groupCols :+ idCol :+ textCol).foreach(c =>
+      require(df.columns.contains(c), s"missing input column: $c"))
+    internal.foreach(c => require(!df.columns.contains(c),
+      s"input must not contain internal column name: $c"))
+    val words = normWords(col(textCol))
+    val pre = df
+      .withColumn("_rep_nchars", length(col(textCol)).cast("long"))
+      .withColumn("_rep_ntok",
+        TextAnalysis.tokenCountWs(col(textCol)).cast("long"))
+      .withColumn("_rep_nw", size(words).cast("long"))
+      .withColumn("_rep_ndw", size(array_distinct(words)).cast("long"))
+    QualityRules.gopherRules(pre, idCol, textCol,
+        carryCols = groupCols ++ internal)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("_rep_nchars")).as("n_chars"),
+        sum(col("_rep_ntok")).as("n_tokens"),
+        sum(when(col("_rep_ntok") === 0, 1L).otherwise(0L)).as("n_empty"),
+        sum(col("n_words")).as("n_gopher_words"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_gopher_keep"),
+        sum(when(col("f_alpha"), 1L).otherwise(0L)).as("n_alpha_ok"),
+        sum(when(col("f_stop"), 1L).otherwise(0L)).as("n_stop_ok"),
+        sum(col("_rep_nw")).as("n_norm_words"),
+        sum(col("_rep_ndw")).as("n_distinct_words"))
+  }
 }

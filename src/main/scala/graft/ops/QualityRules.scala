@@ -136,12 +136,19 @@ object QualityRules {
   def gopherRules(df: DataFrame, idCol: String, textCol: String,
                   minWords: Long = 50L, maxWords: Long = 100000L,
                   minMeanLen: Long = 3L, maxMeanLen: Long = 10L,
-                  stopwords: Seq[String] = gopherStopwords): DataFrame = {
+                  stopwords: Seq[String] = gopherStopwords,
+                  carryCols: Seq[String] = Nil): DataFrame = {
     require(minWords >= 1, s"minWords must be >= 1: $minWords")
     require(maxWords >= minWords, s"maxWords must be >= minWords: $maxWords")
     require(minMeanLen >= 1 && maxMeanLen >= minMeanLen,
       s"mean-length band invalid: [$minMeanLen, $maxMeanLen]")
     require(stopwords.nonEmpty, "stopwords must be non-empty")
+    // carryCols ride through both projections untouched — the zero-cost
+    // alternative to joining the stats frame back on idCol (a corpus-size
+    // shuffle) when a caller needs grouping columns next to the flags
+    carryCols.foreach(c => require(df.columns.contains(c),
+      s"carry column missing from input: $c"))
+    val carry = carryCols.map(col)
     val t = trim(col(textCol))
     val words = filter(split(t, "\\s+"), w => w =!= "")
     val lines = split(col(textCol), "\n", -1)
@@ -153,9 +160,9 @@ object QualityRules {
       length(regexp_replace(col("_t"), "\\.\\.\\.", ""))) / 3).cast("long")
     val nHash = (length(col("_t")) -
       length(regexp_replace(col("_t"), "#", ""))).cast("long")
-    df.select(col(idCol), col(textCol).as("_t"),
-        words.as("_w"), lines.as("_l"))
-      .select(col(idCol),
+    df.select(col(idCol) +: carry ++: Seq(col(textCol).as("_t"),
+        words.as("_w"), lines.as("_l")): _*)
+      .select(col(idCol) +: carry ++: Seq(
         size(col("_w")).cast("long").as("n_words"),
         aggregate(col("_w"), lit(0L), (acc, w) => acc + length(w))
           .as("n_word_chars"),
@@ -168,7 +175,7 @@ object QualityRules {
         size(filter(col("_w"), w => w.rlike("[A-Za-z]")))
           .cast("long").as("n_alpha_words"),
         size(filter(col("_w"), w => array_contains(stopArr, lower(w))))
-          .cast("long").as("n_stop_hits"))
+          .cast("long").as("n_stop_hits")): _*)
       .withColumn("f_word_count",
         col("n_words").between(minWords, maxWords))
       .withColumn("f_mean_len",

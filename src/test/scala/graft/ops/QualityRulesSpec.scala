@@ -279,6 +279,47 @@ class QualityRulesSpec extends SparkTestBase {
 
   // ---- scale shape ------------------------------------------------------
 
+  test("corpusReport ≡ explicit gopherRules-join-aggregate composition; " +
+    "never shuffles on the document key") {
+    val docs = corpus
+      .withColumn("source", concat(lit("s"), (col("doc_id") % 3)))
+      .withColumn("lang", concat(lit("l"), (col("doc_id") % 2)))
+    val report = Curation.corpusReport(docs, "doc_id", "text",
+      Seq("source", "lang"))
+    // independent composition: run the rules WITHOUT carryCols, join the
+    // flags back on doc_id, aggregate the same statistics
+    val words = Curation.normWords(col("text"))
+    val expected = QualityRules.gopherRules(docs.select("doc_id", "text"),
+        "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("source"), col("lang"),
+        length(col("text")).cast("long").as("nc"),
+        TextAnalysis.tokenCountWs(col("text")).cast("long").as("nt"),
+        size(words).cast("long").as("nw"),
+        size(array_distinct(words)).cast("long").as("ndw")), Seq("doc_id"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("nc").as("n_chars"),
+        sum("nt").as("n_tokens"),
+        sum(when(col("nt") === 0, 1L).otherwise(0L)).as("n_empty"),
+        sum("n_words").as("n_gopher_words"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_gopher_keep"),
+        sum(when(col("f_alpha"), 1L).otherwise(0L)).as("n_alpha_ok"),
+        sum(when(col("f_stop"), 1L).otherwise(0L)).as("n_stop_ok"),
+        sum("nw").as("n_norm_words"), sum("ndw").as("n_distinct_words"))
+    assert(report.exceptAll(expected).isEmpty &&
+      expected.exceptAll(report).isEmpty)
+    assert(report.count() === 6)
+    // the report's one exchange is the tiny group aggregation — the
+    // corpus is never shuffled on the document key
+    report.collect()
+    val plan = report.queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning(doc_id"), plan.take(3000))
+    // carryCols guard: missing column fails fast
+    intercept[IllegalArgumentException] {
+      QualityRules.gopherRules(corpus, "doc_id", "text",
+        carryCols = Seq("nope"))
+    }
+  }
+
   test("plan gate: all three operators run with zero exchanges") {
     Seq(
       QualityRules.c4LineFilter(corpus, "doc_id", "text"),
