@@ -145,9 +145,19 @@ object QualityRules {
     require(stopwords.nonEmpty, "stopwords must be non-empty")
     // carryCols ride through both projections untouched — the zero-cost
     // alternative to joining the stats frame back on idCol (a corpus-size
-    // shuffle) when a caller needs grouping columns next to the flags
-    carryCols.foreach(c => require(df.columns.contains(c),
-      s"carry column missing from input: $c"))
+    // shuffle) when a caller needs grouping columns next to the flags.
+    // They must not collide with the rule outputs: withColumn would
+    // silently OVERWRITE a carried `keep`/`f_*`, and a carried count
+    // name would surface later as an ambiguous reference.
+    val outputs = Set("n_words", "n_word_chars", "n_symbols", "n_lines",
+      "n_bullet", "n_ellipsis", "n_alpha_words", "n_stop_hits",
+      "f_word_count", "f_mean_len", "f_symbol", "f_bullet", "f_ellipsis",
+      "f_alpha", "f_stop", "keep", "_t", "_w", "_l", idCol)
+    carryCols.foreach { c =>
+      require(df.columns.contains(c), s"carry column missing from input: $c")
+      require(!outputs(c),
+        s"carry column collides with a gopherRules output: $c")
+    }
     val carry = carryCols.map(col)
     val t = trim(col(textCol))
     val words = filter(split(t, "\\s+"), w => w =!= "")

@@ -313,10 +313,16 @@ class QualityRulesSpec extends SparkTestBase {
     report.collect()
     val plan = report.queryExecution.executedPlan.toString
     assert(!plan.contains("hashpartitioning(doc_id"), plan.take(3000))
-    // carryCols guard: missing column fails fast
+    // carryCols guards: missing column and output-name collision both
+    // fail fast (a carried `keep` would otherwise be silently
+    // overwritten by the rule verdict)
     intercept[IllegalArgumentException] {
       QualityRules.gopherRules(corpus, "doc_id", "text",
         carryCols = Seq("nope"))
+    }
+    intercept[IllegalArgumentException] {
+      QualityRules.gopherRules(corpus.withColumn("keep", lit(1)),
+        "doc_id", "text", carryCols = Seq("keep"))
     }
   }
 
