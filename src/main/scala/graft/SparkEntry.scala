@@ -687,6 +687,14 @@ object SparkEntry {
       graft.ops.Curation.corpusReport(t(s, d, "documents"), "doc_id",
         "text", Seq("source", "lang"))),
 
+    // Trigram Stupid-Backoff LM scoring: the order-3 instance of the
+    // backoff chain (same even-doc dictionaries, one more level — seen
+    // trigram / +BO bigram / +2BO unigram / OOV floor).
+    "q_lm3_score" -> ((s, d) =>
+      graft.ops.TextAnalysis.lmScoreTrigram(t(s, d, "documents"), "doc_id",
+        "text", t(s, d, "documents").where(col("doc_id") % 2 === 0),
+        "text")),
+
     // Perplexity-style LM quality scoring (CCNet-shaped): per-doc total
     // and mean token NLL in integer micro-nats under the corpus unigram
     // distribution — exact long sums + exact integer division, so the
@@ -1627,6 +1635,83 @@ object SparkEntry {
         |  CAST(SUM(n_norm_words) AS BIGINT) AS n_norm_words,
         |  CAST(SUM(n_distinct_words) AS BIGINT) AS n_distinct_words
         |FROM k GROUP BY 1, 2""".stripMargin,
+
+    // Trigram Stupid-Backoff replay: ref-subset unigram, bigram, AND
+    // trigram counts recomputed in SQL and cross-checked by the dict
+    // joins (trigram ON (w1,w2,w3,c123,c12) with c12 itself recomputed);
+    // the two-level CASE chain charges 916291 per backoff hop exactly as
+    // the engine does.
+    "q_lm3_score" ->
+      """WITH rws AS (SELECT list_filter(string_split(
+        |      regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '),
+        |      x -> x <> '') AS ws
+        |    FROM documents WHERE doc_id % 2 = 0),
+        |rcw AS (SELECT unnest(ws) AS w FROM rws),
+        |cnts AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM rcw
+        |         GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM cnts),
+        |uni AS (SELECT c.w, i.nll_micro FROM cnts c
+        |        JOIN read_parquet('__OUT__/_input_lm2uni/*.parquet') i
+        |          ON i.w = c.w AND i.cnt = c.cnt),
+        |oov AS (SELECT o.oov_micro
+        |        FROM read_parquet('__OUT__/_input_lm2tot/*.parquet') o
+        |        JOIN tot ON o.t_total = tot.t),
+        |rbg AS (SELECT z[1] AS w1, z[2] AS w2,
+        |          CAST(COUNT(*) AS BIGINT) AS c12
+        |        FROM (SELECT unnest(list_zip(ws[1:len(ws)-1],
+        |                ws[2:len(ws)])) AS z
+        |              FROM rws WHERE len(ws) >= 2) q GROUP BY 1, 2),
+        |bi AS (SELECT b.w1, b.w2, i.nll_micro FROM rbg b
+        |       JOIN cnts c ON c.w = b.w1
+        |       JOIN read_parquet('__OUT__/_input_lm2/*.parquet') i
+        |         ON i.w1 = b.w1 AND i.w2 = b.w2
+        |        AND i.c12 = b.c12 AND i.c1 = c.cnt),
+        |rtg AS (SELECT ws[CAST(i AS INT)] AS w1, ws[CAST(i+1 AS INT)] AS w2,
+        |          ws[CAST(i+2 AS INT)] AS w3,
+        |          CAST(COUNT(*) AS BIGINT) AS c123
+        |        FROM rws, LATERAL (SELECT unnest(range(1, len(ws)-1)) AS i) s
+        |        WHERE len(ws) >= 3 GROUP BY 1, 2, 3),
+        |tri AS (SELECT g.w1, g.w2, g.w3, i.nll_micro FROM rtg g
+        |        JOIN rbg b ON b.w1 = g.w1 AND b.w2 = g.w2
+        |        JOIN read_parquet('__OUT__/_input_lm3/*.parquet') i
+        |          ON i.w1 = g.w1 AND i.w2 = g.w2 AND i.w3 = g.w3
+        |         AND i.c123 = g.c123 AND i.c12 = b.c12),
+        |dws AS (SELECT doc_id, list_filter(string_split(
+        |      regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '),
+        |      x -> x <> '') AS ws FROM documents),
+        |toks AS (SELECT doc_id,
+        |    CASE WHEN i >= 3 THEN ws[CAST(i-2 AS INT)] END AS p2,
+        |    CASE WHEN i >= 2 THEN ws[CAST(i-1 AS INT)] END AS p1,
+        |    ws[CAST(i AS INT)] AS w
+        |  FROM dws, LATERAL (SELECT unnest(range(1, len(ws)+1)) AS i) s
+        |  WHERE len(ws) >= 1),
+        |sc AS (SELECT t.doc_id,
+        |    CASE WHEN tr.nll_micro IS NOT NULL THEN tr.nll_micro
+        |         WHEN t.p1 IS NULL THEN
+        |           COALESCE(u.nll_micro, (SELECT oov_micro FROM oov))
+        |         WHEN t.p2 IS NULL THEN
+        |           CASE WHEN b.nll_micro IS NOT NULL THEN b.nll_micro
+        |                ELSE 916291 + COALESCE(u.nll_micro,
+        |                  (SELECT oov_micro FROM oov)) END
+        |         ELSE 916291 +
+        |           CASE WHEN b.nll_micro IS NOT NULL THEN b.nll_micro
+        |                ELSE 916291 + COALESCE(u.nll_micro,
+        |                  (SELECT oov_micro FROM oov)) END
+        |    END AS nll
+        |  FROM toks t
+        |  LEFT JOIN tri tr ON tr.w1 = t.p2 AND tr.w2 = t.p1
+        |    AND tr.w3 = t.w
+        |  LEFT JOIN bi b ON b.w1 = t.p1 AND b.w2 = t.w
+        |  LEFT JOIN uni u ON u.w = t.w),
+        |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |          CAST(SUM(nll) AS BIGINT) AS nll_micro FROM sc
+        |        GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(a.nll_micro, 0) AS BIGINT) AS nll_micro,
+        |  CAST(COALESCE(a.nll_micro // a.n_tokens, 0) AS BIGINT)
+        |    AS mean_nll_micro
+        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     // Bigram Stupid-Backoff replay: ref-subset unigram AND bigram counts
     // recomputed in SQL and cross-checked by the dict joins (ON (w, cnt)

@@ -94,6 +94,8 @@ object Verify {
       val refDocs = docs.where(col("doc_id") % 2 === 0)
       graft.ops.TextAnalysis.bigramNllDict(refDocs, "text")
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_input_lm2")
+      graft.ops.TextAnalysis.trigramNllDict(refDocs, "text")
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_input_lm3")
       val uni = graft.ops.TextAnalysis.unigramNllDict(refDocs, "text")
       uni.coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/_input_lm2uni")

@@ -219,6 +219,118 @@ object TextAnalysis {
       .agg(count(lit(1)).as("c12"))
   }
 
+  /** Trigram conditional-NLL dictionary: (w1, w2, w3, c123, c12,
+    * nll_micro) with nll = −ln(c123 / c12) — the order-3 extension of
+    * [[bigramNllDict]], same conventions (counts ride along, one
+    * quantization per row).
+    */
+  def trigramNllDict(ref: DataFrame, textCol: String): DataFrame =
+    trigramNllDictFrom(tripleCountRows(ref, textCol).localCheckpoint(true))
+
+  private def trigramNllDictFrom(pc3: DataFrame): DataFrame = {
+    val c12 = pc3.where(col("w2").isNotNull)
+      .groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("c12"))
+    pc3.where(col("w3").isNotNull)
+      .withColumnRenamed("c", "c123")
+      .join(c12, Seq("w1", "w2"))
+      .select(col("w1"), col("w2"), col("w3"), col("c123"), col("c12"),
+        nllMicro(col("c123").cast("double") / col("c12")).as("nll_micro"))
+  }
+
+  /** (w1, w2-or-null, w3-or-null, c): position i of each document
+    * contributes (w_i, w_{i+1}, w_{i+2}) with nulls past the end — so
+    * unigram counts are Σ c BY w1, bigram counts Σ over non-null-w2 rows
+    * BY (w1, w2), and trigram counts the non-null-w3 rows: ONE corpus
+    * scan carries all three dictionaries (the [[pairCountRows]] trick,
+    * one order higher). The word array materializes BEFORE the transform
+    * so the lambda captures an attribute, not the normWords tree (the
+    * ngramsFromWords lesson).
+    */
+  private def tripleCountRows(ref: DataFrame, textCol: String): DataFrame = {
+    val ws = col("_ws")
+    val n = size(ws)
+    ref.select(Curation.normWords(col(textCol)).as("_ws"))
+      .select(explode(when(n >= 1,
+          transform(sequence(lit(1), n), i => struct(
+            element_at(ws, i).as("w1"),
+            when(i + 1 <= n, element_at(ws, i + 1)).as("w2"),
+            when(i + 2 <= n, element_at(ws, i + 2)).as("w3"))))
+        .otherwise(array()
+          .cast("array<struct<w1:string,w2:string,w3:string>>"))).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"),
+        col("p.w3").as("w3"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Trigram LM scoring with the two-level Stupid Backoff chain — the
+    * order-3 instance proving the [[lmScoreBigram]] shape composes to
+    * ANY order (each additional order is one more dictionary from the
+    * SAME single corpus scan plus one more broadcast join):
+    *
+    *   −ln( c123/c12 )                      seen trigram,
+    *   −ln(0.4) + bigram score              unseen trigram,
+    *   (first token scores as a unigram, the second as a bigram — no
+    *    backoff charge where no conditioning context exists)
+    *
+    * with the bigram score itself backing off to 0.4·unigram and the
+    * OOV floor exactly as in [[lmScoreBigram]]. Every `ln` quantizes per
+    * dictionary row; per-doc scores are exact long sums. Output:
+    * (doc_id, n_tokens, nll_micro, mean_nll_micro).
+    */
+  def lmScoreTrigram(df: DataFrame, idCol: String, textCol: String,
+                     ref: DataFrame = null, refTextCol: String = null)
+      : DataFrame = {
+    val refDf = Option(ref).getOrElse(df)
+    val refText = Option(refTextCol).getOrElse(textCol)
+    val pc3 = tripleCountRows(refDf, refText).localCheckpoint(true)
+    val tri = trigramNllDictFrom(pc3)
+      .select(col("w1").as("p2"), col("w2").as("p1"), col("w3").as("w"),
+        col("nll_micro").as("_t3"))
+    val c1 = pc3.groupBy(col("w1")).agg(sum(col("c")).as("c1"))
+    val bi = pc3.where(col("w2").isNotNull)
+      .groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("c12"))
+      .join(c1, Seq("w1"))
+      .select(col("w1").as("p1"), col("w2").as("w"),
+        nllMicro(col("c12").cast("double") / col("c1")).as("_b"))
+    val totRow = c1.agg(sum(col("c1"))).head()
+    require(!totRow.isNullAt(0) && totRow.getLong(0) > 0,
+      "lmScoreTrigram: reference corpus has no tokens")
+    val tot = totRow.getLong(0)
+    val oovMicro = math.floor(math.log(tot.toDouble) * 1e6 + 0.5d).toLong
+    val uni = c1.select(col("w1").as("w"),
+      nllMicro(col("c1").cast("double") / tot.toDouble).as("_u"))
+    val words = Curation.normWords(col(textCol))
+    val toks = df.select(col(idCol).as("doc_id"), words.as("_ws"))
+      .select(col("doc_id"), explode_outer(when(size(col("_ws")) >= 1,
+          transform(sequence(lit(1), size(col("_ws"))), i => struct(
+            when(i >= 3, element_at(col("_ws"), i - 2)).as("p2"),
+            when(i >= 2, element_at(col("_ws"), i - 1)).as("p1"),
+            element_at(col("_ws"), i).as("w"))))
+        .otherwise(array()
+          .cast("array<struct<p2:string,p1:string,w:string>>"))).as("t"))
+      .select(col("doc_id"), col("t.p2").as("p2"), col("t.p1").as("p1"),
+        col("t.w").as("w"))
+    val uniOrOov = coalesce(col("_u"), lit(oovMicro))
+    val biChain = when(col("_b").isNotNull, col("_b"))
+      .otherwise(lit(BackoffNllMicro) + uniOrOov)
+    toks
+      .join(broadcast(tri), Seq("p2", "p1", "w"), "left")
+      .join(broadcast(bi), Seq("p1", "w"), "left")
+      .join(broadcast(uni), Seq("w"), "left")
+      .withColumn("_nll",
+        when(col("w").isNull, lit(null).cast("long"))  // empty doc
+          .when(col("_t3").isNotNull, col("_t3"))      // seen trigram
+          .when(col("p2").isNull && col("p1").isNull, uniOrOov) // 1st tok
+          .when(col("p2").isNull, biChain)             // 2nd token
+          .otherwise(lit(BackoffNllMicro) + biChain))  // trigram backoff
+      .groupBy(col("doc_id"))
+      .agg(count(col("w")).as("n_tokens"),
+        coalesce(sum(col("_nll")), lit(0L)).as("nll_micro"))
+      .withColumn("mean_nll_micro",
+        when(col("n_tokens") === 0, lit(0L))
+          .otherwise(expr("nll_micro div n_tokens")))
+  }
+
   /** Bigram LM quality scoring with Stupid Backoff (Brants et al. 2007 —
     * the published WEB-SCALE distributed n-gram LM: no normalization
     * pass, so the dictionary build stays one aggregation): closes the

@@ -190,4 +190,67 @@ class TextAnalysisSpec extends SparkTestBase {
     }
     assert(err.getMessage.contains("no tokens"))
   }
+
+  test("lmScoreTrigram ≡ driver replay (seen trigram, single and double " +
+    "backoff, first/second-token, OOV paths all fire); " +
+    "partitioning-invariant") {
+    val ref = Seq(
+      (0L, "the cat sat on the mat"), (2L, "the cat sat on a mat"),
+      (4L, "a dog sat")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (0L, "the cat sat on the mat"), // every trigram seen
+      (1L, "cat sat on"),             // seen trigram mid-corpus
+      (2L, "on a dog"),               // unseen trigram, seen pair → 1×BO
+      (3L, "the cat zebra"),          // unseen trigram, unseen pair, OOV
+      (4L, "the cat"),                // 1st = unigram, 2nd = bigram path
+      (5L, ""),                       // empty
+      (6L, "zebra")                   // single OOV token
+    ).toDF("doc_id", "text")
+    def toks(s: String): Array[String] =
+      s.toLowerCase.replaceAll("[^a-z0-9 ]", " ").split(" ").filter(_.nonEmpty)
+    val refToks = ref.select($"text").as[String].collect().map(toks)
+    val c1 = refToks.flatten.groupBy(identity).map { case (w, o) => w -> o.size }
+    val c12 = refToks.flatMap(ws => ws.zip(ws.drop(1)))
+      .groupBy(identity).map { case (p, o) => p -> o.size }
+    val c123 = refToks.flatMap(ws =>
+        ws.indices.dropRight(2).map(i => (ws(i), ws(i + 1), ws(i + 2))))
+      .groupBy(identity).map { case (t, o) => t -> o.size }
+    val t = refToks.map(_.length).sum
+    def q(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+    val oov = q(math.log(t.toDouble))
+    val bo = 916291L
+    def uniNll(w: String): Long =
+      c1.get(w).map(c => q(-math.log(c.toDouble / t.toDouble))).getOrElse(oov)
+    def biNll(p: String, w: String): Long =
+      c12.get((p, w)).map(c => q(-math.log(c.toDouble / c1(p))))
+        .getOrElse(bo + uniNll(w))
+    def triNll(p2: Option[String], p1: Option[String], w: String): Long =
+      (p2, p1) match {
+        case (None, None) => uniNll(w)
+        case (None, Some(p)) => biNll(p, w)
+        case (Some(a), Some(p)) => c123.get((a, p, w))
+          .map(c => q(-math.log(c.toDouble / c12((a, p)))))
+          .getOrElse(bo + biNll(p, w))
+        case _ => fail("impossible context")
+      }
+    val expected = corpus.as[(Long, String)].collect().map { case (id, s) =>
+      val ws = toks(s)
+      val nll = ws.indices.map { i =>
+        triNll(if (i >= 2) Some(ws(i - 2)) else None,
+          if (i >= 1) Some(ws(i - 1)) else None, ws(i)) }.sum
+      id -> ((id, ws.length.toLong, nll,
+        if (ws.isEmpty) 0L else nll / ws.length))
+    }.toMap
+    def run(parts: Int) =
+      TextAnalysis.lmScoreTrigram(corpus.repartition(parts), "doc_id",
+          "text", ref, "text")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val got = run(3)
+    assert(got === run(1))
+    got.foreach { case r @ (id, _, _, _) => assert(r === expected(id)) }
+    // self-scoring default runs and covers every doc
+    assert(TextAnalysis.lmScoreTrigram(ref, "doc_id", "text")
+      .count() === 3)
+  }
 }
