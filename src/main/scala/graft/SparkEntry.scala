@@ -689,11 +689,15 @@ object SparkEntry {
 
     // Trigram Stupid-Backoff LM scoring: the order-3 instance of the
     // backoff chain (same even-doc dictionaries, one more level — seen
-    // trigram / +BO bigram / +2BO unigram / OOV floor).
+    // trigram / +BO bigram / +2BO unigram / OOV floor); the synthetic
+    // OOV doc makes every backoff/OOV arm execute at the gate.
     "q_lm3_score" -> ((s, d) =>
-      graft.ops.TextAnalysis.lmScoreTrigram(t(s, d, "documents"), "doc_id",
-        "text", t(s, d, "documents").where(col("doc_id") % 2 === 0),
-        "text")),
+      graft.ops.TextAnalysis.lmScoreTrigram(
+        t(s, d, "documents").select(col("doc_id"), col("text"))
+          .unionByName(s.range(1).select(lit(-1L).as("doc_id"),
+            lit("the qqqoovzzz cat qqqoovzzz").as("text"))),
+        "doc_id", "text",
+        t(s, d, "documents").where(col("doc_id") % 2 === 0), "text")),
 
     // Perplexity-style LM quality scoring (CCNet-shaped): per-doc total
     // and mean token NLL in integer micro-nats under the corpus unigram
@@ -706,13 +710,19 @@ object SparkEntry {
     // Bigram Stupid-Backoff LM scoring (Brants et al. 2007): dictionaries
     // from the EVEN-doc subset, the whole corpus scored against them —
     // so seen-bigram, backoff (unseen bigram over seen unigrams), OOV,
-    // and first-token paths all fire. Exact micro-nat long sums; the
-    // backoff charge is the integer spec constant 916291 = Q(-ln 0.4),
-    // hardcoded identically in the oracle.
+    // and first-token paths all fire. A synthetic doc with a token that
+    // cannot be in the generated vocabulary GUARANTEES the OOV arms
+    // execute at the gate (they are replayed identically in the oracle's
+    // union); exact micro-nat long sums; the backoff charge is the
+    // integer spec constant 916291 = Q(-ln 0.4), hardcoded identically
+    // in the oracle.
     "q_lm2_score" -> ((s, d) =>
-      graft.ops.TextAnalysis.lmScoreBigram(t(s, d, "documents"), "doc_id",
-        "text", t(s, d, "documents").where(col("doc_id") % 2 === 0),
-        "text")),
+      graft.ops.TextAnalysis.lmScoreBigram(
+        t(s, d, "documents").select(col("doc_id"), col("text"))
+          .unionByName(s.range(1).select(lit(-1L).as("doc_id"),
+            lit("the qqqoovzzz cat qqqoovzzz").as("text"))),
+        "doc_id", "text",
+        t(s, d, "documents").where(col("doc_id") % 2 === 0), "text")),
 
     // BPE tokenizer: 8 merge rules learned on the corpus (iterative
     // most-frequent-pair fusion over the collapsed vocabulary), then
@@ -1678,7 +1688,8 @@ object SparkEntry {
         |         AND i.c123 = g.c123 AND i.c12 = b.c12),
         |dws AS (SELECT doc_id, list_filter(string_split(
         |      regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '),
-        |      x -> x <> '') AS ws FROM documents),
+        |      x -> x <> '') AS ws FROM (SELECT doc_id, text FROM documents UNION ALL
+        |      SELECT -1, 'the qqqoovzzz cat qqqoovzzz')),
         |toks AS (SELECT doc_id,
         |    CASE WHEN i >= 3 THEN ws[CAST(i-2 AS INT)] END AS p2,
         |    CASE WHEN i >= 2 THEN ws[CAST(i-1 AS INT)] END AS p1,
@@ -1711,7 +1722,9 @@ object SparkEntry {
         |  CAST(COALESCE(a.nll_micro, 0) AS BIGINT) AS nll_micro,
         |  CAST(COALESCE(a.nll_micro // a.n_tokens, 0) AS BIGINT)
         |    AS mean_nll_micro
-        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+        |FROM (SELECT doc_id, text FROM documents UNION ALL
+        |      SELECT -1, 'the qqqoovzzz cat qqqoovzzz') d
+        |LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     // Bigram Stupid-Backoff replay: ref-subset unigram AND bigram counts
     // recomputed in SQL and cross-checked by the dict joins (ON (w, cnt)
@@ -1748,7 +1761,8 @@ object SparkEntry {
         |        AND i.c12 = b.c12 AND i.c1 = c.cnt),
         |dws AS (SELECT doc_id, list_filter(string_split(
         |      regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '),
-        |      x -> x <> '') AS ws FROM documents),
+        |      x -> x <> '') AS ws FROM (SELECT doc_id, text FROM documents UNION ALL
+        |      SELECT -1, 'the qqqoovzzz cat qqqoovzzz')),
         |toks AS (
         |  SELECT doc_id, CAST(NULL AS VARCHAR) AS w1, ws[1] AS w2
         |  FROM dws WHERE len(ws) >= 1
@@ -1775,7 +1789,9 @@ object SparkEntry {
         |  CAST(COALESCE(a.nll_micro, 0) AS BIGINT) AS nll_micro,
         |  CAST(COALESCE(a.nll_micro // a.n_tokens, 0) AS BIGINT)
         |    AS mean_nll_micro
-        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+        |FROM (SELECT doc_id, text FROM documents UNION ALL
+        |      SELECT -1, 'the qqqoovzzz cat qqqoovzzz') d
+        |LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     // BPE encode: full recursive-CTE replay — every distinct word starts
     // as its character list and repeatedly merges the LEFTMOST occurrence

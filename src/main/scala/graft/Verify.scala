@@ -103,7 +103,7 @@ object Verify {
       require(!tRow.isNullAt(0) && tRow.getLong(0) > 0,
         "bigram-LM dump: reference subset has no tokens")
       val t = tRow.getLong(0)
-      Seq((t, math.floor(math.log(t.toDouble) * 1e6 + 0.5).toLong))
+      Seq((t, graft.ops.TextAnalysis.oovFloorMicro(t)))
         .toDF("t_total", "oov_micro")
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/_input_lm2tot")

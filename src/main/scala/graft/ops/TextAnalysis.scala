@@ -160,14 +160,9 @@ object TextAnalysis {
     val dict = unigramNllDict(df, textCol)
     df.select(col(idCol).as("doc_id"),
         explode_outer(Curation.normWords(col(textCol))).as("w"))
-      .join(broadcast(dict.select(col("w"), col("nll_micro"))), Seq("w"),
-        "left")
-      .groupBy(col("doc_id"))
-      .agg(count(col("w")).as("n_tokens"),
-        coalesce(sum(col("nll_micro")), lit(0L)).as("nll_micro"))
-      .withColumn("mean_nll_micro",
-        when(col("n_tokens") === 0, lit(0L))
-          .otherwise(expr("nll_micro div n_tokens"))) // exact integer div
+      .join(broadcast(dict.select(col("w"),
+        col("nll_micro").as("_nll"))), Seq("w"), "left")
+      .transform(scoreTail(_, "w"))
   }
 
   /** Stupid-Backoff score of −ln(0.4) in micro-nats: the backoff factor
@@ -176,6 +171,34 @@ object TextAnalysis {
     * not a per-row transcendental import.
     */
   val BackoffNllMicro: Long = 916291L // round(-ln(0.4) * 1e6)
+
+  /** OOV floor −ln(1/T) = ln(T) in micro-nats, quantized once per corpus
+    * — the ONE definition shared by both backoff scorers and the Verify
+    * dump (a drifted copy would silently desynchronize the engine from
+    * the dumped `_input_lm2tot` import).
+    */
+  private[graft] def oovFloorMicro(tot: Long): Long =
+    math.floor(math.log(tot.toDouble) * 1e6 + 0.5d).toLong
+
+  /** The per-document scoring tail every LM scorer shares: exact long
+    * sums + exact integer-division mean; empty docs score (0, 0, 0).
+    */
+  private def scoreTail(toks: DataFrame, tokCol: String): DataFrame =
+    toks.groupBy(col("doc_id"))
+      .agg(count(col(tokCol)).as("n_tokens"),
+        coalesce(sum(col("_nll")), lit(0L)).as("nll_micro"))
+      .withColumn("mean_nll_micro",
+        when(col("n_tokens") === 0, lit(0L))
+          .otherwise(expr("nll_micro div n_tokens"))) // exact integer div
+
+  /** The bigram-dictionary join over (w1, w2, c12) pair counts and
+    * (w1, c1) context counts — shared by [[bigramNllDictFrom]] and the
+    * trigram scorer's backoff level so the quantized rows cannot drift.
+    */
+  private def bigramNllJoin(c12: DataFrame, c1: DataFrame): DataFrame =
+    c12.join(c1, Seq("w1"))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        nllMicro(col("c12").cast("double") / col("c1")).as("nll_micro"))
 
   /** Bigram conditional-NLL dictionary over a reference corpus:
     * (w1, w2, c12, c1, nll_micro) with nll = −ln(c12 / c1), quantized
@@ -194,12 +217,9 @@ object TextAnalysis {
     * engine's scoring path and the Verify dump both route through here,
     * so their quantized rows are bit-identical by construction.
     */
-  private def bigramNllDictFrom(pc: DataFrame): DataFrame = {
-    val c1 = pc.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
-    pc.where(col("w2").isNotNull).join(c1, Seq("w1"))
-      .select(col("w1"), col("w2"), col("c12"), col("c1"),
-        nllMicro(col("c12").cast("double") / col("c1")).as("nll_micro"))
-  }
+  private def bigramNllDictFrom(pc: DataFrame): DataFrame =
+    bigramNllJoin(pc.where(col("w2").isNotNull),
+      pc.groupBy(col("w1")).agg(sum(col("c12")).as("c1")))
 
   /** (w1, w2 = following word or NULL at document end, c12): every token
     * contributes exactly one row as w1, so `SUM(c12) GROUP BY w1` is the
@@ -224,18 +244,23 @@ object TextAnalysis {
     * [[bigramNllDict]], same conventions (counts ride along, one
     * quantization per row).
     */
-  def trigramNllDict(ref: DataFrame, textCol: String): DataFrame =
-    trigramNllDictFrom(tripleCountRows(ref, textCol).localCheckpoint(true))
+  def trigramNllDict(ref: DataFrame, textCol: String): DataFrame = {
+    val pc3 = tripleCountRows(ref, textCol).localCheckpoint(true)
+    trigramNllDictFrom(pc3, pairCountsOf(pc3))
+  }
 
-  private def trigramNllDictFrom(pc3: DataFrame): DataFrame = {
-    val c12 = pc3.where(col("w2").isNotNull)
+  /** (w1, w2, c12) pair-context counts folded from the triple frame. */
+  private def pairCountsOf(pc3: DataFrame): DataFrame =
+    pc3.where(col("w2").isNotNull)
       .groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("c12"))
+
+  private def trigramNllDictFrom(pc3: DataFrame,
+                                 c12: DataFrame): DataFrame =
     pc3.where(col("w3").isNotNull)
       .withColumnRenamed("c", "c123")
       .join(c12, Seq("w1", "w2"))
       .select(col("w1"), col("w2"), col("w3"), col("c123"), col("c12"),
         nllMicro(col("c123").cast("double") / col("c12")).as("nll_micro"))
-  }
 
   /** (w1, w2-or-null, w3-or-null, c): position i of each document
     * contributes (w_i, w_{i+1}, w_{i+2}) with nulls past the end — so
@@ -283,20 +308,21 @@ object TextAnalysis {
     val refDf = Option(ref).getOrElse(df)
     val refText = Option(refTextCol).getOrElse(textCol)
     val pc3 = tripleCountRows(refDf, refText).localCheckpoint(true)
-    val tri = trigramNllDictFrom(pc3)
+    // the (w1, w2, c12) frame is computed ONCE and feeds both the trigram
+    // dictionary's denominator and the backoff level's numerator
+    val c12 = pairCountsOf(pc3).localCheckpoint(true)
+    val tri = trigramNllDictFrom(pc3, c12)
       .select(col("w1").as("p2"), col("w2").as("p1"), col("w3").as("w"),
         col("nll_micro").as("_t3"))
     val c1 = pc3.groupBy(col("w1")).agg(sum(col("c")).as("c1"))
-    val bi = pc3.where(col("w2").isNotNull)
-      .groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("c12"))
-      .join(c1, Seq("w1"))
+    val bi = bigramNllJoin(c12, c1)
       .select(col("w1").as("p1"), col("w2").as("w"),
-        nllMicro(col("c12").cast("double") / col("c1")).as("_b"))
+        col("nll_micro").as("_b"))
     val totRow = c1.agg(sum(col("c1"))).head()
     require(!totRow.isNullAt(0) && totRow.getLong(0) > 0,
       "lmScoreTrigram: reference corpus has no tokens")
     val tot = totRow.getLong(0)
-    val oovMicro = math.floor(math.log(tot.toDouble) * 1e6 + 0.5d).toLong
+    val oovMicro = oovFloorMicro(tot)
     val uni = c1.select(col("w1").as("w"),
       nllMicro(col("c1").cast("double") / tot.toDouble).as("_u"))
     val words = Curation.normWords(col(textCol))
@@ -323,12 +349,7 @@ object TextAnalysis {
           .when(col("p2").isNull && col("p1").isNull, uniOrOov) // 1st tok
           .when(col("p2").isNull, biChain)             // 2nd token
           .otherwise(lit(BackoffNllMicro) + biChain))  // trigram backoff
-      .groupBy(col("doc_id"))
-      .agg(count(col("w")).as("n_tokens"),
-        coalesce(sum(col("_nll")), lit(0L)).as("nll_micro"))
-      .withColumn("mean_nll_micro",
-        when(col("n_tokens") === 0, lit(0L))
-          .otherwise(expr("nll_micro div n_tokens")))
+      .transform(scoreTail(_, "w"))
   }
 
   /** Bigram LM quality scoring with Stupid Backoff (Brants et al. 2007 —
@@ -382,7 +403,7 @@ object TextAnalysis {
     require(!totRow.isNullAt(0) && totRow.getLong(0) > 0,
       "lmScoreBigram: reference corpus has no tokens")
     val tot = totRow.getLong(0)
-    val oovMicro = math.floor(math.log(tot.toDouble) * 1e6 + 0.5d).toLong
+    val oovMicro = oovFloorMicro(tot)
     val uni = c1.select(col("w1").as("w2"),
       nllMicro(col("c1").cast("double") / tot.toDouble).as("_u"))
     val words = Curation.normWords(col(textCol))
@@ -406,12 +427,7 @@ object TextAnalysis {
           .when(col("w1").isNull, coalesce(col("_u"), lit(oovMicro)))
           .otherwise(lit(BackoffNllMicro) +
             coalesce(col("_u"), lit(oovMicro))))
-      .groupBy(col("doc_id"))
-      .agg(count(col("w2")).as("n_tokens"),
-        coalesce(sum(col("_nll")), lit(0L)).as("nll_micro"))
-      .withColumn("mean_nll_micro",
-        when(col("n_tokens") === 0, lit(0L))
-          .otherwise(expr("nll_micro div n_tokens")))
+      .transform(scoreTail(_, "w2"))
   }
 
   /** One-stop profile frame used by tests and SparkEntry queries. */
