@@ -84,6 +84,75 @@ class BpeSpec extends SparkTestBase {
       .foreach { case (w, t) => assert(t === replaySyms(w), s"word $w") }
   }
 
+  test("BpeEncode expression ≡ fold-chain encode, word for word, at " +
+    "every rule-list prefix") {
+    val merges = Bpe.train(corpus, "text", nMerges = 8)
+    (0 to merges.size).foreach { k =>
+      val expr = Bpe.encodeVocab(corpus, "text", merges.take(k))
+        .select("w", "tokens").as[(String, Seq[String])].collect().toMap
+      val fold = Bpe.encodeVocabFold(corpus, "text", merges.take(k))
+        .select("w", "tokens").as[(String, Seq[String])].collect().toMap
+      assert(expr === fold, s"prefix $k")
+    }
+  }
+
+  test("BpeEncode rejects a merge list out of training rank order; dead " +
+    "sides are allowed") {
+    import graft.expr.BpeEncode
+    // "xy" is produced only by the LATER rule → min-rank and fold-chain
+    // would diverge → constructor must refuse
+    val e = intercept[IllegalArgumentException] {
+      BpeEncode.bpe_encode(col("text"), Seq(("xy", "z"), ("x", "y")))
+    }
+    assert(e.getMessage.contains("later rule"))
+    // a multi-char side NO rule produces is dead under both algorithms
+    val ok = corpus.select(
+      BpeEncode.bpe_encode(lit("xyz"), Seq(("qq", "z"), ("x", "y"))).as("t"))
+      .limit(1).as[Seq[String]].head()
+    assert(ok === Seq("xy", "z"))
+    val dup = corpus.select(
+      BpeEncode.bpe_encode(lit("xyxy"), Seq(("x", "y"), ("x", "y"))).as("t"))
+      .limit(1).as[Seq[String]].head()
+    assert(dup === Seq("xy", "xy"))
+  }
+
+  test("trainLocal ≡ train: identical rule lists incl. the minCount stop " +
+    "and the (cnt desc, lhs, rhs) tie-break") {
+    assert(Bpe.trainLocal(corpus, "text", nMerges = 8) ===
+      Bpe.train(corpus, "text", nMerges = 8))
+    assert(Bpe.trainLocal(corpus, "text", nMerges = 64) ===
+      Bpe.train(corpus, "text", nMerges = 64)) // exhaustion parity
+    assert(Bpe.trainLocal(corpus, "text", nMerges = 5, minCount = 4L) ===
+      Bpe.train(corpus, "text", nMerges = 5, minCount = 4L))
+  }
+
+  test("production-size regime: trainLocal to hundreds of rules in one " +
+    "process, BpeEncode applies them in one plan node, encode lossless") {
+    // richer corpus: deterministic multi-word docs over a synthetic
+    // alphabet so pair counts stay interesting for hundreds of merges
+    val rich = spark.range(0, 400).selectExpr("id",
+      """concat_ws(' ',
+         concat('tok', cast(id % 37 as string), 'alpha'),
+         concat('word', cast(id % 23 as string), 'beta'),
+         concat('seg', cast(id % 11 as string), 'gamma'),
+         concat('item', cast(id % 53 as string), 'delta'),
+         concat('run', cast(id % 41 as string), 'epsilon'),
+         concat('tok', cast((id + 5) % 37 as string), 'alpha')) as text""")
+    val rules = Bpe.trainLocal(rich, "text", nMerges = 600, minCount = 2L)
+    assert(rules.size > 200, s"expected hundreds of rules, got ${rules.size}")
+    val enc = Bpe.encodeVocab(rich, "text", rules)
+    assert(enc.where(array_join(col("tokens"), "") =!= col("w")).count() === 0)
+    // the plan carries ONE bpe_encode node — not rules.size fold nodes
+    // (the fold chain would print one lambda `aggregate(` per rule);
+    // analyzed plan, because the physical summary elides expressions
+    val plan = enc.queryExecution.analyzed.toString
+    assert(plan.sliding("bpe_encode".length).count(_ == "bpe_encode") === 1)
+    assert(!plan.contains("aggregate("), "fold-chain nodes leaked into the plan")
+    // spot-check a fused multi-char token actually exists
+    assert(enc.select(explode(col("tokens"))).as[String].collect()
+      .exists(_.length > 2))
+  }
+
   test("tokenCounts: per-doc sums ≡ replay, empty doc → 0") {
     val merges = Bpe.train(corpus, "text", nMerges = 8)
     val (_, replaySyms) = replayTrain(
