@@ -725,15 +725,31 @@ object SparkEntry {
         t(s, d, "documents").where(col("doc_id") % 2 === 0), "text")),
 
     // BPE tokenizer: 8 merge rules learned on the corpus (iterative
-    // most-frequent-pair fusion over the collapsed vocabulary), then
-    // per-doc token counts under them. Training is deterministic (total-
+    // most-frequent-pair fusion over the collapsed vocabulary — the
+    // driver-local trainer, bit-equal to the distributed loop by
+    // BpeSpec), then per-doc token counts under them via the
+    // whole-list BpeEncode expression. Training is deterministic (total-
     // order tie-break), so the query's rules equal the dumped
     // _input_bpe_merges primitive; the oracle replays the whole ENCODE
     // per distinct word as a recursive CTE over that list.
     "q_bpe_encode" -> ((s, d) => {
       val docs = t(s, d, "documents")
       graft.ops.Bpe.tokenCounts(docs, "doc_id", "text",
-        graft.ops.Bpe.train(docs, "text", nMerges = 8))
+        graft.ops.Bpe.trainLocal(docs, "text", nMerges = 8))
+    }),
+
+    // BPE encode-to-ids: every doc's token-ID sequence under the same
+    // 8-rule tokenizer, exploded to (doc_id, pos, tid) scalars. The
+    // oracle re-derives ids with NO new primitive: base ids are alphabet
+    // positions, fused ids are 35 + min(rank) over the dumped merge
+    // list, and the per-word token arrays come from the same recursive-
+    // CTE encode replay as q_bpe_encode. Empty docs carry no rows here
+    // (BpeSpec covers the empty-array contract).
+    "q_bpe_ids" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.ops.Bpe.encodeIds(docs, "doc_id", "text",
+          graft.ops.Bpe.trainLocal(docs, "text", nMerges = 8))
+        .select(col("doc_id"), posexplode(col("ids")).as(Seq("pos", "tid")))
     }),
 
     // FUZZY decontamination: corpus docs near-duplicating (shingle
@@ -1851,6 +1867,68 @@ object SparkEntry {
         |SELECT doc.doc_id, CAST(COALESCE(agg.bpe_tokens, 0) AS BIGINT)
         |  AS bpe_tokens
         |FROM documents doc LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+    // BPE ids: the q_bpe_encode recursive-CTE encode replay, then ids
+    // re-derived from scratch — base tokens by alphabet position, fused
+    // tokens by 35 + MIN(rank) over the merge primitive (first producer
+    // wins) — and flattened per doc in (word, token) order.
+    "q_bpe_ids" ->
+      """WITH RECURSIVE
+        |m0 AS (SELECT rank, lhs, rhs
+        |       FROM read_parquet('__OUT__/_input_bpe_merges/*.parquet')),
+        |w0 AS (SELECT list_filter(string_split(
+        |         regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '),
+        |         x -> x <> '') AS words FROM documents),
+        |words AS (SELECT unnest(words) AS w FROM w0),
+        |top1 AS (SELECT lhs, rhs FROM (
+        |    SELECT substr(w, i, 1) AS lhs, substr(w, i + 1, 1) AS rhs,
+        |           COUNT(*) AS c
+        |    FROM words, LATERAL (SELECT unnest(range(1, len(w))) AS i) s
+        |    GROUP BY 1, 2)
+        |  ORDER BY c DESC, lhs, rhs LIMIT 1),
+        |m AS (SELECT m0.rank,
+        |        CASE WHEN m0.rank = 1 AND NOT EXISTS (SELECT 1 FROM top1
+        |          WHERE top1.lhs = m0.lhs AND top1.rhs = m0.rhs)
+        |          THEN NULL ELSE m0.lhs END AS lhs,
+        |        m0.rhs FROM m0),
+        |init AS (SELECT DISTINCT w FROM words),
+        |rec AS (
+        |  SELECT w, list_transform(range(1, len(w) + 1),
+        |           i -> w[i]) AS syms, 1 AS r
+        |  FROM init
+        |  UNION ALL
+        |  SELECT w,
+        |    CASE WHEN pos > 0 THEN
+        |      syms[1:pos-1] || [syms[pos] || syms[pos+1]]
+        |        || syms[pos+2:len(syms)]
+        |    ELSE syms END,
+        |    CASE WHEN pos > 0 THEN r ELSE r + 1 END
+        |  FROM (SELECT rec.w, rec.syms, rec.r,
+        |          COALESCE(list_position(
+        |            list_transform(range(1, len(rec.syms)),
+        |              i -> rec.syms[i] || chr(1) || rec.syms[i + 1]),
+        |            m.lhs || chr(1) || m.rhs), 0) AS pos
+        |        FROM rec JOIN m ON m.rank = rec.r) s),
+        |done AS (SELECT w, syms FROM rec
+        |         WHERE r = (SELECT MAX(rank) + 1 FROM m0)),
+        |toks AS (SELECT w, generate_subscripts(syms, 1) AS tpos,
+        |                unnest(syms) AS token FROM done),
+        |tids AS (SELECT t.w, t.tpos,
+        |    CASE WHEN len(t.token) = 1 THEN CAST(strpos(
+        |        '0123456789abcdefghijklmnopqrstuvwxyz', t.token) - 1 AS INT)
+        |      ELSE CAST(35 + (SELECT MIN(m0.rank) FROM m0
+        |        WHERE m0.lhs || m0.rhs = t.token) AS INT) END AS tid
+        |  FROM toks t),
+        |d AS (SELECT doc_id, list_filter(string_split(
+        |        regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '),
+        |        x -> x <> '') AS ws FROM documents),
+        |per AS (SELECT doc_id, generate_subscripts(ws, 1) AS wpos,
+        |               unnest(ws) AS w FROM d)
+        |SELECT per.doc_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY per.doc_id
+        |    ORDER BY per.wpos, tids.tpos) - 1 AS INT) AS pos,
+        |  tids.tid
+        |FROM per JOIN tids ON tids.w = per.w""".stripMargin,
 
     // Fuzzy decontamination: the q_dedup_incremental replay shape with
     // the union side = corpus ∪ offset eval docs and the batch side =

@@ -122,7 +122,7 @@ object Verify {
     // the initial pair table, which q_bpe_pairs already replays) and the
     // ENCODE under the list replays fully (recursive CTE).
     graft.ops.Bpe.mergesFrame(docs,
-        graft.ops.Bpe.train(docs, "text", nMerges = 8))
+        graft.ops.Bpe.trainLocal(docs, "text", nMerges = 8))
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_input_bpe_merges")
     // DSIR primitives (q_dsir_weights/q_dsir_select): the per-doc hashed
     // bigram-bucket counts (xxhash64 — the hash primitive) and the

@@ -289,6 +289,68 @@ object Bpe {
     v.select(col("w"), col("freq"), col("syms").as("tokens"))
   }
 
+  /** Stable token-id vocabulary for a merge list: ids 0–35 are the base
+    * alphabet `[0-9a-z]` in ASCII order (the only symbols
+    * [[Curation.normWords]] can emit), then each rule's fused token gets
+    * `36 + rank − 1` (first producer wins when two rules fuse the same
+    * string, so a duplicate rank leaves a hole rather than remapping
+    * everything after it). A pure function of the merge list — training
+    * FIXES the id space, exactly like a shipped tokenizer artifact.
+    */
+  def vocabIds(merges: Seq[(String, String)]): Seq[(String, Int)] = {
+    val base = "0123456789abcdefghijklmnopqrstuvwxyz"
+      .map(_.toString).zipWithIndex
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    val fused = merges.zipWithIndex.flatMap { case ((l, r), i) =>
+      val t = l + r
+      if (seen.add(t)) Some(t -> (36 + i)) else None
+    }
+    base ++ fused
+  }
+
+  /** Per-document token-ID sequences under a learned merge list:
+    * (doc_id, ids: array<int>) in document word order — the frame a
+    * training pipeline actually ingests (packing and loss masks consume
+    * ids, not strings). Corpus-side plan mirrors [[tokenCounts]]: all
+    * symbol work happens once on the vocab frame; the corpus only
+    * explodes words, joins the broadcast (word → ids) dictionary, and
+    * regroups per doc (the one shuffle — zero-exchange on a
+    * doc-bucketed layout). The dictionary broadcast rides the same
+    * language-bounded-vocabulary contract as [[trainLocal]]. A word
+    * missing from the dictionary raises (data bug — the dictionary is
+    * built from the same corpus); an empty doc yields an empty array.
+    */
+  def encodeIds(df: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vids = vocabIds(merges).toDF("token", "tid")
+    val dict = encodeVocab(df, textCol, merges)
+      .select(col("w"), posexplode(col("tokens")).as(Seq("tpos", "token")))
+      .join(broadcast(vids), Seq("token"), "left")
+      .select(col("w"), col("tpos"),
+        coalesce(col("tid"), raise_error(concat(
+          lit("bpe encodeIds: token outside the vocabulary: "), col("token")))
+          .cast("int")).as("tid"))
+      .groupBy(col("w"))
+      .agg(transform(array_sort(collect_list(struct(col("tpos"), col("tid")))),
+        s => s.getField("tid")).as("_ids"))
+    df.select(col(idCol).as("doc_id"),
+        posexplode_outer(Curation.normWords(col(textCol))).as(Seq("wpos", "w")))
+      .join(broadcast(dict), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(coalesce(
+        flatten(transform(
+          array_sort(collect_list(struct(col("wpos"), col("_ids")))),
+          // empty doc → single all-null entry → flatten null → coalesce;
+          // a NON-null word with no dictionary row is a data bug → raise
+          s => when(s.getField("wpos").isNotNull && s.getField("_ids").isNull,
+              raise_error(lit("bpe encodeIds: word missing from dictionary"))
+                .cast("array<int>"))
+            .otherwise(s.getField("_ids")))),
+        array().cast("array<int>")).as("ids"))
+  }
+
   /** Per-document BPE token counts under a learned merge list:
     * (doc_id, bpe_tokens) for EVERY corpus row (0 for empty docs). The
     * corpus side only explodes words and joins the broadcast

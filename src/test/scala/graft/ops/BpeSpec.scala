@@ -153,6 +153,35 @@ class BpeSpec extends SparkTestBase {
       .exists(_.length > 2))
   }
 
+  test("encodeIds: sequence length ≡ tokenCounts, decode round-trips to " +
+    "the normalized text, empty doc → empty array") {
+    val merges = Bpe.trainLocal(corpus, "text", nMerges = 8)
+    val ids = Bpe.encodeIds(corpus, "doc_id", "text", merges)
+      .as[(Long, Seq[Int])].collect().toMap
+    val counts = Bpe.tokenCounts(corpus, "doc_id", "text", merges)
+      .as[(Long, Long)].collect().toMap
+    assert(ids.keySet === counts.keySet)
+    ids.foreach { case (d, seq) => assert(seq.size.toLong === counts(d)) }
+    assert(ids(3L) === Seq.empty)
+    // decode: inverse vocab map; concatenated tokens = normalized words
+    val inv = Bpe.vocabIds(merges).map(_.swap).toMap
+    val norm = corpus.select(col("doc_id"),
+        concat_ws("", Curation.normWords(col("text"))).as("t"))
+      .as[(Long, String)].collect().toMap
+    ids.foreach { case (d, seq) =>
+      assert(seq.map(inv).mkString("") === norm(d), s"doc $d")
+    }
+  }
+
+  test("vocabIds: base alphabet 0-35, fused = 36 + rank - 1, duplicate " +
+    "fusions keep the first producer") {
+    val v = Bpe.vocabIds(Seq(("a", "b"), ("ab", "c"), ("a", "bc"))).toMap
+    assert(v("0") === 0 && v("9") === 9 && v("a") === 10 && v("z") === 35)
+    assert(v("ab") === 36)
+    assert(v("abc") === 37) // ("a","bc") fuses the same string → hole at 38
+    assert(v.size === 36 + 2)
+  }
+
   test("tokenCounts: per-doc sums ≡ replay, empty doc → 0") {
     val merges = Bpe.train(corpus, "text", nMerges = 8)
     val (_, replaySyms) = replayTrain(
