@@ -297,31 +297,31 @@ object Bpe {
     * everything after it). A pure function of the merge list — training
     * FIXES the id space, exactly like a shipped tokenizer artifact.
     */
-  def vocabIds(merges: Seq[(String, String)]): Seq[(String, Int)] = {
-    val base = "0123456789abcdefghijklmnopqrstuvwxyz"
-      .map(_.toString).zipWithIndex
-    val seen = scala.collection.mutable.HashSet.empty[String]
-    val fused = merges.zipWithIndex.flatMap { case ((l, r), i) =>
-      val t = l + r
-      if (seen.add(t)) Some(t -> (36 + i)) else None
-    }
-    base ++ fused
-  }
+  def vocabIds(merges: Seq[(String, String)]): Seq[(String, Int)] =
+    graft.expr.BpeEncode.vocabIds(merges)
 
   /** Per-document token-ID sequences under a learned merge list:
     * (doc_id, ids: array<int>) in document word order — the frame a
     * training pipeline actually ingests (packing and loss masks consume
-    * ids, not strings). Corpus-side plan mirrors [[tokenCounts]]: all
-    * symbol work happens once on the vocab frame; the corpus only
-    * explodes words, joins the broadcast (word → ids) dictionary, and
-    * regroups per doc (the one shuffle — zero-exchange on a
-    * doc-bucketed layout). The dictionary broadcast rides the same
-    * language-bounded-vocabulary contract as [[trainLocal]]. A word
-    * missing from the dictionary raises (data bug — the dictionary is
-    * built from the same corpus); an empty doc yields an empty array.
+    * ids, not strings). ONE codegen'd [[graft.expr.BpeDocIds]]
+    * expression per row: normalize, encode each word through the
+    * per-thread memo, flatten — a pure zero-exchange map stage (the
+    * first cut regrouped a word-explode through a 738 MB-each-way
+    * shuffle at 1M docs; see BpeDocIds' doc). A null text behaves like
+    * an empty doc: empty array.
     */
   def encodeIds(df: DataFrame, idCol: String, textCol: String,
-                merges: Seq[(String, String)]): DataFrame = {
+                merges: Seq[(String, String)]): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      coalesce(graft.expr.BpeEncode.bpe_doc_ids(col(textCol), merges),
+        array().cast("array<int>")).as("ids"))
+
+  /** The dictionary-join formulation — kept ONLY as BpeSpec's bit-parity
+    * cross-check for [[encodeIds]] (its per-doc regroup ships every id
+    * array through the exchange; the expression ships nothing).
+    */
+  private[ops] def encodeIdsDict(df: DataFrame, idCol: String, textCol: String,
+                                 merges: Seq[(String, String)]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val vids = vocabIds(merges).toDF("token", "tid")

@@ -173,6 +173,19 @@ class BpeSpec extends SparkTestBase {
     }
   }
 
+  test("encodeIds expression ≡ dictionary-join cross-check, doc for doc") {
+    val merges = Bpe.trainLocal(corpus, "text", nMerges = 8)
+    val expr = Bpe.encodeIds(corpus, "doc_id", "text", merges)
+      .as[(Long, Seq[Int])].collect().toMap
+    val dict = Bpe.encodeIdsDict(corpus, "doc_id", "text", merges)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(expr === dict)
+    // and the expression plan is a pure map: no exchange anywhere
+    val plan = Bpe.encodeIds(corpus, "doc_id", "text", merges)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"encodeIds plan shuffles:\n$plan")
+  }
+
   test("vocabIds: base alphabet 0-35, fused = 36 + rank - 1, duplicate " +
     "fusions keep the first producer") {
     val v = Bpe.vocabIds(Seq(("a", "b"), ("ab", "c"), ("a", "bc"))).toMap
