@@ -29,7 +29,8 @@ object Bench {
   val headlineForced: Seq[String] = Seq(
     "q_c4_lines", "q_gopher_rules", "q_lm_score", "q_lm2_score",
     "q_lm3_score", "q_dsir_weights", "q_bloom_decontaminate",
-    "q_fuzzy_decontaminate", "q_sft_render", "q_corpus_report")
+    "q_fuzzy_decontaminate", "q_sft_render", "q_corpus_report",
+    "q_bpe_ids")
 
   def time[A](f: => A): Double = {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9

@@ -897,6 +897,21 @@ object SparkEntry {
           graft.ops.TextAnalysis.tokenCountWs(col("text")).as("n_tokens")),
         "doc_id", "n_tokens", budget = 512, nShards = 8)),
 
+    // Packed training rows: the concat-and-chunk layout MATERIALIZED —
+    // one row per (shard, pack) carrying the actual id slice assembly.
+    // Ids here are word lengths (deterministic, so the oracle replays
+    // the whole offset/split/assembly pipeline without the BPE CTE);
+    // PackingSpec runs the same op over real BPE ids.
+    "q_pack_rows" -> ((s, d) =>
+      graft.ops.Packing.packedRows(
+        t(s, d, "documents").select(col("doc_id"),
+          transform(graft.ops.Curation.normWords(col("text")),
+            w => length(w).cast("int")).as("ids")),
+        "doc_id", "ids", budget = 64, nShards = 4)
+      .select(col("shard"), col("pack"), col("n_ids"),
+        array_join(transform(col("ids"), i => i.cast("string")), " ")
+          .as("ids_str"))),
+
     // Per-pack manifest: one row per (doc, pack) span with the doc's token
     // range inside the pack — the pack reader's seek list
     "q_pack_manifest" -> ((s, d) =>
@@ -2274,6 +2289,35 @@ object SparkEntry {
         |  END AS BIGINT) AS last_pack,
         |  CAST(512 AS INT) AS budget
         |FROM c""".stripMargin,
+
+    // Packed rows: the q_pack_chunks offset replay, then per-pack slice
+    // bounds, list slicing, and ordered reassembly — the full
+    // trainer-row pipeline independently in SQL.
+    "q_pack_rows" ->
+      """WITH d AS (SELECT doc_id,
+        |    (doc_id * 2654435761) % 4294967296 % 4 AS shard,
+        |    list_transform(list_filter(string_split(
+        |      regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '),
+        |      x -> x <> ''), x -> CAST(len(x) AS INT)) AS ids
+        |  FROM documents),
+        |c AS (SELECT doc_id, shard, ids, CAST(len(ids) AS BIGINT) AS n,
+        |    COALESCE(SUM(CAST(len(ids) AS BIGINT)) OVER (PARTITION BY shard
+        |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), 0) AS start_off
+        |  FROM d),
+        |x AS (SELECT shard, ids, n, start_off,
+        |    unnest(range(CAST(FLOOR(start_off / 64) AS BIGINT),
+        |      CAST(FLOOR((start_off + n - 1) / 64) AS BIGINT) + 1)) AS pack
+        |  FROM c WHERE n > 0),
+        |seg AS (SELECT shard, pack,
+        |    GREATEST(start_off - pack * 64, 0) AS begin,
+        |    ids[CAST(GREATEST(pack * 64 - start_off, 0) + 1 AS BIGINT):
+        |        CAST(LEAST(n, (pack + 1) * 64 - start_off) AS BIGINT)] AS seg
+        |  FROM x)
+        |SELECT CAST(shard AS BIGINT) AS shard, CAST(pack AS BIGINT) AS pack,
+        |  CAST(SUM(len(seg)) AS BIGINT) AS n_ids,
+        |  string_agg(array_to_string(seg, ' '), ' ' ORDER BY begin) AS ids_str
+        |FROM seg GROUP BY shard, pack""".stripMargin,
 
     "q_pack_manifest" ->
       """WITH t AS (SELECT doc_id,

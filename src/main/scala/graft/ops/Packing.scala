@@ -127,6 +127,62 @@ object Packing {
         least(col("start_off") + col("n_tokens") - col("pack") * col("_b"),
           col("_b")).as("end"))
 
+  /** Materialize the actual fixed-budget TRAINING ROWS from per-document
+    * token-id sequences (e.g. [[Bpe.encodeIds]] output): the
+    * concat-and-chunk layout of [[packChunks]], but carrying the ids —
+    * every output row is one `(shard, pack)` example holding exactly
+    * `budget` ids except each shard's final partial pack. Documents
+    * straddle pack boundaries (no padding waste); within a pack,
+    * documents appear in id order, so
+    * concat(packs in pack order) = concat(docs in id order) per shard —
+    * the lossless-stream invariant PackingSpec asserts.
+    *
+    * Same interval arithmetic as [[packChunks]]/[[packManifest]]
+    * (PackingSpec cross-checks the (shard, pack, span-length) triples
+    * against the manifest), inlined here because the ids must ride the
+    * window rather than re-join the corpus afterwards.
+    *
+    * Scale shape: one shard-windowed prefix sum (shards bound the sort,
+    * as above), one explode whose row count is Σ boundary crossings
+    * ≈ corpus_tokens/budget + n_docs with each row carrying ONLY its
+    * pack's id slice (never the whole document), and one (shard, pack)
+    * aggregation — the slices crossing the exchange are exactly the
+    * output's intrinsic bytes. Zero-token documents are dropped (they
+    * contribute nothing to any pack; attrition accounting belongs
+    * upstream).
+    */
+  def packedRows(df: DataFrame, idCol: String, idsCol: String,
+                 budget: Int, nShards: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(idCol), col(idsCol).as("_ids"))
+      .withColumn("shard", Curation.shardAssign(col(idCol), nShards))
+      .withColumn("_n", size(col("_ids")).cast("long"))
+      .withColumn("start_off", coalesce(sum(col("_n")).over(w), lit(0L)))
+      .where(col("_n") > 0)
+      .select(col("shard"), col("_ids"), col("_n"), col("start_off"),
+        explode(sequence(floor(col("start_off") / budget),
+          floor((col("start_off") + col("_n") - 1) / budget))).as("pack"))
+      .select(col("shard"), col("pack"),
+        greatest(col("start_off") - col("pack") * budget, lit(0L))
+          .as("_begin"),
+        slice(col("_ids"),
+          (greatest(col("pack") * budget - col("start_off"), lit(0L)) + 1)
+            .cast("int"),
+          (least(col("_n"), (col("pack") + 1) * budget - col("start_off"))
+            - greatest(col("pack") * budget - col("start_off"), lit(0L)))
+            .cast("int")).as("_seg"))
+      .groupBy(col("shard"), col("pack"))
+      // _begin values are distinct within a pack (spans are disjoint and
+      // non-empty), so the struct sort restores id order deterministically
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("_begin"), col("_seg")))),
+        s => s.getField("_seg"))).as("ids"))
+      .withColumn("n_ids", size(col("ids")).cast("long"))
+  }
+
   /** Per-document sliding-window chunking with overlap — the RAG /
     * long-context ingest layout (each document is cut into `window`-token
     * chunks every `stride` tokens, so consecutive chunks overlap by

@@ -116,6 +116,63 @@ class PackingSpec extends SparkTestBase {
     assert(manifestTokens === corpusTokens)
   }
 
+  test("packedRows: lossless stream per shard, full packs except the " +
+    "last, spans match the manifest") {
+    // deterministic id arrays incl. empty and an oversize doc (> 2 packs)
+    val ids = Seq(
+      0L -> (1 to 10), 1L -> (11 to 13), 2L -> (0 until 0),
+      3L -> (14 to 60), 4L -> (61 to 61), 5L -> (62 to 99),
+      6L -> (100 to 101), 7L -> (102 to 140)
+    ).map { case (d, r) => (d, r.toList) }.toDF("doc_id", "ids")
+    val budget = 16
+    val rows = Packing.packedRows(ids, "doc_id", "ids", budget, nShards = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getSeq[Int](2), r.getLong(3)))).toMap
+    // per shard: concat(packs in order) == concat(docs in id order)
+    val shardOf = ids.select(col("doc_id"),
+        Curation.shardAssign(col("doc_id"), 3).as("s"))
+      .as[(Long, Long)].collect().toMap
+    val expected = ids.as[(Long, Seq[Int])].collect().sortBy(_._1)
+      .groupBy { case (d, _) => shardOf(d) }
+      .map { case (s, ds) => s -> ds.sortBy(_._1).flatMap(_._2).toSeq }
+    expected.foreach { case (s, stream) =>
+      val packs = rows.keys.filter(_._1 == s).map(_._2).toSeq.sorted
+      assert(packs === (0L until packs.size).toSeq, s"shard $s pack ids")
+      val got = packs.flatMap(p => rows((s, p))._1)
+      assert(got === stream, s"shard $s stream")
+      packs.dropRight(1).foreach { p =>
+        assert(rows((s, p))._2 === budget.toLong, s"shard $s pack $p not full")
+      }
+      assert(rows((s, packs.last))._2 <= budget.toLong)
+    }
+    // (shard, pack) span totals == manifest span totals
+    val manifest = Packing.packManifest(
+      Packing.packChunks(ids.select(col("doc_id"),
+        size(col("ids")).as("n")), "doc_id", "n", budget, 3), "doc_id")
+      .groupBy("shard", "pack")
+      .agg(sum(col("end") - col("begin")).as("n"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (s, p, n) => (s, p) -> n }.toMap
+    assert(rows.view.mapValues(_._2).toMap === manifest)
+  }
+
+  test("packedRows composes with encodeIds: the packed stream decodes " +
+    "back to the corpus") {
+    val corpus = Seq((0L, "low low lower"), (1L, "newest widest low"),
+      (2L, ""), (3L, "lowest newest newest")).toDF("doc_id", "text")
+    val merges = Bpe.trainLocal(corpus, "text", nMerges = 6)
+    val ids = Bpe.encodeIds(corpus, "doc_id", "text", merges)
+    val packed = Packing.packedRows(ids, "doc_id", "ids", budget = 7,
+      nShards = 1)
+      .orderBy("pack").as[(Long, Long, Seq[Int], Long)].collect()
+    val inv = Bpe.vocabIds(merges).map(_.swap).toMap
+    val decoded = packed.flatMap(_._3).map(inv).mkString("")
+    val norm = corpus.orderBy("doc_id")
+      .select(concat_ws("", Curation.normWords(col("text"))))
+      .as[String].collect().mkString("")
+    assert(decoded === norm)
+  }
+
   test("packGreedy fails fast on null / non-integral ids") {
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
