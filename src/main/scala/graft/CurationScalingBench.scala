@@ -172,11 +172,22 @@ object CurationScalingBench {
         lazy val bpeRules =
           graft.ops.Bpe.trainLocal(docs, "text", nMerges = 32768)
         def bpeRun(): Unit = {
-          // tokenizer application over the full corpus: vocab collapse,
-          // whole-list BpeEncode on distinct words, broadcast dict join,
-          // per-doc id regroup. forceAll: the ids arrays must
-          // materialize, not just the group count.
+          // tokenizer application over the full corpus: one BpeDocIds
+          // map stage (normalize + memoized per-word encode + flatten),
+          // zero exchange. forceAll: the ids arrays must materialize,
+          // not just the group count.
           forceAll(graft.ops.Bpe.encodeIds(docs, "doc_id", "text", bpeRules))
+        }
+        def packRun(): Unit = {
+          // the COMPLETE trainer-feed pass: tokenize every doc to ids
+          // (zero-exchange BpeDocIds) and assemble fixed-budget packed
+          // rows (2048 ids, data-sized shard count). The one exchange
+          // ships each pack's slices — the output's intrinsic bytes;
+          // forceAll materializes the assembled id arrays.
+          forceAll(graft.ops.Packing.packedRows(
+            graft.ops.Bpe.encodeIds(docs, "doc_id", "text", bpeRules),
+            "doc_id", "ids", budget = 2048,
+            nShards = math.max(64, (nDocs / 31250L).toInt)))
         }
 
         val io = new IoListener
@@ -194,7 +205,8 @@ object CurationScalingBench {
           "paragraph" -> (() => paragraphRun()),
           "quality" -> (() => qualityRun()),
           "dsir" -> (() => dsirRun()),
-          "bpe" -> (() => bpeRun()))
+          "bpe" -> (() => bpeRun()),
+          "pack" -> (() => packRun()))
           .filter { case (name, _) =>
             if (stageSet.isEmpty) default(name) else stageSet(name) }
         require(stages.nonEmpty, s"no stage matches $stageSet")
