@@ -912,6 +912,20 @@ object SparkEntry {
         array_join(transform(col("ids"), i => i.cast("string")), " ")
           .as("ids_str"))),
 
+    // Seeded epoch order: the same packed rows under orderSeed = 7 — a
+    // per-epoch deterministic reshuffle of each shard's stream with no
+    // global sort; the oracle replays the seeded Knuth rank in BIGINT
+    // arithmetic.
+    "q_pack_epoch" -> ((s, d) =>
+      graft.ops.Packing.packedRows(
+        t(s, d, "documents").select(col("doc_id"),
+          transform(graft.ops.Curation.normWords(col("text")),
+            w => length(w).cast("int")).as("ids")),
+        "doc_id", "ids", budget = 64, nShards = 4, orderSeed = Some(7L))
+      .select(col("shard"), col("pack"), col("n_ids"),
+        array_join(transform(col("ids"), i => i.cast("string")), " ")
+          .as("ids_str"))),
+
     // Per-pack manifest: one row per (doc, pack) span with the doc's token
     // range inside the pack — the pack reader's seek list
     "q_pack_manifest" -> ((s, d) =>
@@ -2303,6 +2317,35 @@ object SparkEntry {
         |c AS (SELECT doc_id, shard, ids, CAST(len(ids) AS BIGINT) AS n,
         |    COALESCE(SUM(CAST(len(ids) AS BIGINT)) OVER (PARTITION BY shard
         |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), 0) AS start_off
+        |  FROM d),
+        |x AS (SELECT shard, ids, n, start_off,
+        |    unnest(range(CAST(FLOOR(start_off / 64) AS BIGINT),
+        |      CAST(FLOOR((start_off + n - 1) / 64) AS BIGINT) + 1)) AS pack
+        |  FROM c WHERE n > 0),
+        |seg AS (SELECT shard, pack,
+        |    GREATEST(start_off - pack * 64, 0) AS begin,
+        |    ids[CAST(GREATEST(pack * 64 - start_off, 0) + 1 AS BIGINT):
+        |        CAST(LEAST(n, (pack + 1) * 64 - start_off) AS BIGINT)] AS seg
+        |  FROM x)
+        |SELECT CAST(shard AS BIGINT) AS shard, CAST(pack AS BIGINT) AS pack,
+        |  CAST(SUM(len(seg)) AS BIGINT) AS n_ids,
+        |  string_agg(array_to_string(seg, ' '), ' ' ORDER BY begin) AS ids_str
+        |FROM seg GROUP BY shard, pack""".stripMargin,
+
+    // Seeded packed rows: identical replay with the window (and the
+    // assembly's implicit order) keyed by the seeded Knuth rank.
+    "q_pack_epoch" ->
+      """WITH d AS (SELECT doc_id,
+        |    (doc_id * 2654435761) % 4294967296 % 4 AS shard,
+        |    ((doc_id + 7) % 2147483648 * 2654435761) % 4294967296 AS rk,
+        |    list_transform(list_filter(string_split(
+        |      regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '),
+        |      x -> x <> ''), x -> CAST(len(x) AS INT)) AS ids
+        |  FROM documents),
+        |c AS (SELECT doc_id, shard, rk, ids, CAST(len(ids) AS BIGINT) AS n,
+        |    COALESCE(SUM(CAST(len(ids) AS BIGINT)) OVER (PARTITION BY shard
+        |      ORDER BY rk, doc_id ROWS BETWEEN UNBOUNDED PRECEDING
         |      AND 1 PRECEDING), 0) AS start_off
         |  FROM d),
         |x AS (SELECT shard, ids, n, start_off,

@@ -152,10 +152,28 @@ object Packing {
     * upstream).
     */
   def packedRows(df: DataFrame, idCol: String, idsCol: String,
-                 budget: Int, nShards: Int): DataFrame = {
+                 budget: Int, nShards: Int,
+                 orderSeed: Option[Long] = None): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
     require(nShards > 0, s"nShards must be positive: $nShards")
-    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+    // seed < 2^62 keeps id + seed clear of Long overflow for every id in
+    // sampleRank's [0, 2^31) domain (which shardAssign already enforces)
+    require(orderSeed.forall(s => s >= 0L && s < (1L << 62)),
+      s"orderSeed must be in [0, 2^62): $orderSeed")
+    // epoch-order shuffling WITHOUT a global sort: a seed reorders each
+    // shard's stream by the seeded Knuth rank ((id + seed) mod 2^31 is a
+    // bijection of the sampleRank domain, then the odd-multiplier hash —
+    // tie-free for distinct ids, plain BIGINT SQL in the oracle). Docs
+    // keep their shard (the window sort stays bounded by corpus/nShards);
+    // a new seed per epoch yields a new deterministic batch order with
+    // zero extra plan cost.
+    val ord = orderSeed match {
+      case None => Seq(col(idCol))
+      case Some(s) => Seq(pmod(
+        pmod(col(idCol).cast("long") + s, lit(2147483648L)) * 2654435761L,
+        lit(4294967296L)), col(idCol))
+    }
+    val w = Window.partitionBy(col("shard")).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     df.select(col(idCol), col(idsCol).as("_ids"))
       .withColumn("shard", Curation.shardAssign(col(idCol), nShards))

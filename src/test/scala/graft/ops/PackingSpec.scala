@@ -156,6 +156,39 @@ class PackingSpec extends SparkTestBase {
     assert(rows.view.mapValues(_._2).toMap === manifest)
   }
 
+  test("packedRows orderSeed: per-shard stream is the seeded permutation " +
+    "of the same ids — invariants hold, order genuinely moves") {
+    val ids = (0L until 40L).map(d =>
+      (d, (d * 100 until d * 100 + (d % 5) + 1).map(_.toInt).toList))
+      .toDF("doc_id", "ids")
+    def streams(seed: Option[Long]) =
+      Packing.packedRows(ids, "doc_id", "ids", budget = 16, nShards = 3,
+          orderSeed = seed)
+        .orderBy("shard", "pack").as[(Long, Long, Seq[Int], Long)]
+        .collect().groupBy(_._1)
+        .map { case (s, rs) => s -> rs.sortBy(_._2).flatMap(_._3).toSeq }
+    val base = streams(None)
+    val epoch = streams(Some(7L))
+    assert(base.keySet === epoch.keySet)
+    base.foreach { case (s, st) =>
+      assert(epoch(s).sorted === st.sorted, s"shard $s multiset moved")
+    }
+    assert(base.exists { case (s, st) => epoch(s) !== st },
+      "seed 7 produced the identity order on every shard")
+    // expected permutation: seeded Knuth rank order within shard
+    val rk = (d: Long) => ((d + 7) % 2147483648L) * 2654435761L % 4294967296L
+    val byShard = ids.select(col("doc_id"),
+        Curation.shardAssign(col("doc_id"), 3).as("s"))
+      .as[(Long, Long)].collect().groupBy(_._2)
+    val idsMap = ids.as[(Long, Seq[Int])].collect().toMap
+    byShard.foreach { case (s, ds) =>
+      val want = ds.map(_._1).sortBy(d => (rk(d), d)).flatMap(idsMap).toSeq
+      assert(epoch(s) === want, s"shard $s seeded order")
+    }
+    // determinism
+    assert(streams(Some(7L)) === epoch)
+  }
+
   test("packedRows composes with encodeIds: the packed stream decodes " +
     "back to the corpus") {
     val corpus = Seq((0L, "low low lower"), (1L, "newest widest low"),
