@@ -58,6 +58,54 @@ object SparkEntry {
     docs.select(col("doc_id"), array_join(mk, "\n").as("text"))
   }
 
+  /** Turn frame for the conversation-dedup query: the seed-42 synthetic
+    * corpus plus deterministic near-dup clones — every 5th conversation's
+    * turns re-appear under a `dupe-` id with ONE extra closing turn
+    * appended, so conversation-level near-dup pairs exist by
+    * construction. Pure arithmetic + string concat, so the oracle
+    * rebuilds the identical frame from the _input_turns dump.
+    */
+  private[graft] def convDedupTurns(s: SparkSession): DataFrame = {
+    val turns = TranscriptGen.turnsDs(s, 500).toDF()
+      .select(col("conv_id"), col("turn_idx"), col("text"))
+    val cloned = regexp_extract(col("conv_id"), "(\\d+)$", 1)
+      .cast("long") % 5 === 0
+    val clones = turns.where(cloned)
+      .select(concat(lit("dupe-"), col("conv_id")).as("conv_id"),
+        col("turn_idx"), col("text"))
+    val extra = turns.where(cloned)
+      .groupBy(col("conv_id")).agg(max(col("turn_idx")).as("_mx"))
+      .select(concat(lit("dupe-"), col("conv_id")).as("conv_id"),
+        (col("_mx") + 1).as("turn_idx"),
+        lit("extra closing words here").as("text"))
+    turns.unionByName(clones).unionByName(extra)
+  }
+
+  /** Deterministic URL synthesis for the URL-curation queries: every
+    * variant is decided by doc_id arithmetic (no hashes), so the oracle
+    * rebuilds byte-identical strings in SQL. 7 site names × 6 TLDs = 42
+    * registrable domains, so the per-domain cap genuinely binds at the
+    * 500-doc verify scale.
+    */
+  private def urlDocs(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val url = concat(
+      element_at(array(lit("https://"), lit("HTTP://"), lit("ftp://"),
+        lit("")), (id % 4 + 1).cast("int")),
+      when(id % 3 === 0, "www.").when(id % 9 === 1, "www2.").otherwise(""),
+      when(id % 4 === 0, "blog.").when(id % 4 === 1, "Shop.").otherwise(""),
+      lit("site"), (id % 7).cast("string"),
+      element_at(array(lit(".com"), lit(".org"), lit(".co.uk"), lit(".de"),
+        lit(".ac.jp"), lit(".net")), (id % 6 + 1).cast("int")),
+      when(id % 5 === 0, ":8080").otherwise(""),
+      lit("/Docs/"), id.cast("string"),
+      when(id % 4 === 0, "/").otherwise(""),
+      when(id % 6 === 0, concat(lit("?utm=x&id="), id.cast("string")))
+        .otherwise(""),
+      when(id % 7 === 0, "#Section-2").otherwise(""))
+    docs.select(id, url.as("url"))
+  }
+
   /** Flagship: full transcript pipeline (parse→enrich→route→aggregate) on a
     * deterministic synthetic corpus; driver smoke-checks rows>0.
     */
@@ -687,6 +735,34 @@ object SparkEntry {
       graft.ops.Curation.corpusReport(t(s, d, "documents"), "doc_id",
         "text", Seq("source", "lang"))),
 
+    // ---------------- URL curation (RefinedWeb-style provenance stage).
+    // URLs are synthesized from doc_id by pure arithmetic (urlDocs) so
+    // the oracle rebuilds the identical strings in SQL; the variants
+    // cover every normalize branch (scheme casing, www/www2 label, port,
+    // trailing slash, query, fragment) and both registrable-domain rules
+    // (plain 2-label and the co.uk/ac.jp ccSLD exception).
+    "q_url_normalize" -> ((s, d) => {
+      val u = urlDocs(t(s, d, "documents"))
+      u.select(col("doc_id"), col("url"),
+        graft.ops.UrlCuration.urlNormalize(col("url")).as("url_norm"),
+        graft.ops.UrlCuration.urlHost(col("url")).as("host"),
+        graft.ops.UrlCuration.urlDomain(col("url")).as("domain"))
+    }),
+
+    // The composed URL-curation stage: blocklist anti-join (broadcast)
+    // then the per-domain contribution cap (bounded TopK partials +
+    // (domain, id)-keyed semi-join — no per-domain sort anywhere).
+    "q_domain_cap" -> ((s, d) => {
+      import s.implicits._
+      val u = urlDocs(t(s, d, "documents"))
+      val blocked = Seq("site1.com", "site2.co.uk").toDF("domain")
+      graft.ops.UrlCuration.domainCap(
+        graft.ops.UrlCuration.blockDomains(u, "url", blocked),
+        "url", "doc_id", cap = 5)
+        .select(col("doc_id"),
+          graft.ops.UrlCuration.urlDomain(col("url")).as("domain"))
+    }),
+
     // Trigram Stupid-Backoff LM scoring: the order-3 instance of the
     // backoff chain (same even-doc dictionaries, one more level — seen
     // trigram / +BO bigram / +2BO unigram / OOV floor); the synthetic
@@ -1193,6 +1269,17 @@ object SparkEntry {
       Sampler.sampleConversations(turns, 10.0)
         .groupBy(col("conv_id")).agg(count(lit(1)).as("n_turns"))
     }),
+
+    // Conversation-level near-dup (the SFT-corpus dedup pass): render
+    // each conversation to one turn-ordered document, then the banded
+    // minhash machinery. Input is the synthetic corpus plus deterministic
+    // clones (every 5th conversation re-appears under a 'dupe-' id with
+    // one extra closing turn), so real positives exist; the oracle
+    // re-renders AND re-shingles everything from _input_turns — only the
+    // minhash sig/band hashes import from the _input_convs dump.
+    "q_conv_neardups" -> ((s, _) =>
+      graft.ops.Dedup.convNearDups(convDedupTurns(s), "conv_id",
+        "turn_idx", "text", threshold = 0.5)),
 
     // ---------------- translators (§2.11): jaeger span mapping over the
     // same dumped corpus (OTLP/zipkin/OC covered by TranslatorsSpec)
@@ -2434,6 +2521,40 @@ object SparkEntry {
     "q_asof_join" -> SparkEntry.asofOracle,
     "q_asof_broadcast" -> SparkEntry.asofOracle,
 
+    // URL curation: the synthesis, the anchored normalize regex chain,
+    // and the registrable-domain CASE all replay verbatim (DuckDB's
+    // first-match-only regexp_replace ≡ Spark's replace-all because every
+    // pattern is anchored and so matches at most once).
+    "q_url_normalize" ->
+      (urlSynthSql +
+      """SELECT doc_id, url, url_norm, host,
+        |  CASE WHEN len(lab) <= 2 THEN host
+        |       WHEN lab[-2] IN ('co','com','net','org','ac','gov','edu')
+        |            AND len(lab[-1]) = 2
+        |         THEN array_to_string(lab[len(lab)-2:], '.')
+        |       ELSE array_to_string(lab[len(lab)-1:], '.') END AS domain
+        |FROM l""".stripMargin),
+
+    // blocklist + per-domain cap: the deterministic sampleRank pick
+    // replays as a window rank (the q_quota_sample convention)
+    "q_domain_cap" ->
+      (urlSynthSql +
+      """, dom AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(lab) <= 2 THEN host
+        |         WHEN lab[-2] IN ('co','com','net','org','ac','gov','edu')
+        |              AND len(lab[-1]) = 2
+        |           THEN array_to_string(lab[len(lab)-2:], '.')
+        |         ELSE array_to_string(lab[len(lab)-1:], '.') END AS domain
+        |  FROM l),
+        |f AS (SELECT * FROM dom
+        |      WHERE domain NOT IN ('site1.com', 'site2.co.uk')),
+        |r AS (SELECT doc_id, domain, ROW_NUMBER() OVER (
+        |        PARTITION BY domain
+        |        ORDER BY (doc_id * 2654435761) % 4294967296) AS rk
+        |      FROM f)
+        |SELECT doc_id, domain FROM r WHERE rk <= 5""".stripMargin),
+
     // quotaSample's multiplicative-hash rank is plain BIGINT arithmetic,
     // so the deterministic sample replays as a window rank
     "q_quota_sample" ->
@@ -2653,6 +2774,51 @@ object SparkEntry {
       """WITH d AS (SELECT doc_id AS id, sh, sig, bands
         |           FROM read_parquet('__OUT__/_input_docs/*.parquet')
         |           WHERE doc_id < 200),
+        |b AS (SELECT id, sig, unnest(bands, recursive := true) FROM d),
+        |capped AS (SELECT id, sig, band_idx, band_hash FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY band_idx, band_hash
+        |      ORDER BY id) AS rn FROM b) WHERE rn <= 2048),
+        |cand AS (SELECT DISTINCT a.id AS id_a, b2.id AS id_b,
+        |    CAST(len(list_filter(list_zip(a.sig, b2.sig),
+        |      p -> p[1] = p[2])) AS DOUBLE) / 64 AS jaccard_est
+        |  FROM capped a JOIN capped b2 USING (band_idx, band_hash)
+        |  WHERE a.id < b2.id),
+        |j AS (SELECT id_a, id_b, jaccard_est,
+        |    CASE WHEN len(list_distinct(da.sh || db.sh)) = 0 THEN 1.0
+        |         ELSE CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+        |              / len(list_distinct(da.sh || db.sh)) END AS jaccard
+        |  FROM cand JOIN d da ON cand.id_a = da.id
+        |            JOIN d db ON cand.id_b = db.id)
+        |SELECT id_a, id_b, jaccard_est, jaccard FROM j
+        |WHERE jaccard >= 0.5""".stripMargin,
+
+    // Conversation near-dup: the render (string_agg ORDER BY turn_idx),
+    // the clone construction, and the SHINGLES are all recomputed
+    // independently from _input_turns; only the minhash sig/band hashes
+    // import (_input_convs), and the band join / cap / distinct-pair /
+    // estimate / exact-verify logic replays relationally as in
+    // q_minhash_neardups. A render divergence would shift the recomputed
+    // jaccard values (and the threshold row set) → hash mismatch.
+    "q_conv_neardups" ->
+      """WITH conv AS (
+        |  SELECT conv_id, string_agg(text, ' ' ORDER BY turn_idx) AS text
+        |  FROM read_parquet('__OUT__/_input_turns/*.parquet')
+        |  GROUP BY conv_id),
+        |alld AS (
+        |  SELECT conv_id, text FROM conv
+        |  UNION ALL
+        |  SELECT 'dupe-' || conv_id, text || ' extra closing words here'
+        |  FROM conv
+        |  WHERE CAST(regexp_extract(conv_id, '(\d+)$', 1) AS BIGINT) % 5 = 0),
+        |shr AS (SELECT conv_id AS id,
+        |    [array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]
+        |      AS shl
+        |  FROM (SELECT conv_id, string_split_regex(lower(text), '\s+') AS ws
+        |        FROM alld)),
+        |d AS (SELECT c.conv_id AS id, c.sig, c.bands,
+        |        list_distinct(shr.shl) AS sh
+        |      FROM read_parquet('__OUT__/_input_convs/*.parquet') c
+        |      JOIN shr ON shr.id = c.conv_id),
         |b AS (SELECT id, sig, unnest(bands, recursive := true) FROM d),
         |capped AS (SELECT id, sig, band_idx, band_hash FROM (
         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY band_idx, band_hash
@@ -3221,6 +3387,38 @@ object SparkEntry {
     * bit-for-bit (its 0.0 seed is IEEE-exact under +); rank ties break
     * score DESC, id ASC like Similarity.topKPerQuery.
     */
+  /** Shared CTE prefix of the URL-curation oracles: the arithmetic URL
+    * synthesis (≡ [[urlDocs]]), the anchored normalize chain, host
+    * extraction, and the host-label split. Ends after the `l` CTE so each
+    * oracle appends its own final SELECT (or further CTEs).
+    */
+  private val urlSynthSql: String =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    (['https://','HTTP://','ftp://',''])[(doc_id % 4) + 1] ||
+      |    CASE WHEN doc_id % 3 = 0 THEN 'www.'
+      |         WHEN doc_id % 9 = 1 THEN 'www2.' ELSE '' END ||
+      |    CASE WHEN doc_id % 4 = 0 THEN 'blog.'
+      |         WHEN doc_id % 4 = 1 THEN 'Shop.' ELSE '' END ||
+      |    'site' || CAST(doc_id % 7 AS VARCHAR) ||
+      |    (['.com','.org','.co.uk','.de','.ac.jp','.net'])[(doc_id % 6) + 1] ||
+      |    CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END ||
+      |    '/Docs/' || CAST(doc_id AS VARCHAR) ||
+      |    CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
+      |    CASE WHEN doc_id % 6 = 0
+      |         THEN '?utm=x&id=' || CAST(doc_id AS VARCHAR) ELSE '' END ||
+      |    CASE WHEN doc_id % 7 = 0 THEN '#Section-2' ELSE '' END AS url
+      |  FROM documents),
+      |n1 AS (SELECT doc_id, url,
+      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |    regexp_replace(lower(trim(url)), '^[a-z][a-z0-9+.-]*://', ''),
+      |    '#.*$', ''), '\?.*$', ''), '^www\d*\.', ''), '/+$', '') AS url_norm
+      |  FROM u),
+      |h AS (SELECT *, regexp_replace(regexp_extract(url_norm, '^([^/]+)', 1),
+      |        ':\d+$', '') AS host FROM n1),
+      |l AS (SELECT *, string_split(host, '.') AS lab FROM h)
+      |""".stripMargin
+
   private def pqOracle(candSql: String): String =
     s"""WITH v AS (SELECT id, codes
        |           FROM read_parquet('__OUT__/_input_pq/*.parquet')),

@@ -55,6 +55,19 @@ object Verify {
       .withColumn("sig", graft.ops.Dedup.minhashSignature(col("sh"), 64))
       .withColumn("bands", graft.ops.Dedup.minhashBandsCol(col("sig"), 64, 16))
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_input_docs")
+    // Conversation near-dup primitives (q_conv_neardups): minhash
+    // sig/band hashes of the rendered+cloned conversation frame. The
+    // oracle re-renders the conversations AND re-shingles them from
+    // _input_turns; only these hash values import (the _input_docs
+    // convention).
+    graft.ops.Dedup.renderConv(SparkEntry.convDedupTurns(spark),
+        "conv_id", "turn_idx", "text")
+      .select(col("conv_id"),
+        graft.ops.Dedup.minhashSignature(
+          graft.ops.Dedup.wordShingles(col("text"), 3), 64).as("sig"))
+      .withColumn("bands",
+        graft.ops.Dedup.minhashBandsCol(col("sig"), 64, 16))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_input_convs")
     // corpus word-hash dictionary: lets DuckDB recompute simhash signatures
     // INDEPENDENTLY (per-bit vote + sign + bit assembly all in SQL) — only
     // the raw xxhash64(word) values are imported

@@ -306,6 +306,36 @@ object Dedup {
       .select("id_a", "id_b", "jaccard_est", "jaccard")
   }
 
+  /** Render each conversation as ONE document: turn texts concatenated in
+    * `orderCol` order, space-separated. One shuffle on the conversation
+    * key; per-group state is a conversation's own turns (bounded by
+    * conversation length, not corpus size), collected once and sorted
+    * in-memory per group — collect_list's arrival order is
+    * non-deterministic, the array_sort on (orderCol, text) structs makes
+    * the result partitioning-invariant. `orderCol` must be unique within
+    * a conversation (the transcript contract).
+    */
+  def renderConv(turns: DataFrame, convCol: String, orderCol: String,
+                 textCol: String): DataFrame =
+    turns.groupBy(col(convCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col(orderCol), col(textCol)))),
+        t => t.getField(textCol)), " ").as("text"))
+
+  /** Conversation-level near-dup: [[renderConv]] each conversation to one
+    * document, then the standard banded-minhash machinery — the dedup
+    * pass an SFT corpus needs BEFORE training (near-identical
+    * conversations differing in a greeting or a timestamp line). Same
+    * scale shape as [[minhashNearDups]] plus one conversation-key shuffle
+    * for the render.
+    */
+  def convNearDups(turns: DataFrame, convCol: String, orderCol: String,
+                   textCol: String, threshold: Double = 0.8,
+                   numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3,
+                   bucketCap: Int = DefaultBucketCap): DataFrame =
+    minhashNearDups(renderConv(turns, convCol, orderCol, textCol),
+      convCol, "text", threshold, numHashes, bands, shingleK, bucketCap)
+
   // ------------------------------------------------------- n-gram jaccard
 
   /** Exact Jaccard between two DISTINCT shingle arrays ([[wordShingles]]

@@ -164,4 +164,32 @@ class DedupSpec extends SparkTestBase {
     assert(got.exists { case (_, np, nk, _) => nk < np },
       "chunk construction produced no cross-doc duplicates")
   }
+
+  test("renderConv: turn order restored, partitioning-invariant") {
+    val turns = Seq(
+      ("c1", 2, "third part here"), ("c1", 0, "first part"),
+      ("c1", 1, "second part"), ("c2", 0, "lonely turn")
+    ).toDF("conv_id", "turn_idx", "text")
+    def run(parts: Int) =
+      Dedup.renderConv(turns.repartition(parts), "conv_id", "turn_idx",
+        "text").as[(String, String)].collect().toMap
+    val got = run(1)
+    assert(got == Map("c1" -> "first part second part third part here",
+      "c2" -> "lonely turn"))
+    assert(run(5) == got)
+  }
+
+  test("convNearDups finds conversations that differ by one turn") {
+    val base = (0 until 8).map(i => ("c-orig", i, s"turn number $i of the long conversation about topic"))
+    val near = (0 until 8).map(i => ("c-near", i, s"turn number $i of the long conversation about topic")) :+
+      (("c-near", 8, "one extra closing turn"))
+    val other = (0 until 8).map(i => ("c-other", i, s"completely unrelated chatter item $i with different words entirely"))
+    val turns = (base ++ near ++ other).toDF("conv_id", "turn_idx", "text")
+    val pairs = Dedup.convNearDups(turns, "conv_id", "turn_idx", "text",
+        threshold = 0.5)
+      .select("id_a", "id_b").as[(String, String)].collect().toSet
+    assert(pairs.contains(("c-near", "c-orig")) ||
+      pairs.contains(("c-orig", "c-near")))
+    assert(!pairs.exists { case (a, b) => a == "c-other" || b == "c-other" })
+  }
 }
