@@ -190,6 +190,44 @@ object CurationScalingBench {
             nShards = math.max(64, (nDocs / 31250L).toInt)))
         }
 
+        def classifierRun(): Unit = {
+          // the model-filter scoring pass (fastText-shaped quality
+          // classifier) at a production feature dim: 2^20 features ≈ a
+          // 16 MB broadcast weight table. Explode → broadcast join →
+          // per-doc exact integer sums; the only shuffle is the
+          // map-side-collapsed per-doc partial rows (≈ corpus row count,
+          // not token count). forceAll: score/label must materialize.
+          forceAll(graft.ops.Classifier.scoreJoin(docs, "doc_id", "text",
+            graft.ops.Classifier.syntheticWeights(spark, 1 << 20),
+            1 << 20))
+        }
+        def urlRun(): Unit = {
+          // the URL-provenance stage over the full corpus: synthesize a
+          // crawl URL per doc (arithmetic — ~nDocs/250 site names × 4
+          // TLDs, with every 7th doc landing on ONE mega-domain so the
+          // cap meets genuine skew), then blocklist + per-domain cap.
+          // The TopK partials collapse hot domains map-side; the
+          // restore join is keyed on (domain, id) so the mega-domain
+          // spreads across reducers.
+          import spark.implicits._
+          val id = col("doc_id")
+          val site = when(id % 7 === 0, lit(0L))
+            .otherwise(id % math.max(4L, nDocs / 250L))
+          val urls = docs.select(id, concat(
+            lit("https://"), when(id % 3 === 0, "www.").otherwise(""),
+            lit("site"), site.cast("string"),
+            element_at(array(lit(".com"), lit(".org"), lit(".co.uk"),
+              lit(".de")), (id % 4 + 1).cast("int")),
+            lit("/p/"), id.cast("string"),
+            when(id % 6 === 0, "?utm=1").otherwise("")).as("url"))
+          val blocked = Seq("site1.com", "site2.co.uk").toDF("domain")
+          val n = graft.ops.UrlCuration.domainCap(
+            graft.ops.UrlCuration.blockDomains(urls, "url", blocked),
+            "url", "doc_id", cap = 100).count()
+          require(n > 0 && n < nDocs,
+            s"url stage: cap/blocklist did not bind ($n of $nDocs kept)")
+        }
+
         val io = new IoListener
         spark.sparkContext.addSparkListener(io)
         // jaccard/bm25 are OPT-IN (same rationale as AnnScalingBench's
@@ -206,7 +244,9 @@ object CurationScalingBench {
           "quality" -> (() => qualityRun()),
           "dsir" -> (() => dsirRun()),
           "bpe" -> (() => bpeRun()),
-          "pack" -> (() => packRun()))
+          "pack" -> (() => packRun()),
+          "classifier" -> (() => classifierRun()),
+          "url" -> (() => urlRun()))
           .filter { case (name, _) =>
             if (stageSet.isEmpty) default(name) else stageSet(name) }
         require(stages.nonEmpty, s"no stage matches $stageSet")
