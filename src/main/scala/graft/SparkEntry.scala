@@ -720,6 +720,13 @@ object SparkEntry {
       graft.ops.Curation.topNgrams(t(s, d, "documents"), "text",
         n = 3, k = 20, minCount = 2)),
 
+    // The bounded-shuffle heavy-hitters path (Misra-Gries sketch +
+    // exact candidate recount + completeness proof) — must return the
+    // IDENTICAL rows, so it shares q_top_ngrams' oracle verbatim
+    "q_top_ngrams_sketch" -> ((s, d) =>
+      graft.ops.Curation.topNgramsSketch(t(s, d, "documents"), "text",
+        n = 3, k = 20, capacity = 8192, minCount = 2)),
+
     // BPE tokenizer-training merge step: corpus-wide adjacent char-pair
     // frequencies via the vocab-collapsed decomposition (the pair explode
     // runs over DISTINCT words weighted by freq — TextAnalysisSpec proves
@@ -1654,6 +1661,25 @@ object SparkEntry {
     // top boilerplate trigrams: tokenize, slide, count, threshold, and
     // the deterministic (count desc, ngram) order all replayed
     "q_top_ngrams" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(
+        |    regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '),
+        |    x -> x <> '') AS words
+        |  FROM documents
+        |), ng AS (
+        |  SELECT array_to_string(words[i:i+2], ' ') AS ngram
+        |  FROM w, LATERAL (SELECT unnest(range(1, len(words) - 1)) AS i) t
+        |  WHERE len(words) >= 3
+        |), c AS (
+        |  SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        |  FROM ng GROUP BY 1 HAVING COUNT(*) >= 2
+        |)
+        |SELECT ngram, n_occurrences FROM c
+        |ORDER BY n_occurrences DESC, ngram LIMIT 20""".stripMargin,
+
+    // the sketch path PROVES it returns exactly the brute-force answer,
+    // so its oracle is the same exact-count SQL
+    "q_top_ngrams_sketch" ->
       """WITH w AS (
         |  SELECT doc_id, list_filter(string_split(
         |    regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '),

@@ -741,6 +741,64 @@ object Curation {
       .limit(k)
   }
 
+  /** Provably-exact corpus-wide top-k n-grams with BOUNDED shuffle — the
+    * 100 TB shape of [[topNgrams]]. topNgrams' `groupBy(ngram).count()`
+    * shuffles one row per DISTINCT n-gram, a key space that is itself
+    * TB-scale on a web corpus; this variant runs two scans and never
+    * ships the key space:
+    *
+    *  1. SKETCH: one [[graft.expr.FreqItems]] aggregation over hashed
+    *     n-grams — Misra-Gries partials of ≤ `capacity` entries per task,
+    *     so the exchange carries #tasks × capacity rows regardless of
+    *     corpus size. The summary provably contains every key with count
+    *     > N/(capacity+1).
+    *  2. RECOUNT: exact `groupBy(ngram).count()` restricted to the ≤
+    *     `capacity` candidate keys (an InSet filter below the exchange) —
+    *     the shuffle is now bounded by the candidate set, and counts are
+    *     exact strings, so hash collisions can only over-select
+    *     candidates, never distort a count.
+    *
+    * The result is then PROVEN complete or the call fails: any n-gram
+    * outside the candidate set has exact count ≤ N/(capacity+1), so if
+    * the k-th returned count (or `minCount`, when fewer than k rows
+    * qualify) exceeds that bound, no missing n-gram could displace a
+    * returned row. Identical output to [[topNgrams]] whenever it
+    * returns — q_top_ngrams_sketch shares q_top_ngrams' oracle verbatim.
+    * Raise `capacity` if it ever refuses.
+    */
+  def topNgramsSketch(df: DataFrame, textCol: String, n: Int, k: Int,
+                      capacity: Int, minCount: Long = 2L): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    require(k >= 1, s"k must be >= 1: $k")
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    require(capacity >= k, s"capacity ($capacity) must be >= k ($k)")
+    val spark = df.sparkSession
+    def rows = df.select(normWords(col(textCol)).as("_w"))
+      .select(explode(ngramsFromWords(col("_w"), n)).as("ngram"))
+    val sk = rows.agg(
+      graft.expr.FreqItems.freq_items(xxhash64(col("ngram")), capacity)
+        .as("sk"),
+      count(lit(1)).as("n_total")).head()
+    val keys = sk.getSeq[org.apache.spark.sql.Row](0).map(_.getLong(0))
+    val nTotal = sk.getLong(1)
+    val bound = nTotal / (capacity + 1L) // missing ⇒ exact count ≤ bound
+    val top = rows
+      .where(xxhash64(col("ngram")).isin(keys: _*))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("n_occurrences"))
+      .where(col("n_occurrences") >= minCount)
+      .orderBy(col("n_occurrences").desc, col("ngram"))
+      .limit(k)
+      .collect() // ≤ k rows — the result itself
+    val kth = if (top.length == k) top.last.getLong(1) else minCount
+    require(kth > bound,
+      s"freq_items capacity $capacity cannot PROVE top-$k exact: k-th " +
+        s"count $kth ≤ error bound $bound (= $nTotal/(capacity+1)); " +
+        "raise capacity")
+    import spark.implicits._
+    top.map(r => (r.getString(0), r.getLong(1))).toSeq
+      .toDF("ngram", "n_occurrences")
+  }
+
   /** Per-group quota sample: the k rows of each group with the smallest
     * [[sampleRank]] — a deterministic uniform sample per (e.g.) language
     * or source quota. Implemented as bounded TopKByScore partial buffers

@@ -66,17 +66,30 @@ object UrlCuration {
     */
   def urlDomain(url: Column): Column = domainOfHost(urlHost(url))
 
-  /** The registrable-domain rule applied to an already-extracted host. */
-  def domainOfHost(host: Column): Column = {
-    val labels = split(host, "\\.")
-    val n = size(labels)
-    val take3 = (n >= 3) &&
-      element_at(labels, -2).isin(secondLevelNames: _*) &&
-      (length(element_at(labels, -1)) === 2)
-    when(n <= 2, host)
-      .when(take3, array_join(slice(labels, n - 2, lit(3)), "."))
-      .otherwise(array_join(slice(labels, n - 1, lit(2)), "."))
-  }
+  /** The registrable-domain rule applied to an already-extracted host.
+    *
+    * The label array is bound as a LAMBDA VARIABLE (a one-element outer
+    * `transform` — the [[graft.ops.Dedup.wordShinglesHof]] lesson), not
+    * referenced from the enclosing scope: a captured subtree is COPIED
+    * into the expression per reference, so the 8-regex normalize chain
+    * feeding `host` would be inlined ~12× across the CASE branches (and
+    * once more in the pushed-down join-key null filter) — measured 12.5 s
+    * vs ~3 s for the whole 1M-doc domainCap at 8 cores before this
+    * binding. The `n ≤ 2` branch reconstructs the host as
+    * `array_join(labels, ".")` (split-then-rejoin on '.' is the identity,
+    * Spark's split keeping leading/trailing empties) so the lambda needs
+    * ONLY the label array.
+    */
+  def domainOfHost(host: Column): Column =
+    element_at(transform(array(split(host, "\\.")), labels => {
+      val n = size(labels)
+      val take3 = (n >= 3) &&
+        element_at(labels, -2).isin(secondLevelNames: _*) &&
+        (length(element_at(labels, -1)) === 2)
+      when(n <= 2, array_join(labels, "."))
+        .when(take3, array_join(slice(labels, n - 2, lit(3)), "."))
+        .otherwise(array_join(slice(labels, n - 1, lit(2)), "."))
+    }), 1)
 
   /** Drop every row whose registrable domain appears in `blocked` (one
     * string column named `domainCol`). Broadcast LEFT ANTI — the corpus
