@@ -125,8 +125,18 @@ object GraftFunctions {
   val dupWordRatio = columnFn("dup_word_ratio", 1,
     cs => graft.ops.Curation.dupWordRatio(cs.head))
 
+  val urlNormalize = columnFn("url_normalize", 1,
+    cs => graft.ops.UrlCuration.urlNormalize(cs.head))
+
+  val urlHost = columnFn("url_host", 1,
+    cs => graft.ops.UrlCuration.urlHost(cs.head))
+
+  val urlDomain = columnFn("url_domain", 1,
+    cs => graft.ops.UrlCuration.urlDomain(cs.head))
+
   private def all = Seq(grokExtract, topkByScore, wordShingles, minhashSig,
-    simhash, normWords, sampleRank, shardAssign, redactPii, dupWordRatio)
+    simhash, normWords, sampleRank, shardAssign, redactPii, dupWordRatio,
+    urlNormalize, urlHost, urlDomain)
 
   /** Register every function on an existing session (the `Main`/test
     * path; temp functions live for the session).
@@ -155,5 +165,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.shardAssign)
     ext.injectFunction(GraftFunctions.redactPii)
     ext.injectFunction(GraftFunctions.dupWordRatio)
+    ext.injectFunction(GraftFunctions.urlNormalize)
+    ext.injectFunction(GraftFunctions.urlHost)
+    ext.injectFunction(GraftFunctions.urlDomain)
   }
 }

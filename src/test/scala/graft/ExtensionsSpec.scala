@@ -106,6 +106,24 @@ class ExtensionsSpec extends SparkTestBase {
     assert(e.getMessage.contains("must be a literal"), e.getMessage)
   }
 
+  test("registerAll: SQL url_normalize/url_host/url_domain ≡ Column API") {
+    GraftFunctions.registerAll(spark)
+    Seq("HTTPS://WWW.Example.CO.UK:8443/A/B/?q=1#Frag",
+        "localhost:8080/health", "ftp://www2.files.example.org//")
+      .toDF("url").createOrReplaceTempView("ext_urls")
+    val viaSql = spark.sql(
+      """SELECT url_normalize(url) AS n, url_host(url) AS h,
+        |  url_domain(url) AS d
+        |FROM ext_urls ORDER BY url""".stripMargin).collect().toSeq
+    val viaCol = spark.table("ext_urls")
+      .select(graft.ops.UrlCuration.urlNormalize($"url").as("n"),
+        graft.ops.UrlCuration.urlHost($"url").as("h"),
+        graft.ops.UrlCuration.urlDomain($"url").as("d"))
+      .orderBy($"url").collect().toSeq
+    assert(viaSql === viaCol)
+    assert(viaSql.head.getString(2) === "example.co.uk") // the ccSLD rule
+  }
+
   test("GraftExtensions injects all four functions into a fresh session") {
     // build a sibling session over the same SparkContext with the
     // extension applied the way spark-submit's spark.sql.extensions does
