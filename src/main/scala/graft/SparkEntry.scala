@@ -603,6 +603,23 @@ object SparkEntry {
         docs.where(col("doc_id") < 5), "doc_id", "text", k = 10)
     }),
 
+    // the durable-index INGEST lifecycle: base build on the first 300
+    // docs, the remaining 200 appended as batch 1 (per-batch stats rows
+    // summed by the search), then searchIndex — which must produce the
+    // IDENTICAL rows as the single-shot scoring over the whole corpus,
+    // so it shares q_bm25_topk's oracle verbatim
+    "q_bm25_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dir = java.nio.file.Files
+        .createTempDirectory("bm25-incr-q").toString
+      graft.ops.Bm25.writeIndex(docs.where(col("doc_id") < 300),
+        "doc_id", "text", dir, shards = 3)
+      graft.ops.Bm25.appendToIndex(s, dir,
+        docs.where(col("doc_id") >= 300), "doc_id", "text", 1L)
+      graft.ops.Bm25.searchIndex(s, dir,
+        docs.where(col("doc_id") < 5), "doc_id", "text", k = 10)
+    }),
+
     // SemDeDup (kmeans-cell + in-cell cosine prune): kmeansIters = 0 makes
     // the quantizer the SAME deterministic sampled pick as the _input_vecs
     // cell16 dump, so the oracle replays cap, in-cell pairs, cosine
@@ -2951,51 +2968,11 @@ object SparkEntry {
     // op is exactly-rounded IEEE), quantization, exact integer sums, and
     // rank ties all computed independently; only idf_micro (ln) joins in
     // from the dump, ON (word, df) so df is cross-checked relationally.
-    "q_bm25_topk" ->
-      """WITH w AS (
-        |  SELECT doc_id, list_filter(string_split(
-        |    regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '),
-        |    x -> x <> '') AS words
-        |  FROM documents
-        |), lens AS (
-        |  SELECT doc_id, CAST(len(words) AS BIGINT) AS len FROM w
-        |), stats AS (
-        |  SELECT CAST(SUM(len) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
-        |  FROM lens
-        |), tok AS (
-        |  SELECT doc_id, unnest(words) AS word FROM w
-        |), post AS (
-        |  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
-        |  FROM tok GROUP BY 1, 2
-        |), qt AS (
-        |  SELECT DISTINCT doc_id AS query_id, word FROM tok WHERE doc_id < 5
-        |), dfq AS (
-        |  SELECT p.word, CAST(COUNT(*) AS BIGINT) AS df
-        |  FROM post p JOIN (SELECT DISTINCT word FROM qt) q USING (word)
-        |  GROUP BY 1
-        |), idf AS (
-        |  SELECT d.word, i.idf_micro
-        |  FROM dfq d JOIN read_parquet('__OUT__/_input_bm25/*.parquet') i
-        |    ON i.word = d.word AND i.df = d.df
-        |), scored AS (
-        |  SELECT qt.query_id, p.doc_id AS id,
-        |    SUM(CAST(floor(i.idf_micro * ((p.tf * 2.2) /
-        |      (p.tf + 1.2 * (0.25 + (0.75 * l.len) / s.avgdl))) + 0.5)
-        |      AS BIGINT)) AS score_micro
-        |  FROM post p
-        |  JOIN qt USING (word)
-        |  JOIN idf i USING (word)
-        |  JOIN lens l ON l.doc_id = p.doc_id
-        |  CROSS JOIN stats s
-        |  GROUP BY 1, 2
-        |), r AS (
-        |  SELECT query_id, id, score_micro,
-        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-        |      ORDER BY score_micro DESC, id) AS INT) AS rank
-        |  FROM scored
-        |)
-        |SELECT query_id, id, CAST(score_micro AS BIGINT) AS score_micro,
-        |  rank FROM r WHERE rank <= 10""".stripMargin,
+    "q_bm25_topk" -> SparkEntry.bm25Oracle,
+
+    // the build→append→search lifecycle must reproduce the single-shot
+    // scoring bit-for-bit, so its oracle IS q_bm25_topk's
+    "q_bm25_incremental" -> SparkEntry.bm25Oracle,
 
     // SemDeDup: cell assignment imported from the dumped IVF primitive
     // (cell16 — same nCells/iters/seed as the query); per-cell cap,
@@ -3444,6 +3421,55 @@ object SparkEntry {
       |        ':\d+$', '') AS host FROM n1),
       |l AS (SELECT *, string_split(host, '.') AS lab FROM h)
       |""".stripMargin
+
+  /** The exact-BM25 replay (shared by q_bm25_topk and the
+    * q_bm25_incremental lifecycle, which must reproduce it bit-for-bit).
+    */
+  private val bm25Oracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, list_filter(string_split(
+      |    regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '),
+      |    x -> x <> '') AS words
+      |  FROM documents
+      |), lens AS (
+      |  SELECT doc_id, CAST(len(words) AS BIGINT) AS len FROM w
+      |), stats AS (
+      |  SELECT CAST(SUM(len) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      |  FROM lens
+      |), tok AS (
+      |  SELECT doc_id, unnest(words) AS word FROM w
+      |), post AS (
+      |  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM tok GROUP BY 1, 2
+      |), qt AS (
+      |  SELECT DISTINCT doc_id AS query_id, word FROM tok WHERE doc_id < 5
+      |), dfq AS (
+      |  SELECT p.word, CAST(COUNT(*) AS BIGINT) AS df
+      |  FROM post p JOIN (SELECT DISTINCT word FROM qt) q USING (word)
+      |  GROUP BY 1
+      |), idf AS (
+      |  SELECT d.word, i.idf_micro
+      |  FROM dfq d JOIN read_parquet('__OUT__/_input_bm25/*.parquet') i
+      |    ON i.word = d.word AND i.df = d.df
+      |), scored AS (
+      |  SELECT qt.query_id, p.doc_id AS id,
+      |    SUM(CAST(floor(i.idf_micro * ((p.tf * 2.2) /
+      |      (p.tf + 1.2 * (0.25 + (0.75 * l.len) / s.avgdl))) + 0.5)
+      |      AS BIGINT)) AS score_micro
+      |  FROM post p
+      |  JOIN qt USING (word)
+      |  JOIN idf i USING (word)
+      |  JOIN lens l ON l.doc_id = p.doc_id
+      |  CROSS JOIN stats s
+      |  GROUP BY 1, 2
+      |), r AS (
+      |  SELECT query_id, id, score_micro,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY score_micro DESC, id) AS INT) AS rank
+      |  FROM scored
+      |)
+      |SELECT query_id, id, CAST(score_micro AS BIGINT) AS score_micro,
+      |  rank FROM r WHERE rank <= 10""".stripMargin
 
   private def pqOracle(candSql: String): String =
     s"""WITH v AS (SELECT id, codes

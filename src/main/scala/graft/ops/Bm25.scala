@@ -161,12 +161,102 @@ object Bm25 {
     val post = postings(docs, idCol, textCol)
     val ranged = if (shards > 0) post.repartitionByRange(shards, col("h"))
                  else post.repartitionByRange(col("h"))
+    // batch_id=0 is the initial build (the Ivf.writeIndex convention);
+    // the overwrite wipes any previous index INCLUDING its appends
     ranged.sortWithinPartitions(col("h"))
-      .write.mode("overwrite").parquet(s"$dir/postings")
-    val spark = docs.sparkSession
+      .withColumn("batch_id", lit(0L))
+      .write.mode("overwrite").partitionBy("batch_id")
+      .parquet(s"$dir/postings")
+    writeStats(docs.sparkSession, dir, nDocs, total, 0L, overwrite = true)
+  }
+
+  private def writeStats(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, nDocs: Long, total: Long,
+                         batchId: Long, overwrite: Boolean): Unit = {
     import spark.implicits._
-    Seq((nDocs, total)).toDF("n_docs", "total_len")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_stats")
+    Seq((nDocs, total, batchId)).toDF("n_docs", "total_len", "batch_id")
+      .coalesce(1)
+      .write.mode(if (overwrite) "overwrite" else "append")
+      .partitionBy("batch_id").parquet(s"$dir/_stats")
+  }
+
+  /** Incremental ingest into a [[writeIndex]] directory: the new batch's
+    * postings land under their own `batch_id=` partition (range-clustered
+    * within the batch, so the search-side pushdown keeps pruning), and a
+    * per-batch stats row joins the `_stats` sidecar — [[searchIndex]]
+    * SUMS the rows, so N and avgdl track the growing corpus with no
+    * base rewrite. The [[Ivf.appendToIndex]] conventions apply verbatim:
+    * replay-guarded on the batch partition dir (idempotent under
+    * checkpoint-replay; a crash mid-write can leave a partial batch the
+    * guard then skips — atomic multi-artifact commits are table-format
+    * territory), `batchId > 0` (0 is the initial build), returns true iff
+    * written. A RE-CRAWLED id is visible under both its versions (df and
+    * stats double-count it) until [[compactIndex]] resolves
+    * last-writer-wins — the same between-compactions contract as the
+    * IVF and streaming-dedup indexes.
+    */
+  def appendToIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    docs: DataFrame, idCol: String, textCol: String,
+                    batchId: Long): Boolean = {
+    require(batchId > 0, s"batchId must be > 0 (0 is the initial build): $batchId")
+    if (new java.io.File(s"$dir/postings/batch_id=$batchId").exists())
+      return false
+    val (nDocs, total) = corpusStats(docs, textCol)
+    postings(docs, idCol, textCol)
+      .repartitionByRange(col("h")).sortWithinPartitions(col("h"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("append").partitionBy("batch_id")
+      .parquet(s"$dir/postings")
+    // stats written AFTER postings: a crash between the two leaves the
+    // batch searchable with slightly-stale N/avgdl rather than stats for
+    // absent postings; compactIndex rebuilds stats exactly either way
+    writeStats(spark, dir, nDocs, total, batchId, overwrite = false)
+    true
+  }
+
+  /** Offline index maintenance, mirroring [[Ivf.compactIndex]]: fold
+    * every `batch_id=` partition into one under the max batch id,
+    * resolving re-crawled ids LAST-WRITER-WINS (max batch_id per doc id),
+    * re-range-clustering the merged postings (~one file per range again),
+    * and rebuilding the `_stats` sidecar exactly from the surviving
+    * postings. Note the one stats nuance: a document whose text tokenizes
+    * to ZERO words holds no postings, so it leaves N at compaction — it
+    * can never match a query term, and N then counts retrievable docs.
+    * The local-FS swap is not crash-atomic (same table-format note as the
+    * other durable indexes). No-op on a single-batch index.
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): Unit = {
+    val postDir = s"$dir/postings"
+    val path = new org.apache.hadoop.fs.Path(postDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return
+    val parts = fs.listStatus(path).map(_.getPath).flatMap { p =>
+      scala.util.Try(p.getName.stripPrefix("batch_id=").toLong).toOption
+        .filter(_ => p.getName.startsWith("batch_id="))
+        .map(id => id -> p)
+    }
+    if (parts.length <= 1) return
+    val maxId = parts.map(_._1).max
+    val post = spark.read.option("basePath", postDir)
+      .parquet(parts.map(_._2.toString).toIndexedSeq: _*)
+    val winners = post
+      .join(post.groupBy(col("id")).agg(max(col("batch_id")).as("batch_id")),
+        Seq("id", "batch_id"))
+      .drop("batch_id")
+      .localCheckpoint(true) // consumed by the write AND the stats rebuild
+    val tmp = new org.apache.hadoop.fs.Path(s"$postDir.compact-tmp")
+    winners.repartitionByRange(col("h")).sortWithinPartitions(col("h"))
+      .write.mode("overwrite").parquet(tmp.toString)
+    val stats = winners.groupBy(col("id")).agg(first(col("len")).as("len"))
+      .agg(count(lit(1)), sum(col("len"))).head()
+    parts.foreach { case (_, p) => fs.delete(p, true) }
+    require(fs.rename(tmp,
+      new org.apache.hadoop.fs.Path(path, s"batch_id=$maxId")),
+      s"compaction swap failed: $tmp -> $postDir/batch_id=$maxId")
+    writeStats(spark, dir, stats.getLong(0),
+      if (stats.isNullAt(1)) 0L else stats.getLong(1), maxId,
+      overwrite = true)
   }
 
   /** Search a [[writeIndex]] directory. The (small, by contract) query
@@ -181,7 +271,10 @@ object Bm25 {
                   queries: DataFrame, qIdCol: String, qTextCol: String,
                   k: Int = 10, pushdownLimit: Int = 4096): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
-    val stats = spark.read.parquet(s"$dir/_stats").head()
+    // one row per batch (appends add rows; compaction folds them back to
+    // one) — N and total length are their exact sums
+    val stats = spark.read.parquet(s"$dir/_stats")
+      .agg(sum(col("n_docs")), sum(col("total_len"))).head()
     val nDocs = stats.getLong(0)
     val avgdl = stats.getLong(1).toDouble / nDocs.toDouble
     val qTerms = queries.select(col(qIdCol).cast("long").as("query_id"),

@@ -106,6 +106,47 @@ class Bm25Spec extends SparkTestBase {
     assert(!unfiltered.contains("In(h"))
   }
 
+  test("index lifecycle: build → append → re-crawl append → compact, " +
+    "each state ≡ inline topK over its effective corpus") {
+    val dir = tmpDir("bm25-incr")
+    val base = docsDf.where(col("doc_id") < 20)
+    val batch1 = docsDf.where(col("doc_id") >= 20)
+    val q = docsDf.where(col("doc_id") < 3)
+    def fromIndex = Bm25.searchIndex(spark, dir, q, "doc_id", "text", k = 8)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    def inline(corpus: org.apache.spark.sql.DataFrame) =
+      Bm25.topK(corpus, "doc_id", "text", q, "doc_id", "text", k = 8)
+        .as[(Long, Long, Long, Int)].collect().toSet
+
+    Bm25.writeIndex(base, "doc_id", "text", dir, shards = 3)
+    assert(fromIndex === inline(base))
+    // append the rest: stats rows sum, search ≡ full-corpus inline
+    assert(Bm25.appendToIndex(spark, dir, batch1, "doc_id", "text", 1L))
+    assert(fromIndex === inline(docsDf))
+    // replay guard: re-appending the same batch is a no-op
+    assert(!Bm25.appendToIndex(spark, dir, batch1, "doc_id", "text", 1L))
+    assert(fromIndex === inline(docsDf))
+    // re-crawl doc 5 with new text, then compact: last-writer-wins
+    val recrawl = Seq((5L, "completely new w1 w2 shared token content"))
+      .toDF("doc_id", "text")
+    assert(Bm25.appendToIndex(spark, dir, recrawl, "doc_id", "text", 2L))
+    Bm25.compactIndex(spark, dir)
+    val effective = docsDf.where(col("doc_id") =!= 5)
+      .unionByName(recrawl)
+    assert(fromIndex === inline(effective))
+    // compaction folded every batch partition into one (the max id)
+    val parts = new java.io.File(s"$dir/postings").listFiles()
+      .map(_.getName).filter(_.startsWith("batch_id=")).toSeq
+    assert(parts === Seq("batch_id=2"))
+    // idempotent: compacting a single-batch index is a no-op
+    Bm25.compactIndex(spark, dir)
+    assert(fromIndex === inline(effective))
+    // batchId 0 is reserved for the initial build
+    intercept[IllegalArgumentException] {
+      Bm25.appendToIndex(spark, dir, recrawl, "doc_id", "text", 0L)
+    }
+  }
+
   test("rrfFuse ≡ plain replay on synthetic ranked lists (ties by id)") {
     val a = Seq((0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3), (1L, 20L, 1))
       .toDF("query_id", "id", "rank")
