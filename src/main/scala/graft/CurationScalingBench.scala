@@ -228,6 +228,35 @@ object CurationScalingBench {
             s"url stage: cap/blocklist did not bind ($n of $nDocs kept)")
         }
 
+        // boilerplate-injected corpus for the heavy-hitters stages: every
+        // 20th doc gains a constant nav/cookie sentence — the population
+        // topNgrams exists to find (and the skew the Misra-Gries proof
+        // needs: ~50k occurrences vs the N/(m+1) ≈ 1.7k error bound)
+        def boiler = docs.withColumn("text",
+          when(col("doc_id") % 20 === 0, concat(col("text"),
+            lit(" accept all cookies to continue reading this site" +
+              " subscribe to our newsletter for daily updates follow" +
+              " us on social media all rights reserved terms of" +
+              " service privacy policy contact the editorial team")))
+            .otherwise(col("text")))
+        def hotNgramsRun(): Unit = {
+          // two bounded scans: Misra-Gries sketch partials (≤ capacity
+          // entries per task cross the wire — NEVER the distinct-trigram
+          // key space) + the exact recount of ≤ capacity candidates,
+          // with the completeness proof (refuses rather than return an
+          // unprovable top-k)
+          val top = graft.ops.Curation.topNgramsSketch(boiler, "text",
+            n = 3, k = 20, capacity = 65536, minCount = 2)
+          require(top.count() == 20, "hotngrams: expected a full top-20")
+        }
+        def hotNgramsExactRun(): Unit = {
+          // the contrast row: the brute-force groupBy ships one row per
+          // DISTINCT trigram — the key-space shuffle the sketch avoids
+          val top = graft.ops.Curation.topNgrams(boiler, "text",
+            n = 3, k = 20, minCount = 2)
+          require(top.count() == 20, "hotngrams_exact: expected a top-20")
+        }
+
         val io = new IoListener
         spark.sparkContext.addSparkListener(io)
         // jaccard/bm25 are OPT-IN (same rationale as AnnScalingBench's
@@ -246,7 +275,9 @@ object CurationScalingBench {
           "bpe" -> (() => bpeRun()),
           "pack" -> (() => packRun()),
           "classifier" -> (() => classifierRun()),
-          "url" -> (() => urlRun()))
+          "url" -> (() => urlRun()),
+          "hotngrams" -> (() => hotNgramsRun()),
+          "hotngrams_exact" -> (() => hotNgramsExactRun()))
           .filter { case (name, _) =>
             if (stageSet.isEmpty) default(name) else stageSet(name) }
         require(stages.nonEmpty, s"no stage matches $stageSet")
