@@ -203,28 +203,41 @@ object CurationScalingBench {
         }
         def urlRun(): Unit = {
           // the URL-provenance stage over the full corpus: synthesize a
-          // crawl URL per doc (arithmetic — ~nDocs/250 site names × 4
-          // TLDs, with every 7th doc landing on ONE mega-domain so the
-          // cap meets genuine skew), then blocklist + per-domain cap.
-          // The TopK partials collapse hot domains map-side; the
-          // restore join is keyed on (domain, id) so the mega-domain
-          // spreads across reducers.
+          // crawl URL per doc (arithmetic — an ODD site-name modulus so
+          // the CRT makes every site pair with all 4 TLDs, and every 7th
+          // doc forced onto ONE mega-domain, site0.com, so the cap meets
+          // genuine 1/7-of-corpus skew), then blocklist + per-domain cap
+          // with the domain derived ONCE and passed through (the
+          // precomputed seam — re-deriving the normalize chain per stage
+          // multiplies the family's measured per-row cost center). The
+          // TopK partials collapse hot domains map-side; the restore
+          // join is keyed on (domain, id) so the mega-domain spreads
+          // across reducers.
           import spark.implicits._
           val id = col("doc_id")
-          val site = when(id % 7 === 0, lit(0L))
-            .otherwise(id % math.max(4L, nDocs / 250L))
+          val mega = id % 7 === 0
+          val nSites = math.max(3L, nDocs / 250L) | 1L
+          val site = when(mega, lit(0L)).otherwise(id % nSites)
+          val tld = when(mega, lit(".com")).otherwise(
+            element_at(array(lit(".com"), lit(".org"), lit(".co.uk"),
+              lit(".de")), (id % 4 + 1).cast("int")))
           val urls = docs.select(id, concat(
             lit("https://"), when(id % 3 === 0, "www.").otherwise(""),
-            lit("site"), site.cast("string"),
-            element_at(array(lit(".com"), lit(".org"), lit(".co.uk"),
-              lit(".de")), (id % 4 + 1).cast("int")),
+            lit("site"), site.cast("string"), tld,
             lit("/p/"), id.cast("string"),
             when(id % 6 === 0, "?utm=1").otherwise("")).as("url"))
+            .withColumn("dom",
+              graft.ops.UrlCuration.urlDomain(col("url")))
           val blocked = Seq("site1.com", "site2.co.uk").toDF("domain")
-          val n = graft.ops.UrlCuration.domainCap(
-            graft.ops.UrlCuration.blockDomains(urls, "url", blocked),
-            "url", "doc_id", cap = 100).count()
-          require(n > 0 && n < nDocs,
+          val afterBlock = graft.ops.UrlCuration.blockDomains(urls, "url",
+            blocked, precomputed = Some("dom"))
+          val n = graft.ops.UrlCuration.domainCap(afterBlock,
+            "url", "doc_id", cap = 100, precomputed = Some("dom")).count()
+          // nSites odd ⇒ CRT guarantees site1.com / site2.co.uk exist in
+          // the input, so the blocklist provably removes rows; the cap
+          // binds on the mega-domain — together n must be well inside
+          // (0, nDocs)
+          require(n > 0 && n < nDocs - nDocs / 8,
             s"url stage: cap/blocklist did not bind ($n of $nDocs kept)")
         }
 

@@ -92,6 +92,7 @@ object SparkEntry {
     val url = concat(
       element_at(array(lit("https://"), lit("HTTP://"), lit("ftp://"),
         lit("")), (id % 4 + 1).cast("int")),
+      when(id % 11 === 3, "User:Pw@").otherwise(""),
       when(id % 3 === 0, "www.").when(id % 9 === 1, "www2.").otherwise(""),
       when(id % 4 === 0, "blog.").when(id % 4 === 1, "Shop.").otherwise(""),
       lit("site"), (id % 7).cast("string"),
@@ -3399,6 +3400,7 @@ object SparkEntry {
     """WITH u AS (
       |  SELECT doc_id,
       |    (['https://','HTTP://','ftp://',''])[(doc_id % 4) + 1] ||
+      |    CASE WHEN doc_id % 11 = 3 THEN 'User:Pw@' ELSE '' END ||
       |    CASE WHEN doc_id % 3 = 0 THEN 'www.'
       |         WHEN doc_id % 9 = 1 THEN 'www2.' ELSE '' END ||
       |    CASE WHEN doc_id % 4 = 0 THEN 'blog.'
@@ -3414,8 +3416,10 @@ object SparkEntry {
       |  FROM documents),
       |n1 AS (SELECT doc_id, url,
       |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-      |    regexp_replace(lower(trim(url)), '^[a-z][a-z0-9+.-]*://', ''),
-      |    '#.*$', ''), '\?.*$', ''), '^www\d*\.', ''), '/+$', '') AS url_norm
+      |    regexp_replace(regexp_replace(lower(trim(url)),
+      |    '^[a-z][a-z0-9+.-]*://', ''),
+      |    '#.*$', ''), '\?.*$', ''), '^[^/?#@]*@', ''), '^www\d*\.', ''),
+      |    '/+$', '') AS url_norm
       |  FROM u),
       |h AS (SELECT *, regexp_replace(regexp_extract(url_norm, '^([^/]+)', 1),
       |        ':\d+$', '') AS host FROM n1),

@@ -162,12 +162,19 @@ object Bm25 {
     val ranged = if (shards > 0) post.repartitionByRange(shards, col("h"))
                  else post.repartitionByRange(col("h"))
     // batch_id=0 is the initial build (the Ivf.writeIndex convention);
-    // the overwrite wipes any previous index INCLUDING its appends
+    // the overwrite wipes any previous index INCLUDING its appends — the
+    // per-write static partitionOverwriteMode pins that even when the
+    // session runs dynamic mode (under which a partitioned overwrite
+    // would replace ONLY batch_id=0 and leave stale appends mixed in)
     ranged.sortWithinPartitions(col("h"))
       .withColumn("batch_id", lit(0L))
       .write.mode("overwrite").partitionBy("batch_id")
+      .option("partitionOverwriteMode", "static")
       .parquet(s"$dir/postings")
     writeStats(docs.sparkSession, dir, nDocs, total, 0L, overwrite = true)
+    // a rebuild starts the batch clock over: clear any compaction
+    // watermark a previous life of this index left behind
+    IndexGuard.writeWatermark(docs.sparkSession, dir, 0L)
   }
 
   private def writeStats(spark: org.apache.spark.sql.SparkSession,
@@ -177,7 +184,9 @@ object Bm25 {
     Seq((nDocs, total, batchId)).toDF("n_docs", "total_len", "batch_id")
       .coalesce(1)
       .write.mode(if (overwrite) "overwrite" else "append")
-      .partitionBy("batch_id").parquet(s"$dir/_stats")
+      .partitionBy("batch_id")
+      .option("partitionOverwriteMode", "static")
+      .parquet(s"$dir/_stats")
   }
 
   /** Incremental ingest into a [[writeIndex]] directory: the new batch's
@@ -199,7 +208,12 @@ object Bm25 {
                     docs: DataFrame, idCol: String, textCol: String,
                     batchId: Long): Boolean = {
     require(batchId > 0, s"batchId must be > 0 (0 is the initial build): $batchId")
-    if (new java.io.File(s"$dir/postings/batch_id=$batchId").exists())
+    // replay guards, in watermark-then-partition order: a batch folded
+    // away by compaction no longer has its directory, so the watermark is
+    // what rejects its replay; both checks resolve the index dir's real
+    // filesystem (IndexGuard — java.io.File is always-false off-local)
+    if (batchId <= IndexGuard.watermark(spark, dir)) return false
+    if (IndexGuard.exists(spark, s"$dir/postings/batch_id=$batchId"))
       return false
     val (nDocs, total) = corpusStats(docs, textCol)
     postings(docs, idCol, textCol)
@@ -257,6 +271,10 @@ object Bm25 {
     writeStats(spark, dir, stats.getLong(0),
       if (stats.isNullAt(1)) 0L else stats.getLong(1), maxId,
       overwrite = true)
+    // folding deleted the batch dirs the append guard keys on — record
+    // the high-water mark so a replayed pre-compaction append stays a
+    // no-op instead of re-ingesting its docs
+    IndexGuard.writeWatermark(spark, dir, maxId)
   }
 
   /** Search a [[writeIndex]] directory. The (small, by contract) query

@@ -168,11 +168,17 @@ object Ivf {
       // one hash exchange makes it ~1 file per cell, and probe reads open
       // O(nProbe) files instead of O(nProbe × tasks)
       .repartition(col("cell"))
+      // static overwrite pinned per-write: under a session-level dynamic
+      // partitionOverwriteMode the rebuild would replace only batch_id=0
+      // and leave a previous life's appends mixed into the fresh index
       .write.mode("overwrite").partitionBy("batch_id", "cell")
+      .option("partitionOverwriteMode", "static")
       .parquet(s"$dir/cells")
     centroids.toSeq.map { case (c, v) => (c, v.toSeq) }
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    // a rebuild starts the batch clock over — clear any old watermark
+    IndexGuard.writeWatermark(spark, dir, 0L)
   }
 
   /** Incremental index maintenance: assign an ingest batch with the
@@ -197,7 +203,13 @@ object Ivf {
                     batch: DataFrame, idCol: String, vecCol: String,
                     batchId: Long): Boolean = {
     require(batchId > 0, s"batchId must be > 0 (0 is the initial build): $batchId")
-    if (new java.io.File(s"$dir/cells/batch_id=$batchId").exists()) return false
+    // replay guards (shared IndexGuard notes): the watermark rejects a
+    // replayed batch whose directory a compaction folded away, and both
+    // checks resolve the index dir's real filesystem — a java.io.File
+    // check is silently always-false on non-local index paths
+    if (batchId <= IndexGuard.watermark(spark, dir)) return false
+    if (IndexGuard.exists(spark, s"$dir/cells/batch_id=$batchId"))
+      return false
     val centroids = readCentroids(spark, dir)
     assignCells(batch.select(col(idCol).as("id"), col(vecCol).as("v")),
         "id", "v", centroids)
@@ -255,6 +267,9 @@ object Ivf {
     require(fs.rename(tmp,
       new org.apache.hadoop.fs.Path(path, s"batch_id=$maxId")),
       s"compaction swap failed: $tmp -> $cellsDir/batch_id=$maxId")
+    // the folded batch dirs were the append guard's keys — record the
+    // high-water mark so replayed pre-compaction appends stay no-ops
+    IndexGuard.writeWatermark(spark, dir, maxId)
   }
 
   /** Top-k ANN over a persisted index: probes are a partition-pruned scan

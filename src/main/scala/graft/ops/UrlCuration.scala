@@ -38,18 +38,25 @@ object UrlCuration {
   val secondLevelNames: Seq[String] =
     Seq("co", "com", "net", "org", "ac", "gov", "edu")
 
-  /** Canonical URL key: lowercase, scheme / fragment / query / leading
-    * `www.` (also `www2.` …) / trailing slashes stripped. Every regex is
-    * anchored so it matches at most once — the same chain replays verbatim
-    * in the DuckDB oracle (whose regexp_replace is first-match-only).
+  /** Canonical URL key: lowercase, scheme / fragment / query / authority
+    * userinfo (`user:pass@`) / leading `www.` (also `www2.` …) / trailing
+    * slashes stripped. Every regex is anchored so it matches at most once
+    * — the same chain replays verbatim in the DuckDB oracle (whose
+    * regexp_replace is first-match-only). The userinfo strip runs AFTER
+    * the fragment/query strips and anchors on a `[^/?#@]*` class, so an
+    * `@` in a path or query can never be mistaken for an authority
+    * delimiter — without this step `user@blocked.com` would not equal
+    * `blocked.com` and a blocklist would be evadable by userinfo
+    * decoration.
     */
   def urlNormalize(url: Column): Column = {
     val u0 = lower(trim(url))
     val u1 = regexp_replace(u0, "^[a-z][a-z0-9+.-]*://", "")
     val u2 = regexp_replace(u1, "#.*$", "")
     val u3 = regexp_replace(u2, "\\?.*$", "")
-    val u4 = regexp_replace(u3, "^www\\d*\\.", "")
-    regexp_replace(u4, "/+$", "")
+    val u4 = regexp_replace(u3, "^[^/?#@]*@", "")
+    val u5 = regexp_replace(u4, "^www\\d*\\.", "")
+    regexp_replace(u5, "/+$", "")
   }
 
   /** Host of a URL: the normalized key up to the first `/`, port
@@ -93,16 +100,23 @@ object UrlCuration {
 
   /** Drop every row whose registrable domain appears in `blocked` (one
     * string column named `domainCol`). Broadcast LEFT ANTI — the corpus
-    * side never shuffles.
+    * side never shuffles. When several URL stages compose, derive the
+    * domain ONCE (`withColumn(d, urlDomain(...))`) and pass the column
+    * name as `precomputed` — the normalize chain is the family's measured
+    * per-row cost center and re-deriving it per stage multiplies it.
     */
   def blockDomains(df: DataFrame, urlCol: String, blocked: DataFrame,
-                   domainCol: String = "domain"): DataFrame = {
+                   domainCol: String = "domain",
+                   precomputed: Option[String] = None): DataFrame = {
     require(df.columns.contains(urlCol), s"missing input column: $urlCol")
     require(blocked.columns.contains(domainCol),
       s"blocklist is missing column: $domainCol")
     require(!df.columns.contains("_url_dom"),
       "input may not contain the internal column _url_dom")
-    df.withColumn("_url_dom", urlDomain(col(urlCol)))
+    precomputed.foreach(c => require(df.columns.contains(c),
+      s"missing precomputed domain column: $c"))
+    val dom = precomputed.map(col).getOrElse(urlDomain(col(urlCol)))
+    df.withColumn("_url_dom", dom)
       .join(broadcast(blocked.select(col(domainCol).as("_url_dom"))),
         Seq("_url_dom"), "left_anti")
       .drop("_url_dom")
@@ -112,15 +126,19 @@ object UrlCuration {
     * deterministic [[Curation.sampleRank]] pick (stable across runs,
     * partitionings, and engines), with the full input row restored.
     * Requires an integral non-negative id (sampleRank's contract).
+    * `precomputed` as in [[blockDomains]].
     */
   def domainCap(df: DataFrame, urlCol: String, idCol: String,
-                cap: Int): DataFrame = {
+                cap: Int, precomputed: Option[String] = None): DataFrame = {
     require(cap >= 1, s"cap must be >= 1: $cap")
     require(df.columns.contains(urlCol), s"missing input column: $urlCol")
     require(df.columns.contains(idCol), s"missing input column: $idCol")
     Seq("_url_dom", "_url_keep").foreach(c => require(
       !df.columns.contains(c), s"input may not contain internal column $c"))
-    val withDom = df.withColumn("_url_dom", urlDomain(col(urlCol)))
+    precomputed.foreach(c => require(df.columns.contains(c),
+      s"missing precomputed domain column: $c"))
+    val dom = precomputed.map(col).getOrElse(urlDomain(col(urlCol)))
+    val withDom = df.withColumn("_url_dom", dom)
     val kept = Curation
       .quotaSample(withDom.select(col("_url_dom"), col(idCol)),
         Seq("_url_dom"), idCol, cap)

@@ -141,10 +141,21 @@ class Bm25Spec extends SparkTestBase {
     // idempotent: compacting a single-batch index is a no-op
     Bm25.compactIndex(spark, dir)
     assert(fromIndex === inline(effective))
+    // the compaction watermark keeps the replay guard alive AFTER the
+    // folded batch dirs are gone: replaying either pre-compaction batch
+    // is a no-op (without it the docs would re-ingest and double-count)
+    assert(!Bm25.appendToIndex(spark, dir, batch1, "doc_id", "text", 1L))
+    assert(!Bm25.appendToIndex(spark, dir, recrawl, "doc_id", "text", 2L))
+    assert(fromIndex === inline(effective))
     // batchId 0 is reserved for the initial build
     intercept[IllegalArgumentException] {
       Bm25.appendToIndex(spark, dir, recrawl, "doc_id", "text", 0L)
     }
+    // a REBUILD restarts the batch clock: the stale watermark must not
+    // swallow the fresh index's early batches
+    Bm25.writeIndex(base, "doc_id", "text", dir, shards = 3)
+    assert(Bm25.appendToIndex(spark, dir, batch1, "doc_id", "text", 1L))
+    assert(fromIndex === inline(docsDf))
   }
 
   test("rrfFuse ≡ plain replay on synthetic ranked lists (ties by id)") {

@@ -145,16 +145,23 @@ class IvfSpec extends SparkTestBase {
     // pre-compaction: the re-crawled id is visible under BOTH versions
     assert(spark.read.parquet(s"$dir/cells")
       .where(col("id") === 7L).count() === 2)
+    // a second batch, so compaction folds batch 1 into a HIGHER max and
+    // its replay can only be caught by the watermark (its dir is gone)
+    val c = vectors(230).where(col("vec_id") >= 220)
+    assert(Ivf.appendToIndex(spark, dir, c, "vec_id", "embedding", batchId = 2L))
 
     Ivf.compactIndex(spark, dir)
     val cells = spark.read.parquet(s"$dir/cells")
-    assert(cells.count() === 220, "one row per distinct id after compaction")
-    // exactly one batch partition remains (the max id), so a replayed
-    // batch 1 append stays a guarded no-op
+    assert(cells.count() === 230, "one row per distinct id after compaction")
+    // exactly one batch partition remains (the max id); replays of BOTH
+    // folded batches stay guarded no-ops — batch 2 via its dir, batch 1
+    // via the compaction watermark (its dir no longer exists)
     val batchDirs = new java.io.File(s"$dir/cells").listFiles()
       .filter(_.getName.startsWith("batch_id=")).map(_.getName).toSeq
-    assert(batchDirs === Seq("batch_id=1"))
+    assert(batchDirs === Seq("batch_id=2"))
+    assert(!Ivf.appendToIndex(spark, dir, c, "vec_id", "embedding", batchId = 2L))
     assert(!Ivf.appendToIndex(spark, dir, b, "vec_id", "embedding", batchId = 1L))
+    assert(spark.read.parquet(s"$dir/cells").count() === 230)
     // last writer won: id 7 carries batch 1's vector (and its cell)
     val row7 = cells.where(col("id") === 7L).collect()
     assert(row7.length === 1)
@@ -169,7 +176,13 @@ class IvfSpec extends SparkTestBase {
       plan.take(3000))
     // idempotent: a second compaction of a single-partition index is a no-op
     Ivf.compactIndex(spark, dir)
-    assert(spark.read.parquet(s"$dir/cells").count() === 220)
+    assert(spark.read.parquet(s"$dir/cells").count() === 230)
+    // a REBUILD restarts the batch clock: the stale watermark must not
+    // swallow the fresh index's early batches
+    Ivf.writeIndex(a, "vec_id", "embedding", dir, nCells = 8, kmeansIters = 1)
+    assert(Ivf.appendToIndex(spark, dir, b, "vec_id", "embedding", batchId = 1L))
+    assert(spark.read.parquet(s"$dir/cells")
+      .where(col("id") === 7L).count() === 2)
   }
 
   test("cell assignment is a narrow plan (no shuffle)") {

@@ -31,6 +31,14 @@ class UrlCurationSpec extends SparkTestBase {
     // www only strips as a LEADING label — a host merely starting with
     // 'www' keeps its name
     assert(norm("https://wwwish.example.com/") == "wwwish.example.com")
+    // authority userinfo strips (the blocklist-evasion vector)…
+    assert(norm("https://User:Pw@www.Blocked.com/x") == "blocked.com/x")
+    assert(norm("alice@example.com/inbox") == "example.com/inbox")
+    assert(dom("https://u@spam.blocked.co.uk/") == "blocked.co.uk")
+    // …but an '@' in the path or (stripped) query is never authority
+    assert(norm("https://example.com/user/@handle") ==
+      "example.com/user/@handle")
+    assert(norm("https://example.com/x?mail=a@b.com") == "example.com/x")
   }
 
   test("urlHost takes the authority and drops the port") {
@@ -87,6 +95,25 @@ class UrlCurationSpec extends SparkTestBase {
     val again = UrlCuration.domainCap(corpus.repartition(7), "url",
       "doc_id", cap = 5).select("doc_id").as[Long].collect().sorted.toSeq
     assert(again == got)
+  }
+
+  test("precomputed-domain passthrough ≡ the derive-per-stage path") {
+    val withDom = corpus.withColumn("d",
+      UrlCuration.urlDomain(col("url")))
+    val viaPre = UrlCuration.domainCap(
+      UrlCuration.blockDomains(withDom, "url", Seq("farm.net").toDF("domain"),
+        precomputed = Some("d")),
+      "url", "doc_id", cap = 5, precomputed = Some("d"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val viaDerive = UrlCuration.domainCap(
+      UrlCuration.blockDomains(corpus, "url", Seq("farm.net").toDF("domain")),
+      "url", "doc_id", cap = 5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(viaPre == viaDerive)
+    intercept[IllegalArgumentException] {
+      UrlCuration.domainCap(corpus, "url", "doc_id", 5,
+        precomputed = Some("nope"))
+    }
   }
 
   test("domainCap plan has no Window over the domain key (skew-safe)") {
