@@ -3418,7 +3418,7 @@ object SparkEntry {
       |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
       |    regexp_replace(regexp_replace(lower(trim(url)),
       |    '^[a-z][a-z0-9+.-]*://', ''),
-      |    '#.*$', ''), '\?.*$', ''), '^[^/?#@]*@', ''), '^www\d*\.', ''),
+      |    '#.*$', ''), '\?.*$', ''), '^[^/?#]*@', ''), '^www\d*\.', ''),
       |    '/+$', '') AS url_norm
       |  FROM u),
       |h AS (SELECT *, regexp_replace(regexp_extract(url_norm, '^([^/]+)', 1),

@@ -161,6 +161,12 @@ object Bm25 {
     val post = postings(docs, idCol, textCol)
     val ranged = if (shards > 0) post.repartitionByRange(shards, col("h"))
                  else post.repartitionByRange(col("h"))
+    // a rebuild starts the batch clock over: clear any compaction
+    // watermark a previous life of this index left behind — BEFORE the
+    // overwrite, so a crash between the two errs toward re-admitting a
+    // replayed batch (a duplicate the next compaction resolves) instead
+    // of a fresh index silently swallowing its early appends
+    IndexGuard.writeWatermark(docs.sparkSession, dir, 0L)
     // batch_id=0 is the initial build (the Ivf.writeIndex convention);
     // the overwrite wipes any previous index INCLUDING its appends — the
     // per-write static partitionOverwriteMode pins that even when the
@@ -172,9 +178,6 @@ object Bm25 {
       .option("partitionOverwriteMode", "static")
       .parquet(s"$dir/postings")
     writeStats(docs.sparkSession, dir, nDocs, total, 0L, overwrite = true)
-    // a rebuild starts the batch clock over: clear any compaction
-    // watermark a previous life of this index left behind
-    IndexGuard.writeWatermark(docs.sparkSession, dir, 0L)
   }
 
   private def writeStats(spark: org.apache.spark.sql.SparkSession,
@@ -208,13 +211,7 @@ object Bm25 {
                     docs: DataFrame, idCol: String, textCol: String,
                     batchId: Long): Boolean = {
     require(batchId > 0, s"batchId must be > 0 (0 is the initial build): $batchId")
-    // replay guards, in watermark-then-partition order: a batch folded
-    // away by compaction no longer has its directory, so the watermark is
-    // what rejects its replay; both checks resolve the index dir's real
-    // filesystem (IndexGuard — java.io.File is always-false off-local)
-    if (batchId <= IndexGuard.watermark(spark, dir)) return false
-    if (IndexGuard.exists(spark, s"$dir/postings/batch_id=$batchId"))
-      return false
+    if (IndexGuard.replayed(spark, dir, "postings", batchId)) return false
     val (nDocs, total) = corpusStats(docs, textCol)
     postings(docs, idCol, textCol)
       .repartitionByRange(col("h")).sortWithinPartitions(col("h"))

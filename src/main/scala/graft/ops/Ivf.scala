@@ -159,6 +159,10 @@ object Ivf {
       if (kmeansIters > 0)
         kmeansCentroids(corpus, idCol, vecCol, nCells, kmeansIters, seed)
       else pickCentroids(corpus, idCol, vecCol, nCells, seed)
+    // clear any previous life's compaction watermark BEFORE the
+    // overwrite (the Bm25.writeIndex note: a crash between the two errs
+    // toward a compaction-resolvable duplicate, not silent append loss)
+    IndexGuard.writeWatermark(spark, dir, 0L)
     assignCells(corpus.select(col(idCol).as("id"), col(vecCol).as("v")),
         "id", "v", centroids)
       .withColumn("batch_id", lit(0L))
@@ -177,8 +181,6 @@ object Ivf {
     centroids.toSeq.map { case (c, v) => (c, v.toSeq) }
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
-    // a rebuild starts the batch clock over — clear any old watermark
-    IndexGuard.writeWatermark(spark, dir, 0L)
   }
 
   /** Incremental index maintenance: assign an ingest batch with the
@@ -203,13 +205,7 @@ object Ivf {
                     batch: DataFrame, idCol: String, vecCol: String,
                     batchId: Long): Boolean = {
     require(batchId > 0, s"batchId must be > 0 (0 is the initial build): $batchId")
-    // replay guards (shared IndexGuard notes): the watermark rejects a
-    // replayed batch whose directory a compaction folded away, and both
-    // checks resolve the index dir's real filesystem — a java.io.File
-    // check is silently always-false on non-local index paths
-    if (batchId <= IndexGuard.watermark(spark, dir)) return false
-    if (IndexGuard.exists(spark, s"$dir/cells/batch_id=$batchId"))
-      return false
+    if (IndexGuard.replayed(spark, dir, "cells", batchId)) return false
     val centroids = readCentroids(spark, dir)
     assignCells(batch.select(col(idCol).as("id"), col(vecCol).as("v")),
         "id", "v", centroids)

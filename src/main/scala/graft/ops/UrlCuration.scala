@@ -43,18 +43,19 @@ object UrlCuration {
     * slashes stripped. Every regex is anchored so it matches at most once
     * — the same chain replays verbatim in the DuckDB oracle (whose
     * regexp_replace is first-match-only). The userinfo strip runs AFTER
-    * the fragment/query strips and anchors on a `[^/?#@]*` class, so an
-    * `@` in a path or query can never be mistaken for an authority
-    * delimiter — without this step `user@blocked.com` would not equal
-    * `blocked.com` and a blocklist would be evadable by userinfo
-    * decoration.
+    * the fragment/query strips and anchors on a GREEDY `[^/?#]*` class:
+    * it cannot cross into the path, so a path/query `@` is never
+    * mistaken for an authority delimiter, and greediness strips to the
+    * LAST pre-path `@` — the WHATWG/browser/curl rule — so doubled-`@`
+    * userinfo (`a@b@blocked.com`) cannot evade a blocklist either.
+    * Without this step `user@blocked.com` would not equal `blocked.com`.
     */
   def urlNormalize(url: Column): Column = {
     val u0 = lower(trim(url))
     val u1 = regexp_replace(u0, "^[a-z][a-z0-9+.-]*://", "")
     val u2 = regexp_replace(u1, "#.*$", "")
     val u3 = regexp_replace(u2, "\\?.*$", "")
-    val u4 = regexp_replace(u3, "^[^/?#@]*@", "")
+    val u4 = regexp_replace(u3, "^[^/?#]*@", "")
     val u5 = regexp_replace(u4, "^www\\d*\\.", "")
     regexp_replace(u5, "/+$", "")
   }

@@ -35,6 +35,9 @@ class UrlCurationSpec extends SparkTestBase {
     assert(norm("https://User:Pw@www.Blocked.com/x") == "blocked.com/x")
     assert(norm("alice@example.com/inbox") == "example.com/inbox")
     assert(dom("https://u@spam.blocked.co.uk/") == "blocked.co.uk")
+    // …greedily to the LAST pre-path '@' (the WHATWG rule), so doubled
+    // userinfo cannot evade either
+    assert(norm("https://a@b@blocked.com/spam") == "blocked.com/spam")
     // …but an '@' in the path or (stripped) query is never authority
     assert(norm("https://example.com/user/@handle") ==
       "example.com/user/@handle")
