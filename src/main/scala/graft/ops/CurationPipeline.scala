@@ -45,14 +45,19 @@ object CurationPipeline {
       defaultFraction: Double = 1.0,
       nShards: Int = 64,
       splits: Seq[(String, Double)] =
-        Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01))
+        Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01),
+      // URL-provenance stage (runs FIRST when `curate` gets a urlCol):
+      // registrable-domain blocklist + per-domain contribution cap
+      // (0 = uncapped)
+      blockedDomains: Seq[String] = Nil,
+      domainCap: Int = 0)
 
   /** Stage names in pipeline order (report rows appear in this order).
-    * `fuzzy` reports pass-through counts unless
-    * [[CurationConfig.fuzzyDecontaminate]] is on.
+    * `url` and `fuzzy` report pass-through counts unless a urlCol /
+    * [[CurationConfig.fuzzyDecontaminate]] is configured.
     */
   val Stages: Seq[String] =
-    Seq("input", "exact", "neardup", "decontaminated", "fuzzy",
+    Seq("input", "url", "exact", "neardup", "decontaminated", "fuzzy",
       "quality", "mixture")
 
   /** Curate `docs`. Returns (curated frame, per-stage survivor counts).
@@ -64,10 +69,44 @@ object CurationPipeline {
   def curate(docs: DataFrame, idCol: String, textCol: String,
              langCol: String, evalSet: Option[DataFrame] = None,
              evalTextCol: String = "text",
-             cfg: CurationConfig = CurationConfig())
+             cfg: CurationConfig = CurationConfig(),
+             urlCol: Option[String] = None)
       : (DataFrame, Seq[(String, Long)]) = {
     val id = col(idCol)
     val text = col(textCol)
+
+    // stage 0 — URL provenance (the published pipelines' FIRST pass):
+    // registrable-domain blocklist + per-domain cap, domain derived ONCE.
+    // The flag must gate the dedup winner selection below — a blocked doc
+    // winning an exact/near-dup cluster would silently delete its
+    // unblocked duplicates along with itself.
+    urlCol.foreach(u => require(docs.columns.contains(u),
+      s"missing url column: $u"))
+    val docs0 = urlCol match {
+      case None => docs.withColumn("_k_url", lit(true))
+      case Some(u) =>
+        val withDom = docs.withColumn("_dom",
+          UrlCuration.urlDomain(col(u)))
+        val notBlocked =
+          if (cfg.blockedDomains.isEmpty) lit(true)
+          else !col("_dom").isin(cfg.blockedDomains: _*)
+        if (cfg.domainCap <= 0)
+          withDom.withColumn("_k_url", notBlocked).drop("_dom")
+        else {
+          val kept = Curation.quotaSample(
+              withDom.where(notBlocked).select(col("_dom"), id),
+              Seq("_dom"), idCol, cfg.domainCap)
+            .select(col("_dom").as("_dom_k"),
+              col(idCol).cast("long").as("_url_keep"),
+              lit(true).as("_in_cap"))
+          withDom
+            .join(kept, col("_dom") === col("_dom_k") &&
+              id.cast("long") === col("_url_keep"), "left")
+            .withColumn("_k_url",
+              notBlocked && coalesce(col("_in_cap"), lit(false)))
+            .drop("_dom", "_dom_k", "_url_keep", "_in_cap")
+        }
+    }
 
     // stage 1 — exact dedup on normalized content (smallest id survives).
     // The winner set is a hash aggregate (map-side partials collapse a
@@ -77,11 +116,11 @@ object CurationPipeline {
     // content key (the round-3 shape) funnels every copy of a boilerplate
     // doc through one task — the exactKeep skew lesson (Dedup.scala).
     val contentKey = array_join(Curation.normWords(text), " ")
-    val winners = docs
+    val winners = docs0.where(col("_k_url"))
       .select(contentKey.as("_ck"), id.as("_win_id"))
       .groupBy(col("_ck")).agg(min(col("_win_id")).as("_win_id"))
       .withColumn("_k_exact", lit(true))
-    val docsCk = docs.withColumn("_ck", contentKey)
+    val docsCk = docs0.withColumn("_ck", contentKey)
     // localCheckpoint: flagged0 feeds BOTH the near-dup branch (stage 2
     // shingles the exact survivors) and the flag chain — uncheckpointed,
     // the content-key normalization + winner join run twice (measured
@@ -100,7 +139,7 @@ object CurationPipeline {
     // clusters() emits (id, keep) for every survivor, keep = is the
     // canonical (min-id) member of its component
     val keepSet = Dedup.nearDupClusters(
-        flagged0.where(col("_k_exact")).select(id, text),
+        flagged0.where(col("_k_url") && col("_k_exact")).select(id, text),
         idCol, textCol, cfg.nearDupThreshold, shingleK = cfg.shingleK)
       .select(id.cast("long").as("_nd_id"), col("keep").as("_nd_keep"))
     val flagged1 = flagged0

@@ -56,9 +56,9 @@ class CurationPipelineSpec extends SparkTestBase {
   test("curate: per-stage attrition report and survivor set") {
     val (curated, report) = CurationPipeline.curate(corpus, "doc_id",
       "text", "lang", Some(Seq(evalText).toDF("text")), "text", cfg)
-    assert(report === Seq("input" -> 9L, "exact" -> 8L, "neardup" -> 7L,
-      "decontaminated" -> 6L, "fuzzy" -> 6L, "quality" -> 4L,
-      "mixture" -> 3L))
+    assert(report === Seq("input" -> 9L, "url" -> 9L, "exact" -> 8L,
+      "neardup" -> 7L, "decontaminated" -> 6L, "fuzzy" -> 6L,
+      "quality" -> 4L, "mixture" -> 3L))
     val rows = curated.orderBy("doc_id")
       .select("doc_id", "text", "shard", "split")
       .as[(Long, String, Long, String)].collect()
@@ -87,6 +87,42 @@ class CurationPipelineSpec extends SparkTestBase {
       .select("doc_id", "lang", "text", "shard", "split")
       .as[(Long, String, String, Long, String)].collect().toSet
     assert(back === sa)
+  }
+
+  test("url stage: blocklist + cap gate the pipeline, and a BLOCKED doc " +
+    "can never win a dedup cluster away from its unblocked twin") {
+    val c = Seq(
+      // doc 0 (blocked.com, SMALLER id) is an exact dup of doc 1
+      // (fine.org): the winner must be 1, not "0 then both die"
+      (0L, "en", base50, "https://blocked.com/a"),
+      (1L, "en", base50, "https://fine.org/a"),
+      // hot.net holds 3 docs, cap 2 ⇒ exactly one falls
+      (2L, "en", (200 until 250).map(i => s"r$i").mkString(" "),
+        "https://hot.net/1"),
+      (3L, "en", (300 until 350).map(i => s"s$i").mkString(" "),
+        "https://hot.net/2"),
+      (4L, "en", (400 until 450).map(i => s"t$i").mkString(" "),
+        "https://hot.net/3"),
+      (5L, "en", (500 until 550).map(i => s"u$i").mkString(" "),
+        "https://other.de/x")
+    ).toDF("doc_id", "lang", "text", "url")
+    val (curated, report) = CurationPipeline.curate(c, "doc_id", "text",
+      "lang", cfg = CurationPipeline.CurationConfig(nShards = 4,
+        blockedDomains = Seq("blocked.com"), domainCap = 2),
+      urlCol = Some("url"))
+    val rep = report.toMap
+    assert(rep("input") === 6L)
+    assert(rep("url") === 4L, s"blocklist(1) + cap(1) must fall: $report")
+    // doc 1 SURVIVES: the blocked twin was excluded from winner selection
+    val ids = curated.select("doc_id").as[Long].collect().toSet
+    assert(ids.contains(1L), s"unblocked twin must survive: $ids")
+    assert(!ids.contains(0L))
+    assert(ids.intersect(Set(2L, 3L, 4L)).size === 2, s"cap=2: $ids")
+    // url column preserved in the output schema
+    assert(curated.columns.contains("url"))
+    // without a urlCol the stage is a pass-through row in the report
+    val rep2 = CurationPipeline.curate(c, "doc_id", "text", "lang")._2.toMap
+    assert(rep2("url") === rep2("input"))
   }
 
   test("stages degrade gracefully: no eval set, no mixture config") {
