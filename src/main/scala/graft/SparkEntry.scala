@@ -1272,6 +1272,18 @@ object SparkEntry {
         .withColumn("score", round(col("score"), 6))
     }),
 
+    // Random-projection (JL) embedding prep: exact integer micro-unit
+    // components (quantize once, ±1-sign long sums — order-independent
+    // and bit-replayable), exploded to scalar rows; the sign matrix is
+    // the dumped primitive (_input_rp), everything else replays in SQL
+    "q_rp_project" -> ((s, d) =>
+      graft.ops.Rp.project(t(s, d, "embeddings"), "vec_id", "embedding",
+          outDim = 16, seed = 11L)
+        .select(col("vec_id"),
+          posexplode(col("proj_micro")).as(Seq("j", "comp_micro")))
+        .select(col("vec_id"), col("j").cast("long").as("j"),
+          col("comp_micro"))),
+
     // ---------------- transcript pipeline stages. Input is the seed-42
     // synthetic corpus, which Verify dumps to __OUT__/_input_turns so the
     // oracle SQL reproduces parse→route→aggregate over the same rows.
@@ -2974,6 +2986,20 @@ object SparkEntry {
     // the build→append→search lifecycle must reproduce the single-shot
     // scoring bit-for-bit, so its oracle IS q_bm25_topk's
     "q_bm25_incremental" -> SparkEntry.bm25Oracle,
+
+    // random projection: quantization (identical IEEE ops), the sign
+    // joins from the dumped matrix, and the exact long sums replay
+    "q_rp_project" ->
+      """WITH e AS (
+        |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |    generate_subscripts(embedding, 1) - 1 AS i
+        |  FROM embeddings),
+        |q AS (SELECT vec_id, i,
+        |        CAST(floor(x * 1000000 + 0.5) AS BIGINT) AS qx FROM e),
+        |m AS (SELECT i, j, s FROM read_parquet('__OUT__/_input_rp/*.parquet'))
+        |SELECT q.vec_id, m.j, CAST(SUM(q.qx * m.s) AS BIGINT) AS comp_micro
+        |FROM q JOIN m USING (i)
+        |GROUP BY 1, 2""".stripMargin,
 
     // SemDeDup: cell assignment imported from the dumped IVF primitive
     // (cell16 — same nCells/iters/seed as the query); per-cell cap,

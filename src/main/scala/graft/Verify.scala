@@ -68,6 +68,11 @@ object Verify {
       .withColumn("bands",
         graft.ops.Dedup.minhashBandsCol(col("sig"), 64, 16))
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_input_convs")
+    // Random-projection sign matrix (q_rp_project): the ±1 entries are
+    // xxhash64-derived — the one primitive; quantization and the exact
+    // long sums replay relationally.
+    graft.ops.Rp.signMatrix(spark, 64, 16, 11L)
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_input_rp")
     // corpus word-hash dictionary: lets DuckDB recompute simhash signatures
     // INDEPENDENTLY (per-bit vote + sign + bit assembly all in SQL) — only
     // the raw xxhash64(word) values are imported
