@@ -56,6 +56,31 @@ object GraftFunctions {
     }
   }
 
+  /** Long twin of [[literalInt]] for arguments that are genuinely 64-bit
+    * (hash seeds — any value is valid, so no range check).
+    */
+  private def literalLong(name: String, arg: String, e: Expression): Long = {
+    require(e.foldable, s"$name: $arg must be a literal integer")
+    e.eval() match {
+      case i: Int => i.toLong
+      case l: Long => l
+      case other => throw new IllegalArgumentException(
+        s"$name: $arg must be an integer literal, got $other")
+    }
+  }
+
+  val rpProject: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("rp_project_micro"),
+    new ExpressionInfo(classOf[graft.expr.RpProjectMicro].getName, "rp_project_micro"),
+    { exprs =>
+      arity("rp_project_micro", exprs, 3)
+      // outDim sizes the kernel's sign matrix, seed derives it — both
+      // compile-time constants like topk_by_score's k
+      graft.expr.RpProjectMicro(exprs.head,
+        literalInt("rp_project_micro", "outDim", exprs(1)),
+        literalLong("rp_project_micro", "seed", exprs(2)))
+    })
+
   val wordShingles: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("word_shingles"),
     new ExpressionInfo(classOf[graft.expr.WordShingles].getName, "word_shingles"),
@@ -136,7 +161,7 @@ object GraftFunctions {
 
   private def all = Seq(grokExtract, topkByScore, wordShingles, minhashSig,
     simhash, normWords, sampleRank, shardAssign, redactPii, dupWordRatio,
-    urlNormalize, urlHost, urlDomain)
+    urlNormalize, urlHost, urlDomain, rpProject)
 
   /** Register every function on an existing session (the `Main`/test
     * path; temp functions live for the session).
@@ -168,5 +193,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.urlNormalize)
     ext.injectFunction(GraftFunctions.urlHost)
     ext.injectFunction(GraftFunctions.urlDomain)
+    ext.injectFunction(GraftFunctions.rpProject)
   }
 }

@@ -124,6 +124,31 @@ class ExtensionsSpec extends SparkTestBase {
     assert(viaSql.head.getString(2) === "example.co.uk") // the ccSLD rule
   }
 
+  test("registerAll: SQL rp_project_micro ≡ Column API; literal guards") {
+    GraftFunctions.registerAll(spark)
+    Seq((1L, Seq(0.5f, -1.25f, 2f)), (2L, Seq(0f, 0f, 0f)))
+      .toDF("vec_id", "embedding").createOrReplaceTempView("ext_vecs")
+    val viaSql = spark.sql(
+      "SELECT vec_id, rp_project_micro(embedding, 4, 11) AS p FROM ext_vecs")
+      .orderBy("vec_id").collect().toSeq
+    val viaCol = spark.table("ext_vecs")
+      .select($"vec_id",
+        graft.ops.Rp.projectMicro($"embedding", 4, 11L).as("p"))
+      .orderBy("vec_id").collect().toSeq
+    assert(viaSql === viaCol)
+    val e = intercept[Exception] {
+      spark.sql("SELECT rp_project_micro(embedding, 0, 11) FROM ext_vecs")
+        .collect()
+    }
+    assert(e.getMessage.contains("outDim out of range"), e.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql(
+        "SELECT rp_project_micro(embedding, 4, vec_id) FROM ext_vecs")
+        .collect()
+    }
+    assert(e2.getMessage.contains("seed must be a literal"), e2.getMessage)
+  }
+
   test("GraftExtensions injects all four functions into a fresh session") {
     // build a sibling session over the same SparkContext with the
     // extension applied the way spark-submit's spark.sql.extensions does

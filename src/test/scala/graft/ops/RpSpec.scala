@@ -78,6 +78,53 @@ class RpSpec extends SparkTestBase {
       s"pair distortion out of envelope: ${ratios.min} .. ${ratios.max}")
   }
 
+  test("codegen'd kernel ≡ interpreted HOF (float + double vecs, null element)") {
+    // the kernel IS Rp.projectMicro now; the HOF is the independent twin
+    def both(df: org.apache.spark.sql.DataFrame): (Seq[Row], Seq[Row]) = {
+      def run(c: org.apache.spark.sql.Column): Seq[Row] =
+        df.select(col("vec_id"), c.as("p")).orderBy("vec_id").collect().toSeq
+      (run(Rp.projectMicro(col("embedding"), outDim, seed)),
+       run(Rp.projectMicroHof(col("embedding"), outDim, seed)))
+    }
+    val (e, h) = both(corpus)
+    assert(e == h, "float corpus")
+    val dbl = corpus.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val (ed, hd) = both(dbl)
+    assert(ed == hd, "double corpus")
+    // a null element poisons every component on both paths
+    val withNull = Seq((0L, Seq[java.lang.Float](1.5f, null, -2f)))
+      .toDF("vec_id", "embedding")
+    val (en, hn) = both(withNull)
+    assert(en == hn, "null element")
+    assert(en.head.getSeq[Any](1) == Seq.fill(outDim)(null))
+  }
+
+  test("kernel edge contract: empty vec → zeros; interpreted ≡ codegen") {
+    // the HOF's sequence(0, -1) descent cannot express the empty vector;
+    // the kernel defines it as the empty-index-set sum (all zeros)
+    val empty = Seq((0L, Seq.empty[Float])).toDF("vec_id", "embedding")
+    val out = empty.select(
+        Rp.projectMicro(col("embedding"), outDim, seed).as("p"))
+      .as[Seq[Long]].head()
+    assert(out == Seq.fill(outDim)(0L))
+    // interpreted eval path ≡ codegen path (wholeStage must be off too:
+    // WSCG calls doGenCode regardless of factoryMode — MinHashSpec lesson)
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    spark.conf.set("spark.sql.codegen.wholeStage", false)
+    try {
+      val got = Rp.project(corpus, "vec_id", "embedding", outDim, seed)
+        .select("vec_id", "proj_micro")
+        .as[(Long, Seq[Long])].collect().toMap
+      (0L until 40L).foreach { id =>
+        assert(got(id) == replay(vec(id)).toSeq, s"vec $id interpreted")
+      }
+    } finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.wholeStage", true)
+    }
+  }
+
   test("zero vector projects to zeros; guards fire") {
     val z = Seq((0L, Seq.fill(dim)(0f))).toDF("vec_id", "embedding")
     val out = Rp.project(z, "vec_id", "embedding", outDim, seed)
