@@ -546,6 +546,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens_bpe").cast("long")).as("sum_tokens"))),
 
+    // HTML → text extraction (the crawl entry stage): the HTML wrapper is
+    // synthesized by pure concatenation from the documents table — both
+    // engines build the identical string, so the oracle replays the WHOLE
+    // published regex chain (engine vs engine on the same rules, no dump)
+    "q_html_extract" -> ((s, d) => {
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title><script type=\"text/javascript\">var x = 1 < 2; // junk" +
+          "</script><style>.a{color:red}</style></head><body>" +
+          "<!-- note <b>tags</b> --><h1>Doc "),
+        col("doc_id"),
+        lit("</h1><p>"), col("text"),
+        lit("</p><ul><li>first &amp; second</li><li>x &lt; y</li></ul>" +
+          "</body></html>"))
+      graft.ops.TextExtract.htmlExtract(
+        t(s, d, "documents").select(col("doc_id"), html.as("html")),
+        "doc_id", "html")
+    }),
+
     // ---------------- near-dup / similarity (no ANSI oracle — rows-only)
     // doc_id < 200 (not .limit) so the predicate pushes into the scan instead
     // of forcing a single-partition GlobalLimit shuffle
@@ -1535,6 +1554,52 @@ object SparkEntry {
     // union of the 4 language lists inlined); CTE shared with
     // q_quality_fingerprint
     "q_quality_score" -> SparkEntry.qualityScoreOracle,
+
+    // HTML extraction: the identical wrapper is rebuilt by concatenation
+    // and the entire TextExtract rule chain replays step by step (RE2 and
+    // java.util.regex agree on every construct used: lazy dot-all
+    // quantifiers, inline (?i)/(?s), \b, character classes)
+    "q_html_extract" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |    '</title><script type="text/javascript">var x = 1 < 2; // junk' ||
+        |    '</script><style>.a{color:red}</style></head><body>' ||
+        |    '<!-- note <b>tags</b> --><h1>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |    '</h1><p>' || text ||
+        |    '</p><ul><li>first &amp; second</li><li>x &lt; y</li></ul>' ||
+        |    '</body></html>' AS html
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, html,
+        |  regexp_replace(html, '(?s)<!--.*?-->', '', 'g') AS t FROM h),
+        |s2 AS (SELECT doc_id, html,
+        |  regexp_replace(t, '(?is)<script\b[^>]*>.*?</script>', '', 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id, html,
+        |  regexp_replace(t, '(?is)<style\b[^>]*>.*?</style>', '', 'g') AS t FROM s2),
+        |s4 AS (SELECT doc_id, html,
+        |  regexp_replace(t,
+        |    '(?i)<(?:br|/p|/div|/li|/tr|/h[1-6]|/ul|/ol|/table|/blockquote|/pre)\b[^>]*>',
+        |    e'\n', 'g') AS t FROM s3),
+        |s5 AS (SELECT doc_id, html,
+        |  regexp_replace(t, '(?s)<[^>]*>', '', 'g') AS t FROM s4),
+        |s6 AS (SELECT doc_id, html,
+        |  replace(replace(replace(replace(replace(replace(t,
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |    '&nbsp;', ' '), '&amp;', '&') AS t FROM s5),
+        |s7 AS (SELECT doc_id, html,
+        |  regexp_replace(t, '[ \t\r\x0B\f]+', ' ', 'g') AS t FROM s6),
+        |s8 AS (SELECT doc_id, html,
+        |  regexp_replace(t, ' *\n *', e'\n', 'g') AS t FROM s7),
+        |s9 AS (SELECT doc_id, html,
+        |  trim(regexp_replace(t, '\n{3,}', e'\n\n', 'g'),
+        |       ' ' || chr(10)) AS t FROM s8)
+        |SELECT doc_id, t AS text,
+        |  CAST(length(html) AS BIGINT) AS n_chars_html,
+        |  CAST(length(t) AS BIGINT) AS n_chars_text,
+        |  CASE WHEN length(html) = 0 THEN 0
+        |       ELSE CAST(length(t) AS BIGINT) * 1000000 // length(html)
+        |  END AS density_micro
+        |FROM s9""".stripMargin,
 
     // Curation oracles: same normalization (lowercase, punct → space,
     // drop empties) and the same 13-gram window as Curation.ngrams; the
