@@ -565,6 +565,53 @@ object SparkEntry {
         "doc_id", "html")
     }),
 
+    // Anchor extraction (the link-graph entry): anchors are synthesized
+    // by pure concatenation (both quote styles, attribute-before-href,
+    // an embedded #fragment, and a fragment-only anchor that must drop),
+    // so the oracle rebuilds the identical HTML and replays the RE2
+    // href pattern + the whole urlNormalize/registrable-domain chain.
+    "q_extract_links" -> ((s, d) => {
+      val k1 = col("doc_id") * 31 + 7
+      val k2 = col("doc_id") * 17 + 5
+      val html = concat(
+        lit("<html><body><p>Doc "), col("doc_id"),
+        lit("</p><a href=\"https://site"), (k1 % 7).cast("string"),
+        element_at(array(lit(".com"), lit(".org"), lit(".co.uk")),
+          (k1 % 3 + 1).cast("int")),
+        lit("/p/"), k1.cast("string"), lit("\">x</a>"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("<A CLASS=\"b\" HREF='https://www.site"),
+            (k2 % 7).cast("string"), lit(".org/q/"), k2.cast("string"),
+            lit("#frag'>y</A>"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit("<a href=\"#top\">skip</a>"))
+          .otherwise(lit("")),
+        lit("</body></html>"))
+      graft.ops.LinkGraph.extractLinks(
+        t(s, d, "documents").select(col("doc_id"), html.as("html")),
+        "doc_id", "html")
+        .select(col("doc_id"), col("href"),
+          graft.ops.UrlCuration.urlDomain(col("href")).as("domain"))
+    }),
+
+    // Exact-integer PageRank (domain-centrality quality signal): the edge
+    // list is synthesized by pure arithmetic (two deterministic out-links
+    // per doc over 53 string nodes, duplicates + self-loops included so
+    // the internal cleaning is exercised), and the oracle replays THREE
+    // full power-iteration rounds of the micro-unit recurrence
+    // share = (850000·r) // 1e6 // outdeg; r' = 150000 + Σ share
+    // in chained CTEs — every rank hash-compares because the arithmetic
+    // is exact long math on both engines.
+    "q_pagerank" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"))
+      def node(c: org.apache.spark.sql.Column) =
+        concat(lit("d"), (c % 53).cast("string"))
+      val e = docs.select(node(col("doc_id")).as("src"),
+          node(col("doc_id") * 7 + 3).as("dst"))
+        .unionByName(docs.select(node(col("doc_id")).as("src"),
+          node(col("doc_id") * 11 + 5).as("dst")))
+      graft.ops.LinkGraph.pageRank(e, "src", "dst", iters = 3)
+    }),
+
     // ---------------- near-dup / similarity (no ANSI oracle — rows-only)
     // doc_id < 200 (not .limit) so the predicate pushes into the scan instead
     // of forcing a single-partition GlobalLimit shuffle
@@ -1600,6 +1647,89 @@ object SparkEntry {
         |       ELSE CAST(length(t) AS BIGINT) * 1000000 // length(html)
         |  END AS density_micro
         |FROM s9""".stripMargin,
+
+    // Anchor extraction: the wrapper rebuilds by concatenation, the RE2
+    // href pattern replays verbatim (DuckDB IS RE2), and the domain is
+    // the same normalize/registrable-domain replay as q_url_normalize.
+    "q_extract_links" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><body><p>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |    '</p><a href="https://site' ||
+        |    CAST((doc_id*31+7) % 7 AS VARCHAR) ||
+        |    (['.com','.org','.co.uk'])[((doc_id*31+7) % 3) + 1] ||
+        |    '/p/' || CAST(doc_id*31+7 AS VARCHAR) || '">x</a>' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN
+        |      '<A CLASS="b" HREF=''https://www.site' ||
+        |      CAST((doc_id*17+5) % 7 AS VARCHAR) || '.org/q/' ||
+        |      CAST(doc_id*17+5 AS VARCHAR) || '#frag''>y</A>'
+        |    ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN '<a href="#top">skip</a>'
+        |    ELSE '' END || '</body></html>' AS html
+        |  FROM documents),
+        |x AS (SELECT doc_id, unnest(regexp_extract_all(html,
+        |    '(?i)<a\b[^>]*?\bhref\s*=\s*["'']([^"''#]+)', 1)) AS href
+        |  FROM h),
+        |n1 AS (SELECT doc_id, href,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(lower(trim(href)),
+        |    '^[a-z][a-z0-9+.-]*://', ''),
+        |    '#.*$', ''), '\?.*$', ''), '^[^/?#]*@', ''), '^www\d*\.', ''),
+        |    '/+$', '') AS url_norm FROM x),
+        |h2 AS (SELECT *, regexp_replace(regexp_extract(url_norm, '^([^/]+)', 1),
+        |        ':\d+$', '') AS host FROM n1),
+        |l AS (SELECT *, string_split(host, '.') AS lab FROM h2)
+        |SELECT doc_id, href,
+        |  CASE WHEN len(lab) <= 2 THEN host
+        |       WHEN lab[-2] IN ('co','com','net','org','ac','gov','edu')
+        |            AND len(lab[-1]) = 2
+        |         THEN array_to_string(lab[len(lab)-2:], '.')
+        |       ELSE array_to_string(lab[len(lab)-1:], '.') END AS domain
+        |FROM l""".stripMargin,
+
+    // PageRank: three full power-iteration rounds of the exact micro-unit
+    // recurrence replayed in chained CTEs — share = (850000·r) // 1e6 //
+    // outdeg, r' = 150000 + Σ share — over the identically-synthesized,
+    // identically-cleaned edge set. Every intermediate is BIGINT math, so
+    // the final ranks hash-compare bit-for-bit.
+    "q_pagerank" ->
+      """WITH e0 AS (
+        |  SELECT 'd' || CAST(doc_id % 53 AS VARCHAR) AS src,
+        |         'd' || CAST((doc_id*7+3) % 53 AS VARCHAR) AS dst
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'd' || CAST(doc_id % 53 AS VARCHAR),
+        |         'd' || CAST((doc_id*11+5) % 53 AS VARCHAR)
+        |  FROM documents),
+        |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+        |od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_micro FROM nodes),
+        |s1 AS (SELECT e.dst,
+        |         CAST(SUM((850000 * r.rank_micro) // 1000000 // od.outdeg)
+        |              AS BIGINT) AS infl
+        |       FROM e JOIN r0 r ON e.src = r.node JOIN od ON e.src = od.src
+        |       GROUP BY e.dst),
+        |r1 AS (SELECT n.node,
+        |         CAST(150000 + COALESCE(s1.infl, 0) AS BIGINT) AS rank_micro
+        |       FROM nodes n LEFT JOIN s1 ON n.node = s1.dst),
+        |s2 AS (SELECT e.dst,
+        |         CAST(SUM((850000 * r.rank_micro) // 1000000 // od.outdeg)
+        |              AS BIGINT) AS infl
+        |       FROM e JOIN r1 r ON e.src = r.node JOIN od ON e.src = od.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT n.node,
+        |         CAST(150000 + COALESCE(s2.infl, 0) AS BIGINT) AS rank_micro
+        |       FROM nodes n LEFT JOIN s2 ON n.node = s2.dst),
+        |s3 AS (SELECT e.dst,
+        |         CAST(SUM((850000 * r.rank_micro) // 1000000 // od.outdeg)
+        |              AS BIGINT) AS infl
+        |       FROM e JOIN r2 r ON e.src = r.node JOIN od ON e.src = od.src
+        |       GROUP BY e.dst),
+        |r3 AS (SELECT n.node,
+        |         CAST(150000 + COALESCE(s3.infl, 0) AS BIGINT) AS rank_micro
+        |       FROM nodes n LEFT JOIN s3 ON n.node = s3.dst)
+        |SELECT node, rank_micro FROM r3""".stripMargin,
 
     // Curation oracles: same normalization (lowercase, punct → space,
     // drop empties) and the same 13-gram window as Curation.ngrams; the

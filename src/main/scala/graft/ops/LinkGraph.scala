@@ -1,0 +1,161 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph construction + PageRank centrality — the provenance-quality
+  * signal the published crawl pipelines compute BETWEEN extraction and
+  * filtering: Common Crawl publishes host/domain-level rank tables, and
+  * URL-quality stages (RefinedWeb-style) threshold on them. Two pieces:
+  *
+  *  - [[extractLinks]]: pull `<a href=…>` targets out of raw HTML with the
+  *    same RE2-compatible, codegen'd regex discipline as
+  *    [[TextExtract.htmlToText]] (zero exchanges, oracle replays the
+  *    pattern verbatim). [[domainEdges]] lifts hrefs to the registrable-
+  *    domain graph via [[UrlCuration.urlDomain]].
+  *
+  *  - [[pageRank]]: power iteration in EXACT integer micro-units — the
+  *    library's quantization convention — so ranks are long sums +
+  *    integer divisions: order-independent, partitioning-invariant, and
+  *    bit-replayable in the SQL oracle (a float PageRank could never
+  *    hash-compare across engines). Per iteration, with damping d in
+  *    micro-units (default 850000 = the canonical 0.85):
+  *
+  *      share(u)  = (d · r(u)) div 1e6 div outdeg(u)
+  *      r'(v)     = (1e6 − d) + Σ_{u→v} share(u)
+  *
+  *    Fixed-point flavor notes (all deliberate, all replayed by the
+  *    oracle): floor division leaks ≤ outdeg(u) micro-units per node per
+  *    round (exactness beats conservation for a replayable rank);
+  *    dangling nodes (outdeg 0) keep receiving but forward nothing —
+  *    their mass leaves the system rather than being redistributed (the
+  *    truncated-sink convention; redistribution would add an all-nodes
+  *    broadcast term per round for a signal used only ordinally).
+  *
+  * Scale shape (100 TB crawl → 10^8–10^9 domains, 10^10+ edges): each
+  * iteration is ONE edge-keyed shuffle join (ranks⋈outdeg is node-scale
+  * and pre-reduced; edges⋈shares is the big one — AQE skew handling
+  * covers mega-out-degree hubs) plus ONE map-side-combining sum keyed by
+  * dst (hot in-degree hubs collapse in the partials — never a per-node
+  * funnel). The edge set, node set, and out-degrees are computed once and
+  * localCheckpointed; each round's ranks frame is checkpointed so the
+  * plan stays flat at any iteration count (the
+  * [[Dedup.connectedComponentsStar]] lesson). O(iters) passes over the
+  * edge list is the canonical distributed PageRank — no driver-side
+  * state beyond loop control.
+  *
+  * Exactness bound: shares multiply the rank by d ≤ 1e6 before dividing,
+  * so a node's rank must stay ≤ Long.MaxValue/1e6 ≈ 9.2e12 micro-units
+  * (≈ 9.2M fully-concentrated nodes' worth of mass on ONE node — beyond
+  * any real link graph). The iteration raise_errors rather than silently
+  * overflowing, per the library's fail-on-data-bugs convention.
+  */
+object LinkGraph {
+
+  /** Micro-unit scale: initial rank of every node. */
+  val RankUnit: Long = 1000000L
+
+  /** Largest rank the exact share arithmetic can damp without overflow. */
+  val MaxSafeRank: Long = Long.MaxValue / RankUnit
+
+  /** `<a href=…>` target extraction: case-insensitive, both quote styles,
+    * attributes before href allowed, capture stops at the closing quote
+    * OR a `#` (fragments never reach the URL key — fragment-only anchors
+    * like `href="#top"` therefore don't match at all and are dropped,
+    * exactly the rows a link graph should not contain). Lazy `[^>]*?` and
+    * no backreferences/lookaround — RE2-compatible, so the DuckDB oracle
+    * replays the pattern verbatim. Output: one `(idCol, href)` row per
+    * anchor occurrence (duplicates preserved — weighting is the caller's
+    * call; [[domainEdges]] collapses them).
+    */
+  val HrefPattern: String =
+    "(?i)<a\\b[^>]*?\\bhref\\s*=\\s*[\"']([^\"'#]+)"
+
+  def extractLinks(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    require(df.columns.contains(idCol), s"missing input column: $idCol")
+    require(df.columns.contains(htmlCol), s"missing input column: $htmlCol")
+    df.select(col(idCol),
+      explode(regexp_extract_all(col(htmlCol), lit(HrefPattern), lit(1)))
+        .as("href"))
+  }
+
+  /** Registrable-domain edge set from documents carrying their own URL and
+    * raw HTML: `(src, dst)` distinct, self-links (intra-domain navigation
+    * — the overwhelming majority of anchors on a real page) dropped.
+    * Relative hrefs (no scheme, no dot in the first path segment) resolve
+    * to the SOURCE domain and are therefore self-links too; they fall out
+    * of the same filter without special-casing.
+    */
+  def domainEdges(df: DataFrame, urlCol: String, htmlCol: String): DataFrame = {
+    require(df.columns.contains(urlCol), s"missing input column: $urlCol")
+    val links = extractLinks(df.select(col(urlCol), col(htmlCol)),
+      urlCol, htmlCol)
+    links.select(
+        UrlCuration.urlDomain(col(urlCol)).as("src"),
+        UrlCuration.urlDomain(col("href")).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Exact-integer PageRank over an edge LIST (deduped + self-loops
+    * dropped internally, so callers may pass raw extraction output).
+    * Returns `(node, rank_micro)` for every node that appears as a source
+    * or target. Node column keeps its input type (string domains, long
+    * ids — both fine; the arithmetic never touches it).
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int, dampingMicro: Long = 850000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    require(dampingMicro >= 0L && dampingMicro <= RankUnit,
+      s"dampingMicro must be in [0, $RankUnit]: $dampingMicro")
+    val e = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(true)
+    var ranks = nodes.select(col("node"),
+        lit(RankUnit).as("rank_micro"))
+      .localCheckpoint(true)
+    var i = 0
+    while (i < iters) {
+      ranks = step(ranks, e, outdeg, nodes, dampingMicro).localCheckpoint(true)
+      i += 1
+    }
+    ranks
+  }
+
+  /** One power-iteration round, exposed so the spec can drive it with a
+    * poisoned ranks frame (the overflow guard is unreachable from real
+    * small-graph inputs). `ranks`/`nodes` are (node[, …]) frames, `e` the
+    * cleaned edge set, `outdeg` keyed by `src`.
+    */
+  private[ops] def step(ranks: DataFrame, e: DataFrame, outdeg: DataFrame,
+                        nodes: DataFrame, dampingMicro: Long): DataFrame = {
+    val guarded = when(col("rank_micro") > MaxSafeRank,
+      raise_error(concat(
+        lit(s"pageRank: rank exceeds the exact-arithmetic bound ($MaxSafeRank micro-units) at node "),
+        col("node").cast("string"))))
+      .otherwise(col("rank_micro"))
+    // node-scale join: rank + out-degree per SOURCE node (dangling nodes
+    // drop out here — they forward nothing)
+    val shares = ranks.select(col("node"), guarded.as("rank_micro"))
+      .join(outdeg, col("node") === col("src"))
+      .select(col("src"),
+        expr(s"${dampingMicro}L * rank_micro div ${RankUnit}L div outdeg")
+          .as("share"))
+    // edge-scale join + map-side-combining sum keyed by target
+    val inflow = e.join(shares, "src")
+      .groupBy(col("dst")).agg(sum(col("share")).as("inflow"))
+    nodes.join(inflow, col("node") === col("dst"), "left")
+      .select(col("node"),
+        (lit(RankUnit - dampingMicro) + coalesce(col("inflow"), lit(0L)))
+          .as("rank_micro"))
+  }
+}

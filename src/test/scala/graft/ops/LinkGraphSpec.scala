@@ -1,0 +1,153 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Link graph + exact-integer PageRank — exactness vs an independent
+  * plain-Scala replay of the micro-unit recurrence, partitioning
+  * invariance, edge-cleaning semantics, hand-checked dangling-node
+  * arithmetic, href extraction branch coverage, the overflow guard, and
+  * a no-cartesian plan gate.
+  */
+class LinkGraphSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** seeded deterministic multigraph: 40 nodes, 160 raw edge draws
+    * (duplicates + self-loops on purpose — pageRank must clean them).
+    */
+  private def rawEdges(seed: Long): Seq[(String, String)] =
+    (0 until 160).map { i =>
+      val a = ((seed + i) * 6364136223846793005L + 1442695040888963407L) >>> 33
+      val b = (a * 6364136223846793005L + 1442695040888963407L) >>> 33
+      (s"n${(a % 40).toInt}", s"n${(b % 40).toInt}")
+    }
+
+  /** independent plain-Scala replay of the documented recurrence. */
+  private def replay(raw: Seq[(String, String)], iters: Int,
+                     d: Long): Map[String, Long] = {
+    val e = raw.filter { case (s, t) => s != t }.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val outdeg = e.groupBy(_._1).map { case (s, es) => (s, es.size.toLong) }
+    var r = nodes.map(n => (n, 1000000L)).toMap
+    for (_ <- 1 to iters) {
+      val inflow = e.groupBy(_._2).map { case (t, es) =>
+        (t, es.map { case (s, _) =>
+          d * r(s) / 1000000L / outdeg(s)
+        }.sum)
+      }
+      r = nodes.map(n => (n, (1000000L - d) + inflow.getOrElse(n, 0L))).toMap
+    }
+    r
+  }
+
+  test("pageRank ≡ plain-Scala replay (4 iters, duplicates + self-loops cleaned)") {
+    val raw = rawEdges(7L)
+    val got = LinkGraph.pageRank(raw.toDF("src", "dst"), "src", "dst", iters = 4)
+      .as[(String, Long)].collect().toMap
+    assert(got === replay(raw, 4, 850000L))
+  }
+
+  test("pageRank is partitioning-invariant") {
+    val raw = rawEdges(13L)
+    val a = LinkGraph.pageRank(raw.toDF("src", "dst").repartition(7),
+      "src", "dst", iters = 3).as[(String, Long)].collect().sortBy(_._1)
+    val b = LinkGraph.pageRank(raw.toDF("src", "dst").coalesce(1),
+      "src", "dst", iters = 3).as[(String, Long)].collect().sortBy(_._1)
+    assert(a === b)
+  }
+
+  test("dangling node: receives but forwards nothing (hand arithmetic)") {
+    // a -> b, b dangling. iter1: a = 150000 (no inflow); b = 150000 +
+    // 850000*1000000/1e6/1 = 1000000. iter2: b = 150000 + 850000*150000
+    // /1e6/1 = 150000 + 127500 = 277500; a stays 150000.
+    val e = Seq(("a", "b")).toDF("src", "dst")
+    val r1 = LinkGraph.pageRank(e, "src", "dst", iters = 1)
+      .as[(String, Long)].collect().toMap
+    assert(r1 === Map("a" -> 150000L, "b" -> 1000000L))
+    val r2 = LinkGraph.pageRank(e, "src", "dst", iters = 2)
+      .as[(String, Long)].collect().toMap
+    assert(r2 === Map("a" -> 150000L, "b" -> 277500L))
+  }
+
+  test("long node ids work unchanged and hubs outrank leaves") {
+    // star: 0..9 all -> 10
+    val e = (0L until 10L).map(i => (i, 10L)).toDF("src", "dst")
+    val r = LinkGraph.pageRank(e, "src", "dst", iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r(10L) > r(0L))
+    assert((0L until 10L).forall(i => r(i) === 150000L))
+  }
+
+  test("overflow guard raises instead of silently wrapping") {
+    val e = Seq(("a", "b")).toDF("src", "dst")
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val nodes = Seq("a", "b").toDF("node")
+    val poisoned = Seq(("a", LinkGraph.MaxSafeRank + 1L), ("b", 1000000L))
+      .toDF("node", "rank_micro")
+    val ex = intercept[Exception] {
+      LinkGraph.step(poisoned, e, outdeg, nodes, 850000L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause).toList)
+    assert(msgs(ex).exists(m =>
+      m != null && m.contains("exact-arithmetic bound")))
+  }
+
+  test("extractLinks: quote styles, case, attribute order, fragments") {
+    val html =
+      """<html><body>
+        |<a href="https://x.com/a">one</a>
+        |<A CLASS="big" HREF='https://y.org/b'>two</A>
+        |<a data-k="v" href="https://z.net/c#frag">three</a>
+        |<a href="#top">fragment-only is dropped</a>
+        |<a name="anchor">no href at all</a>
+        |<a href="https://x.com/a">duplicate preserved</a>
+        |</body></html>""".stripMargin
+    val got = LinkGraph.extractLinks(Seq((1L, html)).toDF("id", "html"),
+      "id", "html").as[(Long, String)].collect().toSeq
+    assert(got === Seq(
+      (1L, "https://x.com/a"),
+      (1L, "https://y.org/b"),
+      (1L, "https://z.net/c"),
+      (1L, "https://x.com/a")))
+    assert(LinkGraph.extractLinks(
+      Seq((2L, "<p>no links</p>")).toDF("id", "html"), "id", "html")
+      .isEmpty)
+  }
+
+  test("domainEdges: registrable-domain lift, self-links dropped, distinct") {
+    val rows = Seq(
+      ("https://www.blog.site1.com/p/1",
+        """<a href="https://shop.site1.com/x">self</a>
+          |<a href="https://site2.co.uk/y">cross</a>
+          |<a href="https://site2.co.uk/z">same pair twice</a>""".stripMargin),
+      ("https://site2.co.uk/p/2",
+        """<a href="https://site1.com/q">back</a>""".stripMargin))
+      .toDF("url", "html")
+    val got = LinkGraph.domainEdges(rows, "url", "html")
+      .as[(String, String)].collect().toSet
+    assert(got === Set(
+      ("site1.com", "site2.co.uk"),
+      ("site2.co.uk", "site1.com")))
+  }
+
+  test("plan gate: an iteration is joins + aggregates, never a cartesian") {
+    val plan = LinkGraph.pageRank(rawEdges(3L).toDF("src", "dst"),
+      "src", "dst", iters = 1).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("guards: bad iters / damping / missing columns") {
+    val e = Seq(("a", "b")).toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      LinkGraph.pageRank(e, "src", "dst", iters = 0)
+    }
+    intercept[IllegalArgumentException] {
+      LinkGraph.pageRank(e, "src", "dst", iters = 1, dampingMicro = 1000001L)
+    }
+    intercept[IllegalArgumentException] {
+      LinkGraph.extractLinks(e, "nope", "src")
+    }
+  }
+}
