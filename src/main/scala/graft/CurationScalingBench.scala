@@ -241,6 +241,41 @@ object CurationScalingBench {
             s"url stage: cap/blocklist did not bind ($n of $nDocs kept)")
         }
 
+        def pagerankRun(): Unit = {
+          // domain-centrality power iteration over a synthesized link
+          // graph: one site per ~10 docs (node count grows with the
+          // corpus — the production regime where the ranks frame is NOT
+          // a broadcastable dimension), three deterministic out-links
+          // per doc, and every 7th doc's second link aimed at ONE
+          // mega-hub (s0) so the per-iteration dst-keyed sum sees
+          // genuine 1/7-of-corpus in-degree skew — the map-side partial
+          // collapse is what keeps that from becoming a reducer funnel.
+          // 5 iterations ⇒ the timed job is dominated by the iteration
+          // joins, not the one-off edge/node/outdeg preparation.
+          val id = col("doc_id")
+          val nSites = math.max(1000L, nDocs / 10L) | 1L
+          def site(c: org.apache.spark.sql.Column) =
+            concat(lit("s"), (c % nSites).cast("string"))
+          val e = docs.select(site(id).as("src"),
+              site(id * 37 + 11).as("dst"))
+            .unionByName(docs.select(site(id).as("src"),
+              when(id % 7 === 0, lit("s0"))
+                .otherwise(site(id * 53 + 29)).as("dst")))
+            .unionByName(docs.select(site(id).as("src"),
+              site(id * 101 + 67).as("dst")))
+          // SPARK_GRAFT_PR_ITERS: diagnostic knob — pairing runs at two
+          // iteration counts separates the one-off prepare phase from the
+          // per-round cost (t = prep + iters × round) per parallelism level
+          val iters = sys.env.get("SPARK_GRAFT_PR_ITERS")
+            .map(_.toInt).getOrElse(5)
+          val ranks = graft.ops.LinkGraph.pageRank(e, "src", "dst", iters)
+          try {
+            val n = ranks.count()
+            require(n >= nSites - 1 && n <= nSites,
+              s"pagerank: node count $n outside [${nSites - 1}, $nSites]")
+          } finally ranks.unpersist(blocking = true)
+        }
+
         // boilerplate-injected corpus for the heavy-hitters stages: every
         // 20th doc gains a constant nav/cookie sentence — the population
         // topNgrams exists to find (and the skew the Misra-Gries proof
@@ -289,6 +324,7 @@ object CurationScalingBench {
           "pack" -> (() => packRun()),
           "classifier" -> (() => classifierRun()),
           "url" -> (() => urlRun()),
+          "pagerank" -> (() => pagerankRun()),
           "hotngrams" -> (() => hotNgramsRun()),
           "hotngrams_exact" -> (() => hotNgramsExactRun()))
           .filter { case (name, _) =>

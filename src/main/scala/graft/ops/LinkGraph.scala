@@ -32,16 +32,27 @@ import org.apache.spark.sql.functions._
   *    truncated-sink convention; redistribution would add an all-nodes
   *    broadcast term per round for a signal used only ordinally).
   *
-  * Scale shape (100 TB crawl → 10^8–10^9 domains, 10^10+ edges): each
-  * iteration is ONE edge-keyed shuffle join (ranks⋈outdeg is node-scale
-  * and pre-reduced; edges⋈shares is the big one — AQE skew handling
-  * covers mega-out-degree hubs) plus ONE map-side-combining sum keyed by
-  * dst (hot in-degree hubs collapse in the partials — never a per-node
-  * funnel). The edge set, node set, and out-degrees are computed once and
-  * localCheckpointed; each round's ranks frame is checkpointed so the
-  * plan stays flat at any iteration count (the
-  * [[Dedup.connectedComponentsStar]] lesson). O(iters) passes over the
-  * edge list is the canonical distributed PageRank — no driver-side
+  * Scale shape (100 TB crawl → 10^8–10^9 domains, 10^10+ edges): the
+  * edge set is clustered by `src` ONCE, the node set by `node`, and
+  * out-degrees inherit the edge clustering for free — all three are
+  * localCheckpointed (which preserves their `outputPartitioning`), so
+  * every per-iteration join is CO-PARTITIONED: ranks(node)⋈outdeg(src),
+  * edges(src)⋈shares(src), and nodes(node)⋈inflow(dst) all run with
+  * zero exchange, and the 10^10-edge frame is NEVER re-shuffled. The
+  * one exchange per round is the dst-keyed inflow sum, whose map-side
+  * partials collapse hot in-degree hubs before the wire — never a
+  * per-node funnel. The iteration joins carry SHUFFLE_HASH hints
+  * because every frame in the loop is node-scale (grows with the
+  * graph): letting Catalyst broadcast them is exactly wrong at scale,
+  * and was the measured 2→8-core scaling limiter at bench scale (eff
+  * 0.45 at 4M docs / 400k nodes — 5 rounds × 3 driver-side broadcast
+  * builds that grow with the node count; see BASELINE.md). A
+  * mega-OUT-degree hub clusters its edges into one partition — one
+  * task streams them through the hash lookup, linear and spill-free;
+  * mega-IN-degree skew never travels (partials). Each round's ranks
+  * frame is checkpointed so the plan stays flat at any iteration count
+  * (the [[Dedup.connectedComponentsStar]] lesson). O(iters) passes over
+  * the edge list is the canonical distributed PageRank — no driver-side
   * state beyond loop control.
   *
   * Exactness bound: shares multiply the rank by d ≤ 1e6 before dividing,
@@ -108,10 +119,52 @@ object LinkGraph {
     require(iters >= 1, s"iters must be >= 1: $iters")
     require(dampingMicro >= 0L && dampingMicro <= RankUnit,
       s"dampingMicro must be in [0, $RankUnit]: $dampingMicro")
+    val (e, nodes, outdeg) = prepare(edges, srcCol, dstCol)
+    var ranks = nodes.select(col("node"),
+        lit(RankUnit).as("rank_micro"))
+    var i = 0
+    while (i < iters) {
+      ranks = withAqeOff(edges) {
+        step(ranks, e, outdeg, nodes, dampingMicro).localCheckpoint(true)
+      }
+      i += 1
+    }
+    ranks
+  }
+
+  /** `Dataset.localCheckpoint` snapshots `physicalPlan.outputPartitioning`
+    * into the checkpointed frame — but under AQE the plan root is an
+    * AdaptiveSparkPlanExec, which reports UnknownPartitioning, so the
+    * clustering the iteration depends on silently vanishes and every
+    * round re-shuffles all three frames (verified by the LinkGraphSpec
+    * plan gate). Fix: plan the checkpoint queries with AQE off —
+    * save/restore around the eager materialization. Nothing is lost:
+    * these plans have at most ONE exchange and their skew collapses in
+    * map-side partials, which is not AQE territory.
+    */
+  private def withAqeOff[A](df: DataFrame)(body: => A): A = {
+    val conf = df.sparkSession.conf
+    val key = "spark.sql.adaptive.enabled"
+    val prev = conf.get(key, "true")
+    conf.set(key, "false")
+    try body finally conf.set(key, prev)
+  }
+
+  /** One-off iteration inputs, each clustered by its per-round join key
+    * and localCheckpointed (preserving the partitioning — the whole
+    * point): edges by `src` (the repartition feeds the dedup aggregate,
+    * which reuses the clustering — one exchange, not two — and keeps
+    * it), nodes by `node` (the distinct's own exchange), out-degrees by
+    * `src` (zero exchange — computed on the clustered edge frame).
+    */
+  private[ops] def prepare(edges: DataFrame, srcCol: String,
+                           dstCol: String): (DataFrame, DataFrame, DataFrame) =
+      withAqeOff(edges) {
     val e = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst"))
+      .repartition(col("src"))
       .distinct()
       .localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
@@ -120,16 +173,10 @@ object LinkGraph {
       .localCheckpoint(true)
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .localCheckpoint(true)
-    var ranks = nodes.select(col("node"),
-        lit(RankUnit).as("rank_micro"))
-      .localCheckpoint(true)
-    var i = 0
-    while (i < iters) {
-      ranks = step(ranks, e, outdeg, nodes, dampingMicro).localCheckpoint(true)
-      i += 1
-    }
-    ranks
+    (e, nodes, outdeg)
   }
+
+
 
   /** One power-iteration round, exposed so the spec can drive it with a
     * poisoned ranks frame (the overflow guard is unreachable from real
@@ -143,17 +190,20 @@ object LinkGraph {
         lit(s"pageRank: rank exceeds the exact-arithmetic bound ($MaxSafeRank micro-units) at node "),
         col("node").cast("string"))))
       .otherwise(col("rank_micro"))
-    // node-scale join: rank + out-degree per SOURCE node (dangling nodes
-    // drop out here — they forward nothing)
+    // node-scale co-partitioned join (node≡src clustering): rank +
+    // out-degree per SOURCE node (dangling nodes drop out here — they
+    // forward nothing). SHUFFLE_HASH: node-scale frames must never
+    // broadcast (see the scale-shape note above).
     val shares = ranks.select(col("node"), guarded.as("rank_micro"))
-      .join(outdeg, col("node") === col("src"))
+      .join(outdeg.hint("shuffle_hash"), col("node") === col("src"))
       .select(col("src"),
         expr(s"${dampingMicro}L * rank_micro div ${RankUnit}L div outdeg")
           .as("share"))
-    // edge-scale join + map-side-combining sum keyed by target
-    val inflow = e.join(shares, "src")
+    // edge-scale co-partitioned join (both clustered by src) + the
+    // round's ONE exchange: the map-side-combining sum keyed by target
+    val inflow = e.join(shares.hint("shuffle_hash"), "src")
       .groupBy(col("dst")).agg(sum(col("share")).as("inflow"))
-    nodes.join(inflow, col("node") === col("dst"), "left")
+    nodes.join(inflow.hint("shuffle_hash"), col("node") === col("dst"), "left")
       .select(col("node"),
         (lit(RankUnit - dampingMicro) + coalesce(col("inflow"), lit(0L)))
           .as("rank_micro"))

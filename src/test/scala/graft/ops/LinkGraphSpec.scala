@@ -138,6 +138,25 @@ class LinkGraphSpec extends SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("plan gate: a co-partitioned iteration is ONE exchange, no broadcast") {
+    // prepare() clusters edges/outdeg by src and nodes by node, and
+    // localCheckpoint preserves those partitionings — so every join in
+    // step() must be a zero-exchange ShuffledHashJoin and the round's
+    // only exchange the dst-keyed inflow sum. Broadcasting node-scale
+    // frames (what Catalyst picks unhinted) was the measured 2→8-core
+    // scaling limiter: 3 driver-side builds per round that grow with
+    // the node count.
+    val (e, nodes, outdeg) = LinkGraph.prepare(
+      rawEdges(5L).toDF("src", "dst"), "src", "dst")
+    val ranks = nodes.select(col("node"), lit(1000000L).as("rank_micro"))
+    val plan = LinkGraph.step(ranks, e, outdeg, nodes, 850000L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), plan.take(4000))
+    assert(!plan.contains("BroadcastHashJoin"), plan.take(4000))
+    val nExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(nExchanges === 1, plan.take(4000))
+  }
+
   test("guards: bad iters / damping / missing columns") {
     val e = Seq(("a", "b")).toDF("src", "dst")
     intercept[IllegalArgumentException] {
