@@ -612,6 +612,28 @@ object SparkEntry {
       graft.ops.LinkGraph.pageRank(e, "src", "dst", iters = 3)
     }),
 
+    // Domain-rank enrichment (the Common-Crawl-style provenance prior
+    // joined back onto the corpus): the link graph spans only the first
+    // 30 of the corpus's 53 synthetic domains, so the LEFT join's NULL
+    // path (unknown provenance) is part of the oracled surface. The
+    // engine derives the domain through the urlDomain normalize chain;
+    // the oracle derives it arithmetically from the synthesis — two
+    // INDEPENDENT derivations that must agree, on top of the replayed
+    // 3-round rank CTE chain.
+    "q_rank_docs" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        concat(lit("https://d"), (col("doc_id") % 53).cast("string"),
+          lit(".com/p/"), col("doc_id").cast("string")).as("url"))
+      def node(c: org.apache.spark.sql.Column) =
+        concat(lit("d"), (c % 30).cast("string"), lit(".com"))
+      val e = docs.select(node(col("doc_id")).as("src"),
+          node(col("doc_id") * 7 + 3).as("dst"))
+        .unionByName(docs.select(node(col("doc_id")).as("src"),
+          node(col("doc_id") * 11 + 5).as("dst")))
+      graft.ops.LinkGraph.rankDocs(docs, "url",
+        graft.ops.LinkGraph.pageRank(e, "src", "dst", iters = 3))
+    }),
+
     // ---------------- near-dup / similarity (no ANSI oracle — rows-only)
     // doc_id < 200 (not .limit) so the predicate pushes into the scan instead
     // of forcing a single-partition GlobalLimit shuffle
@@ -1730,6 +1752,57 @@ object SparkEntry {
         |         CAST(150000 + COALESCE(s3.infl, 0) AS BIGINT) AS rank_micro
         |       FROM nodes n LEFT JOIN s3 ON n.node = s3.dst)
         |SELECT node, rank_micro FROM r3""".stripMargin,
+
+    // Same 3-round chain over the 30-domain graph, then the LEFT join
+    // back onto the corpus; the oracle's domain is arithmetic while the
+    // engine's goes through the urlDomain regex chain — independent
+    // derivations that must hash-agree (incl. NULL ranks for the 23
+    // off-graph domains).
+    "q_rank_docs" ->
+      """WITH e0 AS (
+        |  SELECT 'd' || CAST(doc_id % 30 AS VARCHAR) || '.com' AS src,
+        |         'd' || CAST((doc_id*7+3) % 30 AS VARCHAR) || '.com' AS dst
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'd' || CAST(doc_id % 30 AS VARCHAR) || '.com',
+        |         'd' || CAST((doc_id*11+5) % 30 AS VARCHAR) || '.com'
+        |  FROM documents),
+        |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+        |od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_micro FROM nodes),
+        |s1 AS (SELECT e.dst,
+        |         CAST(SUM((850000 * r.rank_micro) // 1000000 // od.outdeg)
+        |              AS BIGINT) AS infl
+        |       FROM e JOIN r0 r ON e.src = r.node JOIN od ON e.src = od.src
+        |       GROUP BY e.dst),
+        |r1 AS (SELECT n.node,
+        |         CAST(150000 + COALESCE(s1.infl, 0) AS BIGINT) AS rank_micro
+        |       FROM nodes n LEFT JOIN s1 ON n.node = s1.dst),
+        |s2 AS (SELECT e.dst,
+        |         CAST(SUM((850000 * r.rank_micro) // 1000000 // od.outdeg)
+        |              AS BIGINT) AS infl
+        |       FROM e JOIN r1 r ON e.src = r.node JOIN od ON e.src = od.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT n.node,
+        |         CAST(150000 + COALESCE(s2.infl, 0) AS BIGINT) AS rank_micro
+        |       FROM nodes n LEFT JOIN s2 ON n.node = s2.dst),
+        |s3 AS (SELECT e.dst,
+        |         CAST(SUM((850000 * r.rank_micro) // 1000000 // od.outdeg)
+        |              AS BIGINT) AS infl
+        |       FROM e JOIN r2 r ON e.src = r.node JOIN od ON e.src = od.src
+        |       GROUP BY e.dst),
+        |r3 AS (SELECT n.node,
+        |         CAST(150000 + COALESCE(s3.infl, 0) AS BIGINT) AS rank_micro
+        |       FROM nodes n LEFT JOIN s3 ON n.node = s3.dst),
+        |docs2 AS (
+        |  SELECT doc_id,
+        |         'https://d' || CAST(doc_id % 53 AS VARCHAR) || '.com/p/'
+        |           || CAST(doc_id AS VARCHAR) AS url,
+        |         'd' || CAST(doc_id % 53 AS VARCHAR) || '.com' AS domain
+        |  FROM documents)
+        |SELECT d.doc_id, d.url, d.domain, r.rank_micro
+        |FROM docs2 d LEFT JOIN r3 r ON d.domain = r.node""".stripMargin,
 
     // Curation oracles: same normalization (lowercase, punct → space,
     // drop empties) and the same 13-gram window as Curation.ngrams; the

@@ -132,6 +132,58 @@ object LinkGraph {
     ranks
   }
 
+  /** Attach the domain-centrality rank to a document corpus — the
+    * provenance prior the published crawl pipelines threshold on (Common
+    * Crawl ships exactly this domain-rank table; RefinedWeb-style URL
+    * stages consume it): derive the registrable domain from `urlCol` via
+    * the [[UrlCuration.urlDomain]] chain (or take an existing column via
+    * `precomputed`, the [[UrlCuration.blockDomains]] convention — derive
+    * once, pass it through a composed pipeline), then LEFT-join the
+    * (node, rank_micro) [[pageRank]] output on it. Documents whose domain
+    * never entered the link graph keep a NULL `rank_micro`: absence is
+    * information (unknown provenance), and fabricating the dangling-floor
+    * value would make unknown domains indistinguishable from real sinks.
+    * Output: the input columns + `domain` (only when derived here) +
+    * `rank_micro`.
+    *
+    * Scale shape: doc-scale ⋈ node-scale on the domain key. At crawl
+    * scale the rank table (10^8–10^9 domains × ~30 B) is past any sane
+    * broadcast budget, so the join carries a SHUFFLE_HASH hint with the
+    * rank table as build side (plan-gated in LinkGraphSpec). Mega-domains
+    * (the bench corpus puts 1/7 of all docs behind ONE registrable
+    * domain) put all their PROBE rows in one partition, where they
+    * stream through the hash lookup linearly — build-side entries per
+    * key stay 1, so the hot key costs scan time, never memory — and
+    * AQE's skew-join split applies on top when enabled.
+    */
+  def rankDocs(docs: DataFrame, urlCol: String, ranks: DataFrame,
+               precomputed: Option[String] = None): DataFrame = {
+    require(ranks.columns.contains("node") &&
+      ranks.columns.contains("rank_micro"),
+      s"ranks must be a pageRank output (node, rank_micro): got ${ranks.columns.mkString(", ")}")
+    require(!docs.columns.contains("rank_micro"),
+      "input may not contain the output column rank_micro")
+    require(!docs.columns.contains("_rk_node"),
+      "input may not contain the internal column _rk_node")
+    precomputed.foreach(c => require(docs.columns.contains(c),
+      s"missing precomputed domain column: $c"))
+    val withDom = precomputed match {
+      case Some(_) => docs
+      case None =>
+        require(docs.columns.contains(urlCol),
+          s"missing input column: $urlCol")
+        require(!docs.columns.contains("domain"),
+          "input already has a domain column — pass precomputed = Some(\"domain\")")
+        docs.withColumn("domain", UrlCuration.urlDomain(col(urlCol)))
+    }
+    val domCol = precomputed.getOrElse("domain")
+    withDom.join(
+        ranks.select(col("node").as("_rk_node"), col("rank_micro"))
+          .hint("shuffle_hash"),
+        col(domCol) === col("_rk_node"), "left")
+      .drop("_rk_node")
+  }
+
   /** `Dataset.localCheckpoint` snapshots `physicalPlan.outputPartitioning`
     * into the checkpointed frame — but under AQE the plan root is an
     * AdaptiveSparkPlanExec, which reports UnknownPartitioning, so the

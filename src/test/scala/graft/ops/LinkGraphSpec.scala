@@ -169,4 +169,65 @@ class LinkGraphSpec extends SparkTestBase {
       LinkGraph.extractLinks(e, "nope", "src")
     }
   }
+
+  test("rankDocs: domain derive + left join, NULL for off-graph domains") {
+    val ranks = LinkGraph.pageRank(
+      Seq(("a.com", "b.com"), ("b.com", "a.com"), ("a.com", "c.com"))
+        .toDF("src", "dst"), "src", "dst", iters = 2)
+    val docs = Seq(
+      (1L, "https://www.a.com/x"), (2L, "https://b.com/y?q=1"),
+      (3L, "https://unranked.com/z")).toDF("doc_id", "url")
+    val got = LinkGraph.rankDocs(docs, "url", ranks)
+      .select(col("doc_id"), col("domain"),
+        col("rank_micro")).as[(Long, String, Option[Long])]
+      .collect().sortBy(_._1)
+    val rk = ranks.as[(String, Long)].collect().toMap
+    assert(got === Array(
+      (1L, "a.com", Some(rk("a.com"))),
+      (2L, "b.com", Some(rk("b.com"))),
+      (3L, "unranked.com", None)))
+  }
+
+  test("rankDocs: precomputed passthrough ≡ derived; guards") {
+    val ranks = LinkGraph.pageRank(
+      Seq(("a.com", "b.com"), ("b.com", "a.com")).toDF("src", "dst"),
+      "src", "dst", iters = 1)
+    val docs = Seq((1L, "https://a.com/x"), (2L, "https://q.org/y"))
+      .toDF("doc_id", "url")
+    val derived = LinkGraph.rankDocs(docs, "url", ranks)
+    val pre = LinkGraph.rankDocs(
+      docs.withColumn("domain", UrlCuration.urlDomain(col("url"))),
+      "url", ranks, precomputed = Some("domain"))
+    assert(derived.columns === pre.columns)
+    assert(derived.collect().sortBy(_.getLong(0)) ===
+      pre.collect().sortBy(_.getLong(0)))
+    intercept[IllegalArgumentException] { // not a pageRank output
+      LinkGraph.rankDocs(docs, "url", docs)
+    }
+    intercept[IllegalArgumentException] { // output-name collision
+      LinkGraph.rankDocs(docs.withColumn("rank_micro", lit(1L)),
+        "url", ranks)
+    }
+    intercept[IllegalArgumentException] { // domain present but not declared
+      LinkGraph.rankDocs(docs.withColumn("domain", lit("a.com")),
+        "url", ranks)
+    }
+    intercept[IllegalArgumentException] { // missing precomputed column
+      LinkGraph.rankDocs(docs, "url", ranks, precomputed = Some("dom"))
+    }
+  }
+
+  test("rankDocs plan gate: the rank table never broadcasts") {
+    // the rank table grows with the graph (10^8–10^9 domains at crawl
+    // scale) — Catalyst would happily broadcast the toy-sized frame here,
+    // which is exactly the plan that dies at 100×; the hint must hold.
+    val ranks = LinkGraph.pageRank(
+      Seq(("a.com", "b.com"), ("b.com", "a.com")).toDF("src", "dst"),
+      "src", "dst", iters = 1)
+    val docs = Seq((1L, "https://a.com/x")).toDF("doc_id", "url")
+    val plan = LinkGraph.rankDocs(docs, "url", ranks)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), plan.take(4000))
+    assert(!plan.contains("BroadcastHashJoin"), plan.take(4000))
+  }
 }
