@@ -276,6 +276,57 @@ object CurationScalingBench {
           } finally ranks.unpersist(blocking = true)
         }
 
+        def crawlRun(): Unit = {
+          // the complete CRAWL ENTRY pass, composed end-to-end: synthetic
+          // HTML pages (doc text wrapped in markup + a script block + a
+          // comment + THREE anchors) → htmlToText extraction with the
+          // density signal → href → registrable-domain link graph →
+          // 3-round exact-integer PageRank → domain-rank LEFT join back
+          // onto every extracted doc. Skew is two-sided and DECORRELATED
+          // (the url-bench lesson — correlated moduli silently kill a
+          // skew population): every 7th doc LIVES on the mega-domain
+          // site0.com (1/7 of the corpus behind one registrable domain —
+          // the rankDocs probe-side hot key), while every 5th doc LINKS
+          // to site0.com (the in-degree hub the inflow partials must
+          // collapse). One action forces every output column (the hash)
+          // and proves no doc lost its rank (all page domains appear as
+          // link sources, so NULL ranks would be a join bug).
+          val id = col("doc_id")
+          val nSites = math.max(1000L, nDocs / 10L) | 1L
+          val site = when(id % 7 === 0, lit(0L)).otherwise(id % nSites)
+          def target(mult: Long, add: Long) = concat(lit("https://site"),
+            ((id * mult + add) % nSites).cast("string"),
+            lit(".com/p/"), id.cast("string"))
+          val url = concat(lit("https://site"), site.cast("string"),
+            lit(".com/p/"), id.cast("string"))
+          val html = concat(
+            lit("<html><head><title>d</title><script>var x=1;</script>" +
+              "</head><body><p>"),
+            col("text"),
+            lit("</p><a href=\""), target(37, 11),
+            lit("\">a</a><a href=\""),
+            when(id % 5 === 0, lit("https://site0.com/hub"))
+              .otherwise(target(53, 29)),
+            lit("\">b</a><a href=\""), target(101, 67),
+            lit("\">c</a><!-- nav chrome --></body></html>"))
+          val pages = docs.select(id, url.as("url"), html.as("html"))
+          val txt = graft.ops.TextExtract.htmlExtract(
+            pages, "doc_id", "html", keep = Seq("url"))
+          val edges = graft.ops.LinkGraph.domainEdges(pages, "url", "html")
+          val ranks = graft.ops.LinkGraph.pageRank(edges, "src", "dst",
+            iters = 3)
+          val enriched = graft.ops.LinkGraph.rankDocs(txt, "url", ranks)
+          val chk = enriched.select(
+              xxhash64(enriched.columns.map(col): _*).as("h"),
+              col("rank_micro"))
+            .agg(bit_xor(col("h")).as("x"), count(lit(1)).as("n"),
+              sum(when(col("rank_micro").isNull, 1L).otherwise(0L))
+                .as("unranked"))
+            .head()
+          require(chk.getLong(1) == nDocs && chk.getLong(2) == 0L,
+            s"crawl: ${chk.getLong(1)} rows, ${chk.getLong(2)} unranked")
+        }
+
         // boilerplate-injected corpus for the heavy-hitters stages: every
         // 20th doc gains a constant nav/cookie sentence — the population
         // topNgrams exists to find (and the skew the Misra-Gries proof
@@ -325,6 +376,7 @@ object CurationScalingBench {
           "classifier" -> (() => classifierRun()),
           "url" -> (() => urlRun()),
           "pagerank" -> (() => pagerankRun()),
+          "crawl" -> (() => crawlRun()),
           "hotngrams" -> (() => hotNgramsRun()),
           "hotngrams_exact" -> (() => hotNgramsExactRun()))
           .filter { case (name, _) =>

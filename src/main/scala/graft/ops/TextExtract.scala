@@ -62,18 +62,28 @@ object TextExtract {
     trim(para, " \n")
   }
 
-  /** Extract every document: (idCol, `text`, `n_chars_html`,
+  /** Extract every document: (idCol, keep…, `text`, `n_chars_html`,
     * `n_chars_text`, `density_micro`) — density is exact integer
     * micro-units `len(text)·1e6 / len(html)` (the library's quantization
     * convention; 0 for an empty html). Rows are emitted for every input
     * (flag-don't-drop — callers threshold on density themselves, e.g.
     * RefinedWeb-style `density_micro < 100000` → navigation chrome).
+    * `keep` names provenance columns (url, fetch timestamp, …) carried
+    * through the projection — passthrough costs nothing here, while
+    * re-attaching them downstream would be a doc-scale self-join.
     */
-  def htmlExtract(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+  def htmlExtract(df: DataFrame, idCol: String, htmlCol: String,
+                  keep: Seq[String] = Nil): DataFrame = {
     require(df.columns.contains(idCol), s"missing input column: $idCol")
     require(df.columns.contains(htmlCol), s"missing input column: $htmlCol")
-    df.select(col(idCol), htmlToText(col(htmlCol)).as("text"),
-        length(col(htmlCol)).cast("long").as("n_chars_html"))
+    keep.foreach(c => require(df.columns.contains(c),
+      s"missing keep column: $c"))
+    val reserved = Seq("text", "n_chars_html", "n_chars_text", "density_micro")
+    (keep :+ idCol).foreach(c => require(!reserved.contains(c),
+      s"column name collides with an output column: $c"))
+    df.select(col(idCol) +: keep.map(col) :+
+        htmlToText(col(htmlCol)).as("text") :+
+        length(col(htmlCol)).cast("long").as("n_chars_html"): _*)
       .withColumn("n_chars_text", length(col("text")).cast("long"))
       .withColumn("density_micro",
         when(col("n_chars_html") === 0L, lit(0L))

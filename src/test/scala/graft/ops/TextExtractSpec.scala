@@ -86,4 +86,22 @@ class TextExtractSpec extends SparkTestBase {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("keep passthrough: provenance columns carried, collisions guarded") {
+    val in = Seq((1L, "https://a.com/x", "<p>hi</p>"))
+      .toDF("doc_id", "url", "html")
+    val out = TextExtract.htmlExtract(in, "doc_id", "html",
+      keep = Seq("url"))
+    assert(out.columns === Array("doc_id", "url", "text", "n_chars_html",
+      "n_chars_text", "density_micro"))
+    val r = out.head()
+    assert(r.getString(1) === "https://a.com/x" && r.getString(2) === "hi")
+    intercept[IllegalArgumentException] { // keep column absent
+      TextExtract.htmlExtract(in, "doc_id", "html", keep = Seq("nope"))
+    }
+    intercept[IllegalArgumentException] { // keep collides with an output
+      TextExtract.htmlExtract(in.withColumnRenamed("url", "text"),
+        "doc_id", "html", keep = Seq("text"))
+    }
+  }
 }
