@@ -612,6 +612,22 @@ object SparkEntry {
       graft.ops.LinkGraph.pageRank(e, "src", "dst", iters = 3)
     }),
 
+    // Warm-resume lifecycle (the refresh a continuously-crawled graph
+    // runs): cold 1 round, persist, resume 2 more from the stored ranks —
+    // bit-equal to the one-shot 3-round run, so it shares q_pagerank's
+    // oracle VERBATIM.
+    "q_pagerank_resume" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"))
+      def node(c: org.apache.spark.sql.Column) =
+        concat(lit("d"), (c % 53).cast("string"))
+      val e = docs.select(node(col("doc_id")).as("src"),
+          node(col("doc_id") * 7 + 3).as("dst"))
+        .unionByName(docs.select(node(col("doc_id")).as("src"),
+          node(col("doc_id") * 11 + 5).as("dst")))
+      graft.ops.LinkGraph.pageRankFrom(e, "src", "dst",
+        graft.ops.LinkGraph.pageRank(e, "src", "dst", iters = 1), iters = 2)
+    }),
+
     // Domain-rank enrichment (the Common-Crawl-style provenance prior
     // joined back onto the corpus): the link graph spans only the first
     // 30 of the corpus's 53 synthetic domains, so the LEFT join's NULL
@@ -1714,44 +1730,13 @@ object SparkEntry {
     // outdeg, r' = 150000 + Σ share — over the identically-synthesized,
     // identically-cleaned edge set. Every intermediate is BIGINT math, so
     // the final ranks hash-compare bit-for-bit.
-    "q_pagerank" ->
-      """WITH e0 AS (
-        |  SELECT 'd' || CAST(doc_id % 53 AS VARCHAR) AS src,
-        |         'd' || CAST((doc_id*7+3) % 53 AS VARCHAR) AS dst
-        |  FROM documents
-        |  UNION ALL
-        |  SELECT 'd' || CAST(doc_id % 53 AS VARCHAR),
-        |         'd' || CAST((doc_id*11+5) % 53 AS VARCHAR)
-        |  FROM documents),
-        |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
-        |nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
-        |od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
-        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_micro FROM nodes),
-        |s1 AS (SELECT e.dst,
-        |         CAST(SUM((850000 * r.rank_micro) // 1000000 // od.outdeg)
-        |              AS BIGINT) AS infl
-        |       FROM e JOIN r0 r ON e.src = r.node JOIN od ON e.src = od.src
-        |       GROUP BY e.dst),
-        |r1 AS (SELECT n.node,
-        |         CAST(150000 + COALESCE(s1.infl, 0) AS BIGINT) AS rank_micro
-        |       FROM nodes n LEFT JOIN s1 ON n.node = s1.dst),
-        |s2 AS (SELECT e.dst,
-        |         CAST(SUM((850000 * r.rank_micro) // 1000000 // od.outdeg)
-        |              AS BIGINT) AS infl
-        |       FROM e JOIN r1 r ON e.src = r.node JOIN od ON e.src = od.src
-        |       GROUP BY e.dst),
-        |r2 AS (SELECT n.node,
-        |         CAST(150000 + COALESCE(s2.infl, 0) AS BIGINT) AS rank_micro
-        |       FROM nodes n LEFT JOIN s2 ON n.node = s2.dst),
-        |s3 AS (SELECT e.dst,
-        |         CAST(SUM((850000 * r.rank_micro) // 1000000 // od.outdeg)
-        |              AS BIGINT) AS infl
-        |       FROM e JOIN r2 r ON e.src = r.node JOIN od ON e.src = od.src
-        |       GROUP BY e.dst),
-        |r3 AS (SELECT n.node,
-        |         CAST(150000 + COALESCE(s3.infl, 0) AS BIGINT) AS rank_micro
-        |       FROM nodes n LEFT JOIN s3 ON n.node = s3.dst)
-        |SELECT node, rank_micro FROM r3""".stripMargin,
+    "q_pagerank" -> SparkEntry.pagerankOracle,
+
+    // the warm-resume composition pageRankFrom(e, pageRank(e, 1), 2) is
+    // bit-equal to pageRank(e, 3) on an unchanged edge set — so it shares
+    // the one-shot 3-round oracle VERBATIM (the q_bm25_incremental
+    // convention: the lifecycle path must reproduce the one-shot result)
+    "q_pagerank_resume" -> SparkEntry.pagerankOracle,
 
     // Same 3-round chain over the 30-domain graph, then the LEFT join
     // back onto the corpus; the oracle's domain is arithmetic while the
@@ -3820,6 +3805,50 @@ object SparkEntry {
       |SELECT e.event_id, e.user_id, c.click_id, c.click_value
       |FROM events e ASOF LEFT JOIN c
       |  ON e.user_id = c.user_id AND e.ts >= c.ts""".stripMargin
+
+  /** 3 full power-iteration rounds of the exact micro-unit recurrence in
+    * chained CTEs; shared verbatim by q_pagerank (one-shot) and
+    * q_pagerank_resume (cold 1 round + warm-resumed 2 — bit-equal by the
+    * resume contract).
+    */
+  private val pagerankOracle: String =
+    """WITH e0 AS (
+      |  SELECT 'd' || CAST(doc_id % 53 AS VARCHAR) AS src,
+      |         'd' || CAST((doc_id*7+3) % 53 AS VARCHAR) AS dst
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'd' || CAST(doc_id % 53 AS VARCHAR),
+      |         'd' || CAST((doc_id*11+5) % 53 AS VARCHAR)
+      |  FROM documents),
+      |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+      |nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+      |od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+      |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_micro FROM nodes),
+      |s1 AS (SELECT e.dst,
+      |         CAST(SUM((850000 * r.rank_micro) // 1000000 // od.outdeg)
+      |              AS BIGINT) AS infl
+      |       FROM e JOIN r0 r ON e.src = r.node JOIN od ON e.src = od.src
+      |       GROUP BY e.dst),
+      |r1 AS (SELECT n.node,
+      |         CAST(150000 + COALESCE(s1.infl, 0) AS BIGINT) AS rank_micro
+      |       FROM nodes n LEFT JOIN s1 ON n.node = s1.dst),
+      |s2 AS (SELECT e.dst,
+      |         CAST(SUM((850000 * r.rank_micro) // 1000000 // od.outdeg)
+      |              AS BIGINT) AS infl
+      |       FROM e JOIN r1 r ON e.src = r.node JOIN od ON e.src = od.src
+      |       GROUP BY e.dst),
+      |r2 AS (SELECT n.node,
+      |         CAST(150000 + COALESCE(s2.infl, 0) AS BIGINT) AS rank_micro
+      |       FROM nodes n LEFT JOIN s2 ON n.node = s2.dst),
+      |s3 AS (SELECT e.dst,
+      |         CAST(SUM((850000 * r.rank_micro) // 1000000 // od.outdeg)
+      |              AS BIGINT) AS infl
+      |       FROM e JOIN r2 r ON e.src = r.node JOIN od ON e.src = od.src
+      |       GROUP BY e.dst),
+      |r3 AS (SELECT n.node,
+      |         CAST(150000 + COALESCE(s3.infl, 0) AS BIGINT) AS rank_micro
+      |       FROM nodes n LEFT JOIN s3 ON n.node = s3.dst)
+      |SELECT node, rank_micro FROM r3""".stripMargin
 
   private val annRecallOracle: String =
     """WITH q AS (SELECT vec_id AS query_id, embedding AS qv

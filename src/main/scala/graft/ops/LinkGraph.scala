@@ -120,11 +120,58 @@ object LinkGraph {
     require(dampingMicro >= 0L && dampingMicro <= RankUnit,
       s"dampingMicro must be in [0, $RankUnit]: $dampingMicro")
     val (e, nodes, outdeg) = prepare(edges, srcCol, dstCol)
-    var ranks = nodes.select(col("node"),
-        lit(RankUnit).as("rank_micro"))
+    iterate(e, nodes, outdeg,
+      nodes.select(col("node"), lit(RankUnit).as("rank_micro")),
+      iters, dampingMicro)
+  }
+
+  /** Warm-started refresh — the lifecycle op a continuously-crawled graph
+    * runs instead of a cold restart (the incremental-index convention:
+    * [[Dedup.minhashNearDupsAgainst]], [[Bm25]]/[[Ivf]] append+compact):
+    * continue the power iteration from a stored `(node, rank_micro)`
+    * frame over the CURRENT edge set. Semantics are exact and composable:
+    * with an unchanged edge set, `pageRankFrom(e, pageRank(e, a), b)`
+    * is bit-equal to `pageRank(e, a + b)` (spec-gated; `q_pagerank_resume`
+    * hash-compares the composition against the one-shot oracle). With
+    * appended edges, nodes NEW to the graph enter at the cold-start
+    * rank ([[RankUnit]]), nodes no longer present drop out (the node set
+    * is always derived from the current edges), and the iteration count
+    * states exactly how many rounds the old mass has relaxed toward the
+    * new topology — a deliberate warm START, not a claim that k rounds
+    * from stale ranks equal a full recompute.
+    *
+    * Scale shape: identical to [[pageRank]] (the alignment join is ONE
+    * extra node-scale co-partitioned join before the loop; `ranks0` is
+    * hinted SHUFFLE_HASH like every node-scale frame here).
+    */
+  def pageRankFrom(edges: DataFrame, srcCol: String, dstCol: String,
+                   ranks0: DataFrame, iters: Int,
+                   dampingMicro: Long = 850000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    require(dampingMicro >= 0L && dampingMicro <= RankUnit,
+      s"dampingMicro must be in [0, $RankUnit]: $dampingMicro")
+    require(ranks0.columns.contains("node") &&
+      ranks0.columns.contains("rank_micro"),
+      s"ranks0 must be a pageRank output (node, rank_micro): got ${ranks0.columns.mkString(", ")}")
+    val (e, nodes, outdeg) = prepare(edges, srcCol, dstCol)
+    val warm = withAqeOff(edges) {
+      nodes.join(
+          ranks0.select(col("node"), col("rank_micro")).hint("shuffle_hash"),
+          Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("rank_micro"), lit(RankUnit)).as("rank_micro"))
+        .localCheckpoint(true)
+    }
+    iterate(e, nodes, outdeg, warm, iters, dampingMicro)
+  }
+
+  private def iterate(e: DataFrame, nodes: DataFrame, outdeg: DataFrame,
+                      ranks0: DataFrame, iters: Int,
+                      dampingMicro: Long): DataFrame = {
+    var ranks = ranks0
     var i = 0
     while (i < iters) {
-      ranks = withAqeOff(edges) {
+      ranks = withAqeOff(e) {
         step(ranks, e, outdeg, nodes, dampingMicro).localCheckpoint(true)
       }
       i += 1

@@ -170,6 +170,34 @@ class LinkGraphSpec extends SparkTestBase {
     }
   }
 
+  test("pageRankFrom: resume ≡ one-shot, bit-equal, on an unchanged graph") {
+    val raw = rawEdges(21L).toDF("src", "dst")
+    val warm = LinkGraph.pageRank(raw, "src", "dst", iters = 2)
+    val resumed = LinkGraph.pageRankFrom(raw, "src", "dst", warm, iters = 2)
+      .as[(String, Long)].collect().toMap
+    assert(resumed === replay(rawEdges(21L), 4, 850000L))
+  }
+
+  test("pageRankFrom: appended edges — new node enters cold (hand arithmetic)") {
+    // e1 is the symmetric 2-cycle, so pageRank fixes every rank at 1e6.
+    val e1 = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val r1 = LinkGraph.pageRank(e1, "src", "dst", iters = 3)
+    assert(r1.as[(String, Long)].collect().toMap ===
+      Map("a" -> 1000000L, "b" -> 1000000L))
+    // append b→c: outdeg a=1, b=2; warm start a=b=1e6, c enters at 1e6.
+    // One round: share_a = 850000, share_b = 425000 →
+    //   a' = 150000 + share_b = 575000
+    //   b' = 150000 + share_a = 1000000
+    //   c' = 150000 + share_b = 575000
+    val e2 = e1.union(Seq(("b", "c")).toDF("src", "dst"))
+    val got = LinkGraph.pageRankFrom(e2, "src", "dst", r1, iters = 1)
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("a" -> 575000L, "b" -> 1000000L, "c" -> 575000L))
+    intercept[IllegalArgumentException] { // not a pageRank output
+      LinkGraph.pageRankFrom(e2, "src", "dst", e1, iters = 1)
+    }
+  }
+
   test("rankDocs: domain derive + left join, NULL for off-graph domains") {
     val ranks = LinkGraph.pageRank(
       Seq(("a.com", "b.com"), ("b.com", "a.com"), ("a.com", "c.com"))
