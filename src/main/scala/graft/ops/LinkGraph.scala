@@ -155,8 +155,7 @@ object LinkGraph {
       s"ranks0 must be a pageRank output (node, rank_micro): got ${ranks0.columns.mkString(", ")}")
     val (e, nodes, outdeg) = prepare(edges, srcCol, dstCol)
     val warm = withAqeOff(edges) {
-      nodes.join(
-          ranks0.select(col("node"), col("rank_micro")).hint("shuffle_hash"),
+      nodes.join(guardedRankTable(ranks0, "pageRankFrom").hint("shuffle_hash"),
           Seq("node"), "left")
         .select(col("node"),
           coalesce(col("rank_micro"), lit(RankUnit)).as("rank_micro"))
@@ -164,6 +163,28 @@ object LinkGraph {
     }
     iterate(e, nodes, outdeg, warm, iters, dampingMicro)
   }
+
+  /** Stored-rank-table hygiene, in-plan (no extra action; the aggregate
+    * rides the exchange the consuming SHUFFLE_HASH join needs anyway): a
+    * duplicate `node` would silently DOUBLE that node's mass in
+    * [[pageRankFrom]] and silently duplicate matched doc rows in
+    * [[rankDocs]] — poisonous exactly where the table feeds dedup — and a
+    * NULL rank would silently read as a cold start. Both raise instead,
+    * per the fail-on-data-bugs convention ([[AsOfJoin]]'s duplicate
+    * snapshot instants).
+    */
+  private def guardedRankTable(ranks: DataFrame, op: String): DataFrame =
+    ranks.select(col("node"), col("rank_micro"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("_n"), min(col("rank_micro")).as("_r"))
+      .select(col("node"),
+        when(col("_n") > 1L, raise_error(concat(
+            lit(s"$op: duplicate node in the rank table: "),
+            col("node").cast("string"))))
+          .when(col("_r").isNull, raise_error(concat(
+            lit(s"$op: NULL rank_micro in the rank table at node: "),
+            col("node").cast("string"))))
+          .otherwise(col("_r")).as("rank_micro"))
 
   private def iterate(e: DataFrame, nodes: DataFrame, outdeg: DataFrame,
                       ranks0: DataFrame, iters: Int,
@@ -225,7 +246,8 @@ object LinkGraph {
     }
     val domCol = precomputed.getOrElse("domain")
     withDom.join(
-        ranks.select(col("node").as("_rk_node"), col("rank_micro"))
+        guardedRankTable(ranks, "rankDocs")
+          .withColumnRenamed("node", "_rk_node")
           .hint("shuffle_hash"),
         col(domCol) === col("_rk_node"), "left")
       .drop("_rk_node")

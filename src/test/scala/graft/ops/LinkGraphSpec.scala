@@ -198,6 +198,31 @@ class LinkGraphSpec extends SparkTestBase {
     }
   }
 
+  test("rank-table hygiene: duplicate node and NULL rank raise in-plan") {
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause).toList)
+    val e = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val docs = Seq((1L, "https://a.com/x")).toDF("doc_id", "url")
+    val dup = Seq(("a", 1000000L), ("a", 2000000L), ("b", 1000000L))
+      .toDF("node", "rank_micro")
+    val ex1 = intercept[Exception] {
+      LinkGraph.pageRankFrom(e, "src", "dst", dup, iters = 1).collect()
+    }
+    assert(msgs(ex1).exists(m => m != null && m.contains("duplicate node")))
+    val ex2 = intercept[Exception] {
+      LinkGraph.rankDocs(docs, "url",
+        Seq(("a.com", 1L), ("a.com", 2L)).toDF("node", "rank_micro"))
+        .collect()
+    }
+    assert(msgs(ex2).exists(m => m != null && m.contains("duplicate node")))
+    val ex3 = intercept[Exception] {
+      LinkGraph.pageRankFrom(e, "src", "dst",
+        Seq(("a", None: Option[Long]), ("b", Some(1000000L)))
+          .toDF("node", "rank_micro"), iters = 1).collect()
+    }
+    assert(msgs(ex3).exists(m => m != null && m.contains("NULL rank_micro")))
+  }
+
   test("rankDocs: domain derive + left join, NULL for off-graph domains") {
     val ranks = LinkGraph.pageRank(
       Seq(("a.com", "b.com"), ("b.com", "a.com"), ("a.com", "c.com"))
