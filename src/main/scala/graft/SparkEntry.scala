@@ -628,6 +628,30 @@ object SparkEntry {
         graft.ops.LinkGraph.pageRank(e, "src", "dst", iters = 1), iters = 2)
     }),
 
+    // WET-source round-trip (the crawl-native receiver): the corpus is
+    // rendered into a real on-disk WET file (driver-side fixture write —
+    // setup, not the operator; record order pinned by doc_id), then read
+    // back through the all-relational split/explode/regex parse. The
+    // oracle replays every field from the documents table directly —
+    // header extraction, octet Content-Length, and record ordinals must
+    // all survive the render→parse round trip.
+    "q_wet_read" -> ((s, d) => {
+      val docs = t(s, d, "documents").where(col("doc_id") < 100)
+      val recs = docs.orderBy("doc_id")
+        .select(graft.sources.WetSource.renderRecord(
+          concat(lit("https://d"), (col("doc_id") % 53).cast("string"),
+            lit(".com/p/"), col("doc_id").cast("string")),
+          lit("2024-03-01 00:00:00").cast("timestamp"),
+          col("text")).as("rec"))
+        .as[String](org.apache.spark.sql.Encoders.STRING).collect()
+      val dir = java.nio.file.Files.createTempDirectory("wet-q")
+      java.nio.file.Files.write(dir.resolve("part-0.wet"),
+        recs.mkString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      graft.sources.WetSource.readWet(s, dir.toString)
+        .select(col("record_idx"), col("url"), col("content_length"),
+          col("length_ok"), col("text"))
+    }),
+
     // Domain-rank enrichment (the Common-Crawl-style provenance prior
     // joined back onto the corpus): the link graph spans only the first
     // 30 of the corpus's 53 synthetic domains, so the LEFT join's NULL
@@ -1730,6 +1754,20 @@ object SparkEntry {
     // outdeg, r' = 150000 + Σ share — over the identically-synthesized,
     // identically-cleaned edge set. Every intermediate is BIGINT math, so
     // the final ranks hash-compare bit-for-bit.
+    // The WET round trip must reproduce every field straight from the
+    // source table: ordinals by doc order, the synthesized URL, the
+    // OCTET length (DuckDB strlen is bytes, matching octet_length), an
+    // all-true length_ok, and the text itself bit-exact.
+    "q_wet_read" ->
+      """SELECT CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT)
+        |         AS record_idx,
+        |       'https://d' || CAST(doc_id % 53 AS VARCHAR) || '.com/p/'
+        |         || CAST(doc_id AS VARCHAR) AS url,
+        |       CAST(strlen(text) AS BIGINT) AS content_length,
+        |       TRUE AS length_ok,
+        |       text
+        |FROM documents WHERE doc_id < 100""".stripMargin,
+
     "q_pagerank" -> SparkEntry.pagerankOracle,
 
     // the warm-resume composition pageRankFrom(e, pageRank(e, 1), 2) is

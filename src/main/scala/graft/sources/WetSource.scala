@@ -1,0 +1,105 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WARC/WET reader — the crawl-native receiver: Common Crawl publishes
+  * extracted text as WET files (WARC "conversion" records), and every
+  * published pipeline's first real input is this format, not clean
+  * parquet. Format (ISO 28500): each record is a `WARC/1.0\r\n` marker,
+  * `Name: value` header lines, one empty line, then a payload of
+  * `Content-Length` octets, then `\r\n\r\n` before the next marker.
+  *
+  * Spark shape — deliberately ALL-relational, no custom InputFormat and
+  * no RDD: `binaryFile` scan → UTF-8 decode → one codegen'd
+  * `split`/`posexplode` on the record marker → `regexp_extract` header
+  * fields. Parallelism is PER FILE, which is the Common Crawl execution
+  * model (a snapshot is ~64k WET files of ~100–400 MB — files outnumber
+  * cores 100× on any real cluster, so intra-file record splits buy
+  * nothing and cost a custom Hadoop InputFormat + an RDD boundary that
+  * would exile the parse from whole-stage codegen). The cost is a
+  * per-task memory bound of ~2–3× the largest decompressed file (the
+  * decoded string + the split array) — size executor memory to the
+  * snapshot's file cap, the same provisioning rule the official
+  * commoncrawl examples use.
+  *
+  * Two documented heuristics (both flagged, never silent):
+  *  - record boundaries are found by the marker SEQUENCE, so a payload
+  *    that itself contains `WARC/1.0\r\n` would split early — the
+  *    `length_ok` column (payload octets vs the declared Content-Length)
+  *    catches exactly this truncation, per the flag-don't-drop
+  *    convention; callers quarantine `!length_ok` rows.
+  *  - the trailing `\r\n\r\n` record separator is stripped from the
+  *    payload exactly once; a payload's own trailing newlines survive.
+  */
+object WetSource {
+
+  private val Marker = "WARC/1.0\r\n"
+
+  /** Read WET files under `path` (glob ok) into
+    * `(source_file, record_idx, warc_type, url, warc_date,
+    * content_length, length_ok, text)` — one row per WARC record of a
+    * type in `keepTypes` (default: the text-carrying `conversion`
+    * records; pass e.g. `Set("conversion", "warcinfo")` to audit file
+    * preambles). `record_idx` is the record's ordinal within its file —
+    * with `source_file` it is the stable provenance key the rest of the
+    * library joins on.
+    */
+  def readWet(spark: SparkSession, path: String,
+              keepTypes: Set[String] = Set("conversion")): DataFrame = {
+    require(keepTypes.nonEmpty, "keepTypes must not be empty")
+    val files = spark.read.format("binaryFile").load(path)
+      .select(col("path").as("source_file"),
+        decode(col("content"), "UTF-8").as("_txt"))
+    // split on the marker: element 0 is the pre-marker preamble (empty in
+    // a well-formed file) — posexplode then drop it, so record_idx 0 is
+    // the FIRST real record (usually the file's warcinfo header)
+    val recs = files
+      .select(col("source_file"),
+        posexplode(split(col("_txt"), java.util.regex.Pattern.quote(Marker)))
+          .as(Seq("_pos", "_rec")))
+      .where(col("_pos") > 0)
+      .select(col("source_file"),
+        (col("_pos") - 1).cast("long").as("record_idx"), col("_rec"))
+    val headers = substring_index(col("_rec"), "\r\n\r\n", 1)
+    def header(name: String) = regexp_extract(col("_headers"),
+      "(?m)^" + java.util.regex.Pattern.quote(name) + ":\\s*(\\S+)", 1)
+    recs
+      .withColumn("_headers", headers)
+      // payload = everything after the first blank line, minus the one
+      // trailing record separator
+      .withColumn("text", regexp_replace(
+        expr("substring(_rec, length(_headers) + 5)"),
+        "\\r\\n\\r\\n$", ""))
+      .select(
+        col("source_file"), col("record_idx"),
+        header("WARC-Type").as("warc_type"),
+        header("WARC-Target-URI").as("url"),
+        to_timestamp(header("WARC-Date")).as("warc_date"),
+        header("Content-Length").cast("long").as("content_length"),
+        col("text"))
+      .withColumn("length_ok",
+        col("content_length").isNotNull &&
+          octet_length(col("text")) === col("content_length"))
+      .where(col("warc_type").isin(keepTypes.toSeq.map(lit): _*))
+  }
+
+  /** Render `(url, date, text)` rows into WET file CONTENT (one string
+    * per input row — `concat_ws`/`collect_list` them per file, or write
+    * via `text`): the exact inverse of [[readWet]], used by the spec and
+    * the oracle round-trip and by tests that need deterministic fixtures.
+    * Content-Length is the payload's octet length, per the standard.
+    */
+  def renderRecord(url: org.apache.spark.sql.Column,
+                   date: org.apache.spark.sql.Column,
+                   text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(
+      lit(Marker),
+      lit("WARC-Type: conversion\r\n"),
+      lit("WARC-Target-URI: "), url, lit("\r\n"),
+      lit("WARC-Date: "), date_format(date, "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+      lit("\r\n"),
+      lit("Content-Length: "), octet_length(text).cast("string"),
+      lit("\r\n\r\n"),
+      text, lit("\r\n\r\n"))
+}

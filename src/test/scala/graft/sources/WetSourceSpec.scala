@@ -1,0 +1,91 @@
+package graft.sources
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+/** WET reader — render→read round-trip (bit-exact fields incl. the
+  * octet Content-Length), preamble/warcinfo handling, the documented
+  * marker-in-payload truncation flag, type filtering, and the
+  * zero-exchange plan gate.
+  */
+class WetSourceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def warcinfo: String =
+    "WARC/1.0\r\n" +
+      "WARC-Type: warcinfo\r\n" +
+      "WARC-Date: 2024-03-01T00:00:00Z\r\n" +
+      "Content-Length: 9\r\n" +
+      "\r\n" +
+      "robots: x\r\n\r\n"
+
+  private def wetFile(body: String): String = {
+    val dir = Files.createTempDirectory("wet-spec").toString
+    Files.write(Paths.get(dir, "part-0.wet"),
+      body.getBytes(StandardCharsets.UTF_8))
+    dir
+  }
+
+  test("round-trip: render -> file -> readWet, bit-exact fields") {
+    val rows = Seq(
+      ("https://a.com/x", "2024-03-01 10:00:00", "hello world"),
+      ("https://b.org/y", "2024-03-02 11:30:00", "héllo\nmulti\nline"))
+      .toDF("url", "ts", "text")
+    val rendered = rows
+      .select(WetSource.renderRecord(col("url"),
+        col("ts").cast("timestamp"), col("text")).as("rec"), col("url"))
+      .orderBy("url").as[(String, String)].collect().map(_._1)
+    val dir = wetFile(warcinfo + rendered.mkString)
+    val got = WetSource.readWet(spark, dir)
+      .select(col("record_idx"), col("url"), col("warc_date").cast("string"),
+        col("content_length"), col("length_ok"), col("text"))
+      .as[(Long, String, String, Long, Boolean, String)]
+      .collect().sortBy(_._1)
+    assert(got === Array(
+      (1L, "https://a.com/x", "2024-03-01 10:00:00", 11L, true,
+        "hello world"),
+      (2L, "https://b.org/y", "2024-03-02 11:30:00", 17L, true,
+        "héllo\nmulti\nline")))
+  }
+
+  test("marker inside a payload: truncation is FLAGGED, never silent") {
+    // the payload contains the record marker, so the split fires early:
+    // the record keeps its declared Content-Length but loses payload
+    // octets -> length_ok false; the orphan fragment has no headers ->
+    // its warc_type extracts empty and the type filter drops it
+    val poisonedText = "before WARC/1.0\r\nafter"
+    val rec = spark.range(1)
+      .select(WetSource.renderRecord(lit("https://a.com/p"),
+        lit("2024-03-01 00:00:00").cast("timestamp"),
+        lit(poisonedText)).as("rec"))
+      .head().getString(0)
+    val dir = wetFile(warcinfo + rec)
+    val got = WetSource.readWet(spark, dir)
+      .select(col("url"), col("length_ok"), col("text"))
+      .as[(String, Boolean, String)].collect()
+    assert(got === Array(("https://a.com/p", false, "before ")))
+  }
+
+  test("keepTypes: warcinfo on request; empty set refused") {
+    val dir = wetFile(warcinfo)
+    val types = WetSource.readWet(spark, dir,
+        keepTypes = Set("conversion", "warcinfo"))
+      .select(col("record_idx"), col("warc_type"), col("url"),
+        col("length_ok"))
+      .as[(Long, String, String, Boolean)].collect()
+    assert(types === Array((0L, "warcinfo", "", true)))
+    assert(WetSource.readWet(spark, dir).count() === 0L)
+    intercept[IllegalArgumentException] {
+      WetSource.readWet(spark, dir, keepTypes = Set.empty)
+    }
+  }
+
+  test("plan gate: the record parse is scan -> generate -> project, no exchange") {
+    val dir = wetFile(warcinfo)
+    val plan = WetSource.readWet(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(4000))
+  }
+}
