@@ -46,9 +46,36 @@ object WetSource {
     * library joins on.
     */
   def readWet(spark: SparkSession, path: String,
-              keepTypes: Set[String] = Set("conversion")): DataFrame = {
+              keepTypes: Set[String] = Set("conversion")): DataFrame =
+    parse(spark.read.format("binaryFile").load(path), keepTypes)
+
+  /** Streaming receiver over the same parse — the always-on-collector
+    * shape: a crawl DROPS files into the landing prefix continuously,
+    * and the file stream picks each up exactly once (offsets tracked in
+    * the checkpoint, so a resumed query never re-parses a file — the
+    * exporterhelper exactly-once convention from `streaming.scala`).
+    * The record parse is the identical stateless projection, so
+    * streamed output ≡ batch output per file (spec-gated).
+    */
+  def streamWet(spark: SparkSession, path: String,
+                keepTypes: Set[String] = Set("conversion")): DataFrame =
+    parse(spark.readStream.format("binaryFile").schema(BinaryFileSchema)
+      .load(path), keepTypes)
+
+  /** binaryFile's fixed schema, stated explicitly: streaming file
+    * sources refuse schema inference by default, and pinning it here
+    * keeps the two entry points byte-for-byte the same parse.
+    */
+  private val BinaryFileSchema: org.apache.spark.sql.types.StructType =
+    new org.apache.spark.sql.types.StructType()
+      .add("path", org.apache.spark.sql.types.StringType)
+      .add("modificationTime", org.apache.spark.sql.types.TimestampType)
+      .add("length", org.apache.spark.sql.types.LongType)
+      .add("content", org.apache.spark.sql.types.BinaryType)
+
+  private def parse(input: DataFrame, keepTypes: Set[String]): DataFrame = {
     require(keepTypes.nonEmpty, "keepTypes must not be empty")
-    val files = spark.read.format("binaryFile").load(path)
+    val files = input
       .select(col("path").as("source_file"),
         decode(col("content"), "UTF-8").as("_txt"))
     // split on the marker: element 0 is the pre-marker preamble (empty in

@@ -82,6 +82,34 @@ class WetSourceSpec extends SparkTestBase {
     }
   }
 
+  test("streamWet: streamed records ≡ batch records (file picked up once)") {
+    val rows = Seq(
+      ("https://a.com/1", "2024-03-01 10:00:00", "first doc"),
+      ("https://b.com/2", "2024-03-01 10:01:00", "second doc"))
+      .toDF("url", "ts", "text")
+    val rendered = rows
+      .select(WetSource.renderRecord(col("url"),
+        col("ts").cast("timestamp"), col("text")).as("rec"), col("url"))
+      .orderBy("url").as[(String, String)].collect().map(_._1)
+    val dir = wetFile(warcinfo + rendered.mkString)
+    val q = WetSource.streamWet(spark, dir)
+      .writeStream.format("memory").queryName("wet_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("wet_stream")
+        .select(col("record_idx"), col("url"), col("content_length"),
+          col("length_ok"), col("text"))
+        .as[(Long, String, Long, Boolean, String)].collect().sortBy(_._1)
+      val batch = WetSource.readWet(spark, dir)
+        .select(col("record_idx"), col("url"), col("content_length"),
+          col("length_ok"), col("text"))
+        .as[(Long, String, Long, Boolean, String)].collect().sortBy(_._1)
+      assert(streamed === batch)
+      assert(streamed.length === 2)
+    } finally q.stop()
+  }
+
   test("plan gate: the record parse is scan -> generate -> project, no exchange") {
     val dir = wetFile(warcinfo)
     val plan = WetSource.readWet(spark, dir)
