@@ -652,6 +652,28 @@ object SparkEntry {
           col("length_ok"), col("text"))
     }),
 
+    // Full-fat WARC round trip: response records wrap the HTML in an
+    // HTTP envelope; the reader must split the envelope off (html
+    // bit-exact, status parsed) while the WARC Content-Length covers
+    // envelope + body per the standard — all replayed by the oracle.
+    "q_warc_html" -> ((s, d) => {
+      val docs = t(s, d, "documents").where(col("doc_id") < 100)
+      val recs = docs.orderBy("doc_id")
+        .select(graft.sources.WetSource.renderResponse(
+          concat(lit("https://d"), (col("doc_id") % 53).cast("string"),
+            lit(".com/p/"), col("doc_id").cast("string")),
+          lit("2024-03-01 00:00:00").cast("timestamp"),
+          concat(lit("<html><body><p>"), col("text"),
+            lit("</p></body></html>"))).as("rec"))
+        .as[String](org.apache.spark.sql.Encoders.STRING).collect()
+      val dir = java.nio.file.Files.createTempDirectory("warc-q")
+      java.nio.file.Files.write(dir.resolve("part-0.warc"),
+        recs.mkString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      graft.sources.WetSource.readWarcHtml(s, dir.toString)
+        .select(col("record_idx"), col("url"), col("http_status"),
+          col("content_length"), col("length_ok"), col("html"))
+    }),
+
     // Domain-rank enrichment (the Common-Crawl-style provenance prior
     // joined back onto the corpus): the link graph spans only the first
     // 30 of the corpus's 53 synthetic domains, so the LEFT join's NULL
@@ -1767,6 +1789,27 @@ object SparkEntry {
         |       TRUE AS length_ok,
         |       text
         |FROM documents WHERE doc_id < 100""".stripMargin,
+
+    // The WARC Content-Length spans the HTTP envelope + body (chr(13/10)
+    // spell the CRLFs so the octet math is explicit); html and status
+    // must survive the envelope split bit-exact.
+    "q_warc_html" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         '<html><body><p>' || text || '</p></body></html>' AS html
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT)
+        |         AS record_idx,
+        |       'https://d' || CAST(doc_id % 53 AS VARCHAR) || '.com/p/'
+        |         || CAST(doc_id AS VARCHAR) AS url,
+        |       CAST(200 AS INTEGER) AS http_status,
+        |       CAST(strlen('HTTP/1.1 200 OK' || chr(13) || chr(10)
+        |         || 'Content-Type: text/html' || chr(13) || chr(10)
+        |         || chr(13) || chr(10) || html) AS BIGINT)
+        |         AS content_length,
+        |       TRUE AS length_ok,
+        |       html
+        |FROM h""".stripMargin,
 
     "q_pagerank" -> SparkEntry.pagerankOracle,
 

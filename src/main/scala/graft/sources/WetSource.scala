@@ -111,6 +111,34 @@ object WetSource {
       .where(col("warc_type").isin(keepTypes.toSeq.map(lit): _*))
   }
 
+  /** Full-fat WARC: `response` records carry the HTTP exchange — the
+    * payload is `HTTP/1.x status line + response headers + \r\n\r\n +
+    * body` — and the body is the raw HTML the extraction stage
+    * ([[graft.ops.TextExtract]], [[graft.ops.LinkGraph.extractLinks]])
+    * starts from. Same record parse as [[readWet]], plus the HTTP
+    * envelope split: output adds `http_status` and renames the body
+    * column `html`. A payload with no HTTP envelope (malformed capture)
+    * keeps `http_status` NULL with the whole payload in `html` —
+    * flag-don't-drop, callers quarantine on `http_status IS NULL` or
+    * `!length_ok` (which still checks the WARC Content-Length against
+    * the FULL payload, envelope included, per the standard).
+    */
+  def readWarcHtml(spark: SparkSession, path: String): DataFrame = {
+    val recs = parse(spark.read.format("binaryFile").load(path),
+      Set("response"))
+    recs
+      .withColumn("http_status",
+        nullif(regexp_extract(col("text"), "^HTTP/[0-9.]+\\s+(\\d+)", 1),
+          lit("")).cast("int"))
+      .withColumn("html",
+        when(col("http_status").isNotNull &&
+            col("text").contains("\r\n\r\n"),
+          substr(col("text"),
+            length(substring_index(col("text"), "\r\n\r\n", 1)) + lit(5)))
+          .otherwise(col("text")))
+      .drop("text")
+  }
+
   /** Render `(url, date, text)` rows into WET file CONTENT (one string
     * per input row — `concat_ws`/`collect_list` them per file, or write
     * via `text`): the exact inverse of [[readWet]], used by the spec and
@@ -120,13 +148,29 @@ object WetSource {
   def renderRecord(url: org.apache.spark.sql.Column,
                    date: org.apache.spark.sql.Column,
                    text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    renderWith("conversion", url, date, text)
+
+  /** The [[readWarcHtml]] inverse: a WARC `response` record whose payload
+    * wraps `html` in a minimal HTTP 200 envelope.
+    */
+  def renderResponse(url: org.apache.spark.sql.Column,
+                     date: org.apache.spark.sql.Column,
+                     html: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    renderWith("response", url, date,
+      concat(lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"),
+        html))
+
+  private def renderWith(wtype: String,
+                         url: org.apache.spark.sql.Column,
+                         date: org.apache.spark.sql.Column,
+                         payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     concat(
       lit(Marker),
-      lit("WARC-Type: conversion\r\n"),
+      lit(s"WARC-Type: $wtype\r\n"),
       lit("WARC-Target-URI: "), url, lit("\r\n"),
       lit("WARC-Date: "), date_format(date, "yyyy-MM-dd'T'HH:mm:ss'Z'"),
       lit("\r\n"),
-      lit("Content-Length: "), octet_length(text).cast("string"),
+      lit("Content-Length: "), octet_length(payload).cast("string"),
       lit("\r\n\r\n"),
-      text, lit("\r\n\r\n"))
+      payload, lit("\r\n\r\n"))
 }

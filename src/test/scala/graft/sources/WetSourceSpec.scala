@@ -82,6 +82,38 @@ class WetSourceSpec extends SparkTestBase {
     }
   }
 
+  test("readWarcHtml: HTTP envelope split; envelope-less payload flagged") {
+    val good = spark.range(1)
+      .select(WetSource.renderResponse(lit("https://a.com/page"),
+        lit("2024-03-01 00:00:00").cast("timestamp"),
+        lit("<html><p>hi &amp; bye</p></html>")).as("rec"))
+      .head().getString(0)
+    // a malformed capture: response record whose payload has no HTTP
+    // envelope at all — must survive with http_status NULL, html = payload
+    val bad = "WARC/1.0\r\n" +
+      "WARC-Type: response\r\n" +
+      "WARC-Target-URI: https://b.com/raw\r\n" +
+      "WARC-Date: 2024-03-01T00:00:01Z\r\n" +
+      "Content-Length: 7\r\n" +
+      "\r\n" +
+      "no http\r\n\r\n"
+    val dir = wetFile(warcinfo + good + bad)
+    val got = WetSource.readWarcHtml(spark, dir)
+      .select(col("url"), col("http_status"), col("length_ok"), col("html"))
+      .as[(String, Option[Int], Boolean, String)].collect().sortBy(_._1)
+    assert(got === Array(
+      ("https://a.com/page", Some(200), true,
+        "<html><p>hi &amp; bye</p></html>"),
+      ("https://b.com/raw", None, true, "no http")))
+    // the envelope is part of the WARC Content-Length (the standard):
+    // declared length == octet_length(envelope + body)
+    val cl = WetSource.readWarcHtml(spark, dir)
+      .where(col("http_status").isNotNull)
+      .select(col("content_length")).head().getLong(0)
+    assert(cl === ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+      "<html><p>hi &amp; bye</p></html>").getBytes("UTF-8").length.toLong)
+  }
+
   test("streamWet: streamed records ≡ batch records (file picked up once)") {
     val rows = Seq(
       ("https://a.com/1", "2024-03-01 10:00:00", "first doc"),
