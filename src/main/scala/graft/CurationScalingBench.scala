@@ -327,6 +327,52 @@ object CurationScalingBench {
             s"crawl: ${chk.getLong(1)} rows, ${chk.getLong(2)} unranked")
         }
 
+        def warcRun(): Unit = {
+          // the TRUE-format entry: a real on-disk WARC corpus (64 files —
+          // the Common Crawl execution model, parallelism per FILE) parsed
+          // by the all-relational record/envelope split, then the full
+          // htmlToText extraction. The fixture is written ONCE, untimed
+          // (imperative per-partition file writes are fixture plumbing,
+          // not the operator — the reader under test is pure DataFrame).
+          val dir = s"$corpusDir-warc"
+          if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+            new java.io.File(dir).mkdirs()
+            val id = col("doc_id")
+            val rec = graft.sources.WetSource.renderResponse(
+              concat(lit("https://site"), (id % 9973L).cast("string"),
+                lit(".com/p/"), id.cast("string")),
+              lit("2024-03-01 00:00:00").cast("timestamp"),
+              concat(lit("<html><head><script>var x=1;</script></head>" +
+                "<body><p>"), col("text"),
+                lit("</p><!-- chrome --></body></html>")))
+            docs.select(rec.as("r")).repartition(64)
+              .selectExpr("r").as(org.apache.spark.sql.Encoders.STRING)
+              .foreachPartition { (it: Iterator[String]) =>
+                val p = java.nio.file.Paths.get(dir,
+                  f"part-${org.apache.spark.TaskContext.getPartitionId()}%05d.warc")
+                val w = java.nio.file.Files.newBufferedWriter(p,
+                  java.nio.charset.StandardCharsets.UTF_8)
+                try it.foreach(w.write) finally w.close()
+              }
+            java.nio.file.Files.createFile(
+              java.nio.file.Paths.get(dir, "_SUCCESS"))
+          }
+          val parsed = graft.sources.WetSource.readWarcHtml(spark, dir)
+          val ext = graft.ops.TextExtract.htmlExtract(parsed,
+            "record_idx", "html", keep = Seq("source_file", "url",
+              "http_status", "length_ok"))
+          val chk = ext.select(
+              xxhash64(ext.columns.map(col): _*).as("h"),
+              col("length_ok"), col("http_status"))
+            .agg(count(lit(1)).as("n"),
+              sum(when(col("length_ok") && col("http_status") === 200,
+                0L).otherwise(1L)).as("bad"),
+              bit_xor(col("h")).as("x"))
+            .head()
+          require(chk.getLong(0) == nDocs && chk.getLong(1) == 0L,
+            s"warc: ${chk.getLong(0)} rows, ${chk.getLong(1)} bad records")
+        }
+
         // boilerplate-injected corpus for the heavy-hitters stages: every
         // 20th doc gains a constant nav/cookie sentence — the population
         // topNgrams exists to find (and the skew the Misra-Gries proof
@@ -377,6 +423,7 @@ object CurationScalingBench {
           "url" -> (() => urlRun()),
           "pagerank" -> (() => pagerankRun()),
           "crawl" -> (() => crawlRun()),
+          "warc" -> (() => warcRun()),
           "hotngrams" -> (() => hotNgramsRun()),
           "hotngrams_exact" -> (() => hotNgramsExactRun()))
           .filter { case (name, _) =>
