@@ -652,6 +652,26 @@ object SparkEntry {
           col("length_ok"), col("text"))
     }),
 
+    // Opt-out compliance signal: the engine must PARSE the robots meta
+    // out of real markup (both attribute orders, both quote styles,
+    // mixed case, distractor metas); the oracle knows the expected value
+    // arithmetically from the synthesis — independent derivations that
+    // must agree, incl. the NULL no-meta arm.
+    "q_meta_robots" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"))
+      val html = when(col("doc_id") % 3 === 0, lit(
+          "<html><head><META NAME=\"robots\" CONTENT=\"noindex, NOAI\">" +
+            "</head><body>x</body></html>"))
+        .when(col("doc_id") % 3 === 1, lit(
+          "<html><head><meta content='index, follow' name='robots'>" +
+            "</head><body>x</body></html>"))
+        .otherwise(lit(
+          "<html><head><meta name=\"viewport\" content=\"width=1\">" +
+            "</head><body>x</body></html>"))
+      docs.select(col("doc_id"),
+        graft.ops.TextExtract.htmlMetaRobots(html).as("meta_robots"))
+    }),
+
     // Full-fat WARC round trip: response records wrap the HTML in an
     // HTTP envelope; the reader must split the envelope off (html
     // bit-exact, status parsed) while the WARC Content-Length covers
@@ -1789,6 +1809,13 @@ object SparkEntry {
         |       TRUE AS length_ok,
         |       text
         |FROM documents WHERE doc_id < 100""".stripMargin,
+
+    "q_meta_robots" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 3 = 0 THEN 'noindex, noai'
+        |            WHEN doc_id % 3 = 1 THEN 'index, follow'
+        |            ELSE NULL END AS meta_robots
+        |FROM documents""".stripMargin,
 
     // The WARC Content-Length spans the HTTP envelope + body (chr(13/10)
     // spell the CRLFs so the octet math is explicit); html and status

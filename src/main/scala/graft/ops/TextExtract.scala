@@ -62,6 +62,29 @@ object TextExtract {
     trim(para, " \n")
   }
 
+  /** Opt-out signal extraction — the compliance gate a crawl pipeline
+    * applies BEFORE any content use: the content attribute of
+    * `<meta name="robots" …>` (and the `noai`-bearing variants some
+    * publishers use), lowercased, or NULL when no robots meta exists.
+    * Same regex discipline as the rest of the chain (case-insensitive,
+    * both quote styles, attributes in either order via two alternation
+    * arms, RE2-compatible — the oracle replays it verbatim). Flag, don't
+    * drop: callers filter on e.g. `contains(meta_robots, 'noindex')` or
+    * `'noai'` per their compliance policy — the library's stance is to
+    * surface the signal exactly, not to encode policy.
+    */
+  def htmlMetaRobots(html: Column): Column = {
+    val pat = "(?i)<meta\\b[^>]*?\\bname\\s*=\\s*[\"']robots[\"']" +
+      "[^>]*?\\bcontent\\s*=\\s*[\"']([^\"']*)|" +
+      "<meta\\b[^>]*?\\bcontent\\s*=\\s*[\"']([^\"']*)[\"']" +
+      "[^>]*?\\bname\\s*=\\s*[\"']robots[\"']"
+    val hit = regexp_extract(html, pat, 1)
+    val hit2 = regexp_extract(html, pat, 2)
+    lower(when(length(hit) > 0, hit)
+      .when(length(hit2) > 0, hit2)
+      .otherwise(lit(null)))
+  }
+
   /** Extract every document: (idCol, keep…, `text`, `n_chars_html`,
     * `n_chars_text`, `density_micro`) — density is exact integer
     * micro-units `len(text)·1e6 / len(html)` (the library's quantization

@@ -87,6 +87,25 @@ class TextExtractSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("htmlMetaRobots: both attribute orders, quotes, case; NULL absent") {
+    val cases = Seq(
+      ("""<head><META NAME="robots" CONTENT="noindex, NOAI"></head>""",
+        Some("noindex, noai")),
+      ("""<head><meta content='index, follow' name='robots'></head>""",
+        Some("index, follow")),
+      ("""<head><meta class="x" name="robots" id="y" content="none"></head>""",
+        Some("none")),
+      ("""<head><meta name="viewport" content="width=1"></head>""", None),
+      ("""<p>no head at all</p>""", None),
+      // two tags: the robots one wins, the other never bridges into it
+      ("""<meta name="viewport" content="w"><meta name="robots" content="noai">""",
+        Some("noai")))
+    val got = cases.map(_._1).toDF("html")
+      .select(TextExtract.htmlMetaRobots(col("html")).as("r"))
+      .as[Option[String]].collect().toSeq
+    assert(got === cases.map(_._2))
+  }
+
   test("keep passthrough: provenance columns carried, collisions guarded") {
     val in = Seq((1L, "https://a.com/x", "<p>hi</p>"))
       .toDF("doc_id", "url", "html")
