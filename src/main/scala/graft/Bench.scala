@@ -16,7 +16,9 @@ object Bench {
     "q_dup_spans", "q_asof_join", "q_pack_chunks", "q_range_join",
     "q_overlap_join", "q_simhash_sigs", "q_dup_runs", "q_jaccard_neardups",
     "q_semantic_dedup", "q_bm25_topk", "q_knn_graph_lsh",
-    "q_paragraph_dedup")
+    "q_paragraph_dedup",
+    // round-4 crawl-entry surface: graph rank join + the WET round trip
+    "q_rank_docs", "q_wet_read")
 
   /** Headline rows timed under FULL materialization (all output columns
     * hashed) instead of count(): these queries' expensive work is per-row
