@@ -652,6 +652,23 @@ object SparkEntry {
           col("length_ok"), col("text"))
     }),
 
+    // Consistent pseudonymization: per-match COMPUTED replacement (the
+    // custom-expression tier — regexp_replace can only do static
+    // templates). The tag contract (first 8 hex of md5(lower(match)))
+    // is replayed by DuckDB's own md5 on a known-position template,
+    // including the handle arm and the untouched no-PII arm;
+    // multi-occurrence consistency is PseudonymizeSpec territory.
+    "q_pseudonymize" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"))
+      val id = col("doc_id").cast("string")
+      val txt = when(col("doc_id") % 5 === 0, lit("no contact info"))
+        .otherwise(concat(lit("contact user"), id, lit("@mail"),
+          (col("doc_id") % 7).cast("string"), lit(".com ping @u"), id,
+          lit(" end")))
+      docs.select(col("doc_id"),
+        graft.expr.Pseudonymize.pseudonymize(txt).as("text_pseudo"))
+    }),
+
     // Opt-out compliance signal: the engine must PARSE the robots meta
     // out of real markup (both attribute orders, both quote styles,
     // mixed case, distractor metas); the oracle knows the expected value
@@ -1809,6 +1826,19 @@ object SparkEntry {
         |       TRUE AS length_ok,
         |       text
         |FROM documents WHERE doc_id < 100""".stripMargin,
+
+    "q_pseudonymize" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 5 = 0 THEN 'no contact info'
+        |       ELSE 'contact user_'
+        |         || left(md5(lower('user' || CAST(doc_id AS VARCHAR)
+        |              || '@mail' || CAST(doc_id % 7 AS VARCHAR)
+        |              || '.com')), 8)
+        |         || '@example.com ping @user_'
+        |         || left(md5(lower('u' || CAST(doc_id AS VARCHAR))), 8)
+        |         || ' end'
+        |       END AS text_pseudo
+        |FROM documents""".stripMargin,
 
     "q_meta_robots" ->
       """SELECT doc_id,

@@ -115,6 +115,14 @@ object GraftFunctions {
       graft.expr.NormWords(exprs.head)
     })
 
+  val pseudonymize: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("pseudonymize"),
+    new ExpressionInfo(classOf[graft.expr.Pseudonymize].getName, "pseudonymize"),
+    { exprs =>
+      arity("pseudonymize", exprs, 1)
+      graft.expr.Pseudonymize(exprs.head)
+    })
+
   /** Register a Column-composition operator as a SQL function: the builder
     * rebuilds the SAME Catalyst expression tree the Column API produces
     * (one shared implementation — SQL and Column callers cannot drift).
@@ -160,8 +168,8 @@ object GraftFunctions {
     cs => graft.ops.UrlCuration.urlDomain(cs.head))
 
   private def all = Seq(grokExtract, topkByScore, wordShingles, minhashSig,
-    simhash, normWords, sampleRank, shardAssign, redactPii, dupWordRatio,
-    urlNormalize, urlHost, urlDomain, rpProject)
+    simhash, normWords, pseudonymize, sampleRank, shardAssign, redactPii,
+    dupWordRatio, urlNormalize, urlHost, urlDomain, rpProject)
 
   /** Register every function on an existing session (the `Main`/test
     * path; temp functions live for the session).
@@ -186,6 +194,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.minhashSig)
     ext.injectFunction(GraftFunctions.simhash)
     ext.injectFunction(GraftFunctions.normWords)
+    ext.injectFunction(GraftFunctions.pseudonymize)
     ext.injectFunction(GraftFunctions.sampleRank)
     ext.injectFunction(GraftFunctions.shardAssign)
     ext.injectFunction(GraftFunctions.redactPii)

@@ -85,7 +85,7 @@ class ExtensionsSpec extends SparkTestBase {
     val viaSql = spark.sql(
       """SELECT simhash(text) AS sh, norm_words(text) AS nw, sample_rank(id) AS r,
         |  shard_assign(id, 8) AS shard, redact_pii(pii) AS red,
-        |  ROUND(dup_word_ratio(text), 4) AS dwr
+        |  ROUND(dup_word_ratio(text), 4) AS dwr, pseudonymize(pii) AS ps
         |FROM ext_cur ORDER BY id""".stripMargin).collect().toSeq
     val viaCol = spark.table("ext_cur")
       .select(graft.ops.Dedup.simhash($"text").as("sh"),
@@ -93,7 +93,8 @@ class ExtensionsSpec extends SparkTestBase {
         graft.ops.Curation.sampleRank($"id").as("r"),
         graft.ops.Curation.shardAssign($"id", 8).as("shard"),
         graft.ops.Curation.redactPii($"pii").as("red"),
-        round(graft.ops.Curation.dupWordRatio($"text"), 4).as("dwr"))
+        round(graft.ops.Curation.dupWordRatio($"text"), 4).as("dwr"),
+        graft.expr.Pseudonymize.pseudonymize($"pii").as("ps"))
       .orderBy(spark.table("ext_cur")("id")).collect().toSeq
     assert(viaSql === viaCol)
     // sanity on actual values, not just parity
