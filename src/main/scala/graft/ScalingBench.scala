@@ -34,8 +34,16 @@ private[graft] final class IoListener extends org.apache.spark.scheduler.SparkLi
 object ScalingBench {
 
   private def session(cores: Int): SparkSession = {
+    // SPARK_GRAFT_MASTER overrides the in-process local[cores] master so the
+    // SAME job can run under `spark-submit --master local-cluster[N,c,mem]`
+    // — N separate executor JVMs, each with its own heap/GC/codegen cache,
+    // talking to the driver over the real RPC + shuffle-service paths. That
+    // is the sandbox's closest analog to the north rule's "N and 4N
+    // executors via spark-submit" (local[N] shares one JVM; local-cluster
+    // does not). `cores` must still be passed matching the total cluster
+    // cores so shuffle partitions are sized to the cluster.
     val s = SparkSession.builder()
-      .master(s"local[$cores]")
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cores]"))
       .appName(s"graft-scaling-$cores")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
