@@ -107,6 +107,26 @@ object SparkEntry {
     docs.select(id, url.as("url"))
   }
 
+  /** Deterministic robots.txt body per host — variant picked by
+    * length(host) % 4 so the DuckDB oracle rebuilds the identical text.
+    * v0: star group, longest-match Allow carve-out, comment line.
+    * v1: consecutive-UA merge (graftbot+otherbot share a `*4$`-anchored
+    * Disallow), blank line inside the file, a star group graftbot must
+    * IGNORE (specific group exists). v2: graftbot falls back to the star
+    * group; literal `?` escaping exercised by the query-string Disallow.
+    * v3: orphan rule before any UA (dropped) + empty Disallow (no-op) ⇒
+    * everything allowed.
+    */
+  private def robotsFor(host: Column): Column = {
+    val v = pmod(length(host), lit(4))
+    when(v === 0, lit("User-Agent: *\nDisallow: /Docs/\nAllow: /Docs/2\n# tail\n"))
+      .when(v === 1, lit("User-agent: GraftBot\nUser-agent: otherbot\n" +
+        "Disallow: /Docs/*4$\n\nUser-agent: *\nDisallow: /\n"))
+      .when(v === 2, lit("User-agent: otherbot\nDisallow: /\n\n" +
+        "User-agent: *\nAllow: /Docs\nDisallow: /Docs/*?utm=\n"))
+      .otherwise(lit("Disallow: /\nUser-agent: *\nDisallow:\n"))
+  }
+
   /** Flagship: full transcript pipeline (parse→enrich→route→aggregate) on a
     * deterministic synthetic corpus; driver smoke-checks rows>0.
     */
@@ -973,6 +993,39 @@ object SparkEntry {
         "url", "doc_id", cap = 5)
         .select(col("doc_id"),
           graft.ops.UrlCuration.urlDomain(col("url")).as("domain"))
+    }),
+
+    // robots.txt parse (RFC 9309 grammar as relational ops): robots
+    // bodies are synthesized per host by pure arithmetic (length(host)%4
+    // picks among 4 fixtures covering consecutive-UA merge, comments,
+    // blank lines, orphan rules, empty Disallow, wildcards, $), so the
+    // oracle rebuilds the identical text and replays the ENTIRE parse —
+    // comment strip, field/value split, group formation via lag+cumsum,
+    // orphan-rule drop — in SQL.
+    "q_robots_rules" -> ((s, d) => {
+      val u = urlDocs(t(s, d, "documents"))
+      val hosts = u.select(
+        graft.ops.UrlCuration.urlHost(col("url")).as("host")).distinct()
+      val robots = hosts.withColumn("robots_txt", robotsFor(col("host")))
+      graft.ops.RobotsTxt.parseRules(robots)
+        .select("host", "agent", "allow", "pattern")
+    }),
+
+    // robots.txt fetch-permission decision for agent "graftbot": agent
+    // selection (specific group beats *), pattern→regex translation
+    // (escape chain shared verbatim with the oracle), longest-match with
+    // Allow tie-break, default allow — the corpus side is one broadcast
+    // join + per-row array fold (zero corpus shuffle, RobotsTxtSpec).
+    "q_robots_allowed" -> ((s, d) => {
+      val u = urlDocs(t(s, d, "documents"))
+      val hosts = u.select(
+        graft.ops.UrlCuration.urlHost(col("url")).as("host")).distinct()
+      val robots = hosts.withColumn("robots_txt", robotsFor(col("host")))
+      val rules = graft.ops.RobotsTxt.parseRules(robots)
+      graft.ops.RobotsTxt.isAllowed(u, "url", rules, "graftbot")
+        .select(col("doc_id"),
+          graft.ops.UrlCuration.urlHost(col("url")).as("host"),
+          col("allowed"))
     }),
 
     // Trigram Stupid-Backoff LM scoring: the order-3 instance of the
@@ -3002,6 +3055,48 @@ object SparkEntry {
         |      FROM f)
         |SELECT doc_id, domain FROM r WHERE rk <= 5""".stripMargin),
 
+    // the whole RFC 9309 parse grammar replayed relationally
+    "q_robots_rules" ->
+      (urlSynthSql + robotsParseSql +
+      "SELECT host, agent, allow, pattern FROM rules"),
+
+    // agent selection + pattern→regex translation (same escape chain) +
+    // longest-match/Allow-tie decision replayed; default allow on both
+    // the no-robots and no-matching-rule arms
+    "q_robots_allowed" ->
+      (urlSynthSql + robotsParseSql +
+      """, ar AS (SELECT *, (agent = 'graftbot') AS sa FROM rules
+        |        WHERE agent IN ('graftbot', '*')),
+        |hs AS (SELECT host, MAX(CASE WHEN sa THEN 1 ELSE 0 END) AS has_spec
+        |       FROM ar GROUP BY host),
+        |eff AS (SELECT ar.host, ar.allow, ar.pattern
+        |        FROM ar JOIN hs ON ar.host = hs.host
+        |        WHERE (CASE WHEN ar.sa THEN 1 ELSE 0 END) = hs.has_spec),
+        |rx AS (SELECT host, allow, len(pattern) AS spec,
+        |         '^' || CASE WHEN pattern LIKE '%$'
+        |           THEN substr(s2, 1, len(s2) - 2) || '$' ELSE s2 END AS rx
+        |       FROM (SELECT *, regexp_replace(regexp_replace(pattern,
+        |               '([\\.\[\]{}()+?^$|*])', '\\\1', 'g'),
+        |               '\\\*', '.*', 'g') AS s2
+        |             FROM eff)),
+        |up AS (SELECT doc_id, host,
+        |         CASE WHEN p2 = '' THEN '/' ELSE p2 END AS path
+        |       FROM (SELECT doc_id, host,
+        |               regexp_replace(regexp_replace(regexp_replace(
+        |                 trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+        |                 '^[^/]*', ''), '#.*$', '') AS p2
+        |             FROM l)),
+        |cand AS (SELECT u.doc_id, r.allow, r.spec
+        |         FROM up u LEFT JOIN rx r
+        |           ON u.host = r.host AND regexp_matches(u.path, r.rx)),
+        |rk AS (SELECT doc_id, allow, ROW_NUMBER() OVER (
+        |         PARTITION BY doc_id ORDER BY spec DESC,
+        |           CASE WHEN allow THEN 1 ELSE 0 END DESC) AS rn
+        |       FROM cand WHERE spec IS NOT NULL)
+        |SELECT u.doc_id, u.host, COALESCE(r.allow, TRUE) AS allowed
+        |FROM up u LEFT JOIN (SELECT doc_id, allow FROM rk WHERE rn = 1) r
+        |  ON u.doc_id = r.doc_id""".stripMargin),
+
     // quotaSample's multiplicative-hash rank is plain BIGINT arithmetic,
     // so the deterministic sample replays as a window rank
     "q_quota_sample" ->
@@ -3841,6 +3936,51 @@ object SparkEntry {
       |h AS (SELECT *, regexp_replace(regexp_extract(url_norm, '^([^/]+)', 1),
       |        ':\d+$', '') AS host FROM n1),
       |l AS (SELECT *, string_split(host, '.') AS lab FROM h)
+      |""".stripMargin
+
+  /** robots.txt synthesis + full RFC-grammar parse replay, continuing
+    * from [[urlSynthSql]]'s `l` CTE (doc_id, url, host). Ends with the
+    * `rules` CTE: (host, agent, allow, pattern) — the exact output of
+    * `RobotsTxt.parseRules` over the identical synthesized bodies.
+    */
+  private val robotsParseSql: String =
+    """, robots AS (
+      |  SELECT host, CASE len(host) % 4
+      |    WHEN 0 THEN 'User-Agent: *' || chr(10) || 'Disallow: /Docs/' ||
+      |      chr(10) || 'Allow: /Docs/2' || chr(10) || '# tail' || chr(10)
+      |    WHEN 1 THEN 'User-agent: GraftBot' || chr(10) ||
+      |      'User-agent: otherbot' || chr(10) || 'Disallow: /Docs/*4$' ||
+      |      chr(10) || chr(10) || 'User-agent: *' || chr(10) ||
+      |      'Disallow: /' || chr(10)
+      |    WHEN 2 THEN 'User-agent: otherbot' || chr(10) || 'Disallow: /' ||
+      |      chr(10) || chr(10) || 'User-agent: *' || chr(10) ||
+      |      'Allow: /Docs' || chr(10) || 'Disallow: /Docs/*?utm=' || chr(10)
+      |    ELSE 'Disallow: /' || chr(10) || 'User-agent: *' || chr(10) ||
+      |      'Disallow:' || chr(10) END AS txt
+      |  FROM (SELECT DISTINCT host FROM l)),
+      |sp AS (SELECT host, string_split(txt, chr(10)) AS ls FROM robots),
+      |rlines AS (SELECT host, unnest(ls) AS raw,
+      |             generate_subscripts(ls, 1) AS line_idx FROM sp),
+      |fv AS (SELECT host, line_idx,
+      |         lower(trim(regexp_extract(cl, '^([^:]+):', 1))) AS field,
+      |         trim(regexp_extract(cl, '^[^:]+:(.*)$', 1)) AS value
+      |       FROM (SELECT host, line_idx,
+      |               trim(regexp_replace(raw, '#.*$', '')) AS cl
+      |             FROM rlines)),
+      |kept AS (SELECT * FROM fv
+      |         WHERE field IN ('user-agent', 'allow', 'disallow')),
+      |g AS (SELECT *, CASE WHEN field = 'user-agent' AND
+      |        COALESCE(LAG(field) OVER (PARTITION BY host ORDER BY line_idx),
+      |          'x') <> 'user-agent' THEN 1 ELSE 0 END AS ng
+      |      FROM kept),
+      |g2 AS (SELECT *, SUM(ng) OVER (PARTITION BY host ORDER BY line_idx
+      |         ROWS UNBOUNDED PRECEDING) AS grp FROM g),
+      |agents AS (SELECT DISTINCT host, grp, lower(value) AS agent
+      |           FROM g2 WHERE field = 'user-agent'),
+      |rr AS (SELECT host, grp, (field = 'allow') AS allow, value AS pattern
+      |       FROM g2 WHERE field <> 'user-agent' AND value <> ''),
+      |rules AS (SELECT a.host, a.agent, r.allow, r.pattern
+      |          FROM agents a JOIN rr r ON a.host = r.host AND a.grp = r.grp)
       |""".stripMargin
 
   /** The exact-BM25 replay (shared by q_bm25_topk and the
