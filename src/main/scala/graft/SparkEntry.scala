@@ -1028,6 +1028,18 @@ object SparkEntry {
           col("allowed"))
     }),
 
+    // Dataset-overlap audit: exact n-gram-set Jaccard between the even-
+    // and odd-doc corpora (integer ppm) + the corpus-minhash estimate
+    // (elementwise-min signatures — ≤64 rows shipped per corpus at any
+    // scale). Oracle replays BOTH sides from the _input_docs dump: exact
+    // from the shingle strings, estimate from the per-doc sig arrays.
+    "q_corpus_overlap" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.ops.Dedup.corpusOverlap(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1), "text")
+    }),
+
     // Trigram Stupid-Backoff LM scoring: the order-3 instance of the
     // backoff chain (same even-doc dictionaries, one more level — seen
     // trigram / +BO bigram / +2BO unigram / OOV floor); the synthetic
@@ -3391,6 +3403,38 @@ object SparkEntry {
         |          / len(list_distinct(a.sh || b.sh)) AS jaccard
         |      FROM d a JOIN d b ON a.id < b.id)
         |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5""".stripMargin,
+
+    // Corpus-overlap audit: exact side from the dumped shingle strings
+    // (distinct-union arithmetic), estimate side from the per-doc sig
+    // arrays (elementwise min per lane, agreement count) — the corpus-min
+    // identity (min over docs ≡ min over the shingle union) is what the
+    // equality of est/exact derivations exercises.
+    "q_corpus_overlap" ->
+      """WITH d AS (SELECT doc_id, sh, sig
+        |           FROM read_parquet('__OUT__/_input_docs/*.parquet')
+        |           WHERE len(sh) > 0),
+        |a AS (SELECT DISTINCT unnest(sh) AS s FROM d WHERE doc_id % 2 = 0),
+        |b AS (SELECT DISTINCT unnest(sh) AS s FROM d WHERE doc_id % 2 = 1),
+        |na AS (SELECT COUNT(*) AS n_a FROM a),
+        |nb AS (SELECT COUNT(*) AS n_b FROM b),
+        |ni AS (SELECT COUNT(*) AS n_inter FROM a JOIN b USING (s)),
+        |sa AS (SELECT generate_subscripts(sig, 1) - 1 AS pos,
+        |              unnest(sig) AS h FROM d WHERE doc_id % 2 = 0),
+        |ma AS (SELECT pos, MIN(h) AS ma FROM sa GROUP BY pos),
+        |sb AS (SELECT generate_subscripts(sig, 1) - 1 AS pos,
+        |              unnest(sig) AS h FROM d WHERE doc_id % 2 = 1),
+        |mb AS (SELECT pos, MIN(h) AS mb FROM sb GROUP BY pos),
+        |ag AS (SELECT CAST(SUM(CASE WHEN ma = mb THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS est_agree
+        |       FROM ma JOIN mb USING (pos))
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(n_inter AS BIGINT) AS n_inter,
+        |  CAST(n_a + n_b - n_inter AS BIGINT) AS n_union,
+        |  CAST((1000000 * n_inter) // (n_a + n_b - n_inter) AS BIGINT)
+        |    AS jaccard_ppm,
+        |  est_agree,
+        |  CAST((1000000 * est_agree) // 64 AS BIGINT) AS est_ppm
+        |FROM na, nb, ni, ag""".stripMargin,
 
     // Incremental (index vs new batch) shape: both caps (union side and
     // new side), least/greatest pair ordering, and the verify join replayed.

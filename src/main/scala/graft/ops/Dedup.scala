@@ -889,4 +889,66 @@ object Dedup {
       bands, shingleK)
     clusters(df, idCol, pairs)
   }
+
+  /** CORPUS-level minhash signature as rows `(pos, minv)`. The elementwise
+    * minimum over every document's signature IS the signature of the UNION
+    * of their shingle sets (min over docs of per-doc minima = min over the
+    * union), so two corpora can be compared without ever materializing
+    * their n-gram key spaces.
+    *
+    * Scale shape: one narrow codegen'd projection (shingle + signature per
+    * row) feeding ONE aggregation whose key space is `numHashes` — map-side
+    * partials collapse every task to ≤ numHashes rows, so a 100 TB corpus
+    * ships a few KB. Empty-shingle docs are excluded (their signature is
+    * the all-MaxValue identity; dropping them keeps a lane from "agreeing"
+    * on the init value when one side has only empty docs).
+    */
+  def corpusSigRows(df: DataFrame, textCol: String, shingleK: Int = 3,
+                    numHashes: Int = 64): DataFrame = {
+    require(df.columns.contains(textCol), s"missing column: $textCol")
+    df.select(wordShingles(col(textCol), shingleK).as("_co_sh"))
+      .where(size(col("_co_sh")) > 0)
+      .select(posexplode(minhashSignature(col("_co_sh"), numHashes))
+        .as(Seq("pos", "h")))
+      .groupBy("pos").agg(min("h").as("minv"))
+  }
+
+  /** Dataset-overlap audit: how much does corpus `b` (e.g. a crawl
+    * refresh, a candidate training mix, an eval suite) overlap corpus `a`
+    * at the n-gram-set level? One row:
+    * `(n_a, n_b, n_inter, n_union, jaccard_ppm, est_agree, est_ppm)` —
+    * exact distinct-shingle counts + exact set Jaccard in integer ppm,
+    * alongside the corpus-minhash ESTIMATE (agreeing lanes / numHashes).
+    *
+    * The two sides have opposite scale shapes, deliberately: the exact
+    * side is the diagnostic — it shuffles the distinct n-gram KEY SPACE
+    * (itself TB-scale on a web corpus; fine at audit-sample scale), while
+    * the [[corpusSigRows]] estimate is the production path — ≤ numHashes
+    * rows shipped per corpus at any size, with the exact side available to
+    * validate the estimate wherever it is affordable. Deduplication
+    * within each corpus does not change either answer (set semantics).
+    */
+  def corpusOverlap(a: DataFrame, b: DataFrame, textCol: String,
+                    shingleK: Int = 3, numHashes: Int = 64): DataFrame = {
+    val shA = a.select(explode(wordShingles(col(textCol), shingleK)).as("s"))
+      .distinct()
+    val shB = b.select(explode(wordShingles(col(textCol), shingleK)).as("s"))
+      .distinct()
+    val na = shA.agg(count("*").as("n_a"))
+    val nb = shB.agg(count("*").as("n_b"))
+    val ni = shA.join(shB, Seq("s")).agg(count("*").as("n_inter"))
+    val est = corpusSigRows(a, textCol, shingleK, numHashes)
+      .withColumnRenamed("minv", "ma")
+      .join(corpusSigRows(b, textCol, shingleK, numHashes)
+        .withColumnRenamed("minv", "mb"), Seq("pos"))
+      .agg(sum(when(col("ma") === col("mb"), 1L).otherwise(0L))
+        .as("est_agree"))
+    na.crossJoin(nb).crossJoin(ni).crossJoin(est)
+      .withColumn("n_union",
+        col("n_a") + col("n_b") - col("n_inter"))
+      .withColumn("jaccard_ppm", when(col("n_union") > 0,
+        expr("(1000000 * n_inter) div n_union")))
+      .withColumn("est_ppm",
+        expr(s"(1000000 * est_agree) div $numHashes"))
+  }
 }

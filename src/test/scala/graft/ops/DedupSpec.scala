@@ -179,6 +179,43 @@ class DedupSpec extends SparkTestBase {
     assert(run(5) == got)
   }
 
+  test("corpusOverlap: exact Jaccard vs driver replay; corpus-min identity; " +
+    "dup-invariance") {
+    val a = docs.toDF("doc_id", "text")
+    val b = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (11L, "entirely novel words that the first corpus never mentions at all"))
+      .toDF("doc_id", "text")
+    val row = Dedup.corpusOverlap(a, b, "text").head()
+    // driver replay of the exact side over the same shingle definition
+    def shingles(df: org.apache.spark.sql.DataFrame): Set[Seq[String]] =
+      df.select(Dedup.wordShingles(col("text"), 3).as("sh"))
+        .as[Seq[String]].collect().flatten.map(s => Seq(s)).toSet
+    val sa = shingles(a); val sb = shingles(b)
+    val inter = (sa intersect sb).size.toLong
+    val union = (sa union sb).size.toLong
+    assert(row.getAs[Long]("n_a") == sa.size.toLong)
+    assert(row.getAs[Long]("n_b") == sb.size.toLong)
+    assert(row.getAs[Long]("n_inter") == inter)
+    assert(row.getAs[Long]("n_union") == union)
+    assert(row.getAs[Long]("jaccard_ppm") == 1000000L * inter / union)
+    // corpus-min identity: corpusSigRows ≡ elementwise min over per-doc sigs
+    val perDoc = a.select(Dedup.minhashSignature(
+        Dedup.wordShingles(col("text"), 3), 64).as("sig"))
+      .as[Seq[Long]].collect()
+    val expected = (0 until 64).map(i => perDoc.map(_(i)).min)
+    val got = Dedup.corpusSigRows(a, "text").orderBy("pos")
+      .select("minv").as[Long].collect().toSeq
+    assert(got == expected)
+    // estimate sanity: identical corpora agree on every lane; disjoint ones
+    // (near-)never do; and duplicating docs changes nothing (set semantics)
+    val same = Dedup.corpusOverlap(a, a, "text").head()
+    assert(same.getAs[Long]("est_agree") == 64L &&
+      same.getAs[Long]("jaccard_ppm") == 1000000L)
+    val dupped = Dedup.corpusOverlap(a.union(a), b, "text").head()
+    assert(dupped.toSeq == row.toSeq)
+  }
+
   test("convNearDups finds conversations that differ by one turn") {
     val base = (0 until 8).map(i => ("c-orig", i, s"turn number $i of the long conversation about topic"))
     val near = (0 until 8).map(i => ("c-near", i, s"turn number $i of the long conversation about topic")) :+
