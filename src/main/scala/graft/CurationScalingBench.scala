@@ -241,6 +241,81 @@ object CurationScalingBench {
             s"url stage: cap/blocklist did not bind ($n of $nDocs kept)")
         }
 
+        // fetch-permission decision over the full corpus: same URL
+        // synthesis as the url stage (odd site modulus, the every-7th
+        // mega-host), robots bodies per HOST in 3 variants — two
+        // literal-rule files (the startsWith codegen fast path, the
+        // real-world majority) and one wildcard/$ file (the per-row
+        // regex path). Host count scales with the corpus at the real
+        // web's ~250 docs/host ratio by default; SPARK_GRAFT_ROBOTS_HOSTS
+        // pins it (the decomposition knob).
+        object robotsFix {
+          val id = col("doc_id")
+          val mega = id % 7 === 0
+          val nSites = sys.env.get("SPARK_GRAFT_ROBOTS_HOSTS")
+            .map(_.toLong).getOrElse(math.max(3L, nDocs / 250L)) | 1L
+          val site = when(mega, lit(0L)).otherwise(id % nSites)
+          val tld = when(mega, lit(".com")).otherwise(
+            element_at(array(lit(".com"), lit(".org"), lit(".co.uk"),
+              lit(".de")), (id % 4 + 1).cast("int")))
+          val path = concat(lit("/p/"), id.cast("string"),
+            when(id % 6 === 0, "?utm=1").otherwise(""))
+          def urls = docs.select(id, concat(
+            lit("https://"), when(id % 3 === 0, "www.").otherwise(""),
+            lit("site"), site.cast("string"), tld, path).as("url"),
+            // the precomputed-seam columns (robots_pre): host/path by
+            // ARITHMETIC — what a pipeline that already ran the URL
+            // stage carries, vs re-deriving the regex chains per row
+            concat(lit("site"), site.cast("string"), tld).as("host_pre"),
+            path.as("path_pre"))
+          def hosts = spark.range(nSites).select(concat(lit("site"),
+              col("id"), element_at(array(lit(".com"), lit(".org"),
+                lit(".co.uk"), lit(".de")), (col("id") % 4 + 1).cast("int")))
+              .as("host"))
+          def robots = hosts.withColumn("robots_txt",
+            when(pmod(length(col("host")), lit(3)) === 0, lit(
+              "User-agent: *\nDisallow: /p/1\nAllow: /p/12\n"))
+              .when(pmod(length(col("host")), lit(3)) === 1, lit(
+                "User-agent: graftbot\nDisallow: /p/*3$\n\n" +
+                  "User-agent: *\nDisallow: /\n"))
+              .otherwise(lit(
+                "User-agent: *\nDisallow: /p/*?utm=1\n")))
+          def rules = graft.ops.RobotsTxt.parseRules(robots)
+          // The steady-state artifact: robots tables change on crawl
+          // cadence, so a production pass parses + collects + compiles
+          // ONCE per job, then applies the table to the 100 TB corpus.
+          // lazy ⇒ built on the warmup call, outside every timed region
+          // (the BpeEncode trained-merge-list precedent).
+          lazy val table: graft.expr.RobotsDecide.Table =
+            graft.expr.RobotsDecide.buildTable(
+              graft.ops.RobotsTxt.effectiveRules(rules, "graftbot")
+                .select("host", "pattern", "allow").collect()
+                .map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+                .toSeq)
+        }
+        def robotsCheck(out: DataFrame): Unit = {
+          val chk = out.agg(count(lit(1)).as("n"),
+            sum(when(col("allowed"), 1L).otherwise(0L)).as("ok")).head()
+          require(chk.getLong(0) == nDocs, "robots: row count off")
+          require(chk.getLong(1) > 0 && chk.getLong(1) < nDocs,
+            s"robots: decision did not bind (${chk.getLong(1)} of $nDocs)")
+        }
+        def robotsRun(fast: Boolean = false): Unit =
+          // e2e variants: parse + agent selection + derivation + decision
+          // per call — what a one-shot compliance audit pays
+          robotsCheck(
+            if (fast) graft.ops.RobotsTxt.isAllowedFast(robotsFix.urls,
+              "url", robotsFix.rules, "graftbot")
+            else graft.ops.RobotsTxt.isAllowed(robotsFix.urls, "url",
+              robotsFix.rules, "graftbot"))
+        def robotsPreRun(): Unit =
+          // steady state: prepared rule table + precomputed host/path —
+          // the corpus-proportional work ONLY (scan → one codegen'd
+          // projection, no join; RobotsTxtSpec plan gate)
+          robotsCheck(robotsFix.urls.withColumn("allowed",
+            graft.expr.RobotsDecide.robots_decide(col("path_pre"),
+              col("host_pre"), robotsFix.table)))
+
         def pagerankRun(): Unit = {
           // domain-centrality power iteration over a synthesized link
           // graph: one site per ~10 docs (node count grows with the
@@ -421,6 +496,9 @@ object CurationScalingBench {
           "pack" -> (() => packRun()),
           "classifier" -> (() => classifierRun()),
           "url" -> (() => urlRun()),
+          "robots" -> (() => robotsRun()),
+          "robots_fast" -> (() => robotsRun(fast = true)),
+          "robots_pre" -> (() => robotsPreRun()),
           "pagerank" -> (() => pagerankRun()),
           "crawl" -> (() => crawlRun()),
           "warc" -> (() => warcRun()),

@@ -143,10 +143,14 @@ object RobotsTxt {
     * to one array row per host and broadcast (plan-gated).
     */
   def isAllowed(urls: DataFrame, urlCol: String, rules: DataFrame,
-                agent: String): DataFrame = {
+                agent: String,
+                precomputedHost: Option[String] = None,
+                precomputedPath: Option[String] = None): DataFrame = {
     require(urls.columns.contains(urlCol), s"missing column: $urlCol")
     Seq("_rb_host", "_rb_rules", "_rb_win").foreach(c => require(
       !urls.columns.contains(c), s"input may not contain internal column $c"))
+    (precomputedHost.toSeq ++ precomputedPath).foreach(c => require(
+      urls.columns.contains(c), s"missing precomputed column: $c"))
     val eff = effectiveRules(rules, agent)
       .withColumn("_rb_rx", patternRegex(col("pattern")))
       .withColumn("_rb_lit",
@@ -157,9 +161,14 @@ object RobotsTxt {
         col("pattern").as("pat"), col("_rb_rx").as("rx"),
         col("_rb_lit").as("lit"), col("_rb_len").as("spec"),
         col("allow").cast("int").as("allow"))).as("_rb_rules"))
-    val path = urlPath(col(urlCol))
+    // The host/path regex chains are the family's measured per-row cost
+    // center (the UrlCuration `precomputed` lesson): a pipeline that has
+    // already derived them passes the column names and skips re-deriving.
+    val path = precomputedPath.map(col).getOrElse(urlPath(col(urlCol)))
+    val hostC = precomputedHost.map(col)
+      .getOrElse(UrlCuration.urlHost(col(urlCol)))
     val joined = urls
-      .withColumn("_rb_host", UrlCuration.urlHost(col(urlCol)))
+      .withColumn("_rb_host", hostC)
       .join(broadcast(byHost), Seq("_rb_host"), "left")
     val p = col("_rb_path")
     val cand = filter(coalesce(col("_rb_rules"),
@@ -180,5 +189,37 @@ object RobotsTxt {
       .withColumn("_rb_win", win)
       .withColumn("allowed", col("_rb_win.allow") === 1)
       .drop("_rb_host", "_rb_rules", "_rb_win", "_rb_path")
+  }
+
+  /** [[isAllowed]] as one codegen'd kernel ([[graft.expr.RobotsDecide]]):
+    * the effective rule table is collected (host-scale — the documented
+    * heap ceiling at ~10^6 hosts; beyond that, range-partition hosts or
+    * use the relational [[isAllowed]]) and carried as a reference object,
+    * so wildcard regexes compile once per JVM instead of once per ROW
+    * (the non-foldable `regexp_like` cost), literal rules are raw
+    * startsWith probes, and the corpus plan is scan → one projection —
+    * no join node at all. Decision-identical to [[isAllowed]]
+    * (RobotsTxtSpec asserts equality on every fixture matrix). Measured
+    * numbers live in the BASELINE.md robots rows: end-to-end the
+    * host/path DERIVATION regex chains dominate both variants (pass
+    * `precomputedHost`/`precomputedPath` in a pipeline that already has
+    * them — the UrlCuration lesson); on precomputed inputs the kernel's
+    * decision pass is join-free and allocation-light.
+    */
+  def isAllowedFast(urls: DataFrame, urlCol: String, rules: DataFrame,
+                    agent: String,
+                    precomputedHost: Option[String] = None,
+                    precomputedPath: Option[String] = None): DataFrame = {
+    require(urls.columns.contains(urlCol), s"missing column: $urlCol")
+    (precomputedHost.toSeq ++ precomputedPath).foreach(c => require(
+      urls.columns.contains(c), s"missing precomputed column: $c"))
+    val eff = effectiveRules(rules, agent)
+      .select("host", "pattern", "allow").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2))).toSeq
+    val table = graft.expr.RobotsDecide.buildTable(eff)
+    urls.withColumn("allowed", graft.expr.RobotsDecide.robots_decide(
+      precomputedPath.map(col).getOrElse(urlPath(col(urlCol))),
+      precomputedHost.map(col).getOrElse(UrlCuration.urlHost(col(urlCol))),
+      table))
   }
 }

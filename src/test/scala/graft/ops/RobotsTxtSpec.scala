@@ -61,13 +61,22 @@ class RobotsTxtSpec extends SparkTestBase {
       }
   }
 
+  /** Runs BOTH implementations — the relational fold and the codegen'd
+    * RobotsDecide kernel — and asserts they agree before returning, so
+    * every fixture matrix in this suite doubles as a cross-check.
+    */
   private def decide(urls: Seq[(Long, String)],
                      robots: Seq[(String, String)],
                      agent: String): Map[Long, Boolean] = {
     val rules = RobotsTxt.parseRules(
       robots.toDF("host", "robots_txt"))
-    RobotsTxt.isAllowed(urls.toDF("id", "url"), "url", rules, agent)
+    val rel = RobotsTxt.isAllowed(urls.toDF("id", "url"), "url", rules, agent)
       .select("id", "allowed").as[(Long, Boolean)].collect().toMap
+    val fast = RobotsTxt.isAllowedFast(urls.toDF("id", "url"), "url",
+      rules, agent)
+      .select("id", "allowed").as[(Long, Boolean)].collect().toMap
+    assert(fast == rel, "kernel decision diverged from the relational fold")
+    rel
   }
 
   private val robotsA =
@@ -174,6 +183,50 @@ class RobotsTxtSpec extends SparkTestBase {
     assert(!formatted.substring(0, formatted.indexOf("BroadcastHashJoin"))
       .contains("Exchange hashpartitioning"),
       "probe side shuffled:\n" + formatted)
+  }
+
+  test("kernel path: no join node, stays in whole-stage codegen, " +
+    "interpreted ≡ codegen") {
+    val rules = RobotsTxt.parseRules(
+      Seq("a.com" -> robotsA, "b.com" -> robotsB).toDF("host", "robots_txt"))
+    val urls = spark.range(500).select(col("id"),
+      concat(lit("https://a.com/private/"), col("id"), lit(".html"))
+        .as("url"))
+    val out = RobotsTxt.isAllowedFast(urls, "url", rules, "graftbot")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    // "*(1)" node prefixes = the whole chain is inside one codegen stage
+    assert(plan.trim.startsWith("*(1)"), plan)
+    // interpreted eval (the nullSafeEval path) agrees with codegen
+    val eff = RobotsTxt.effectiveRules(rules, "graftbot")
+      .select("host", "pattern", "allow").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2))).toSeq
+    val table = graft.expr.RobotsDecide.buildTable(eff)
+    val got = out.select("id", "allowed")
+      .as[(Long, Boolean)].collect().toMap
+    for (i <- 0L until 500L) {
+      val p = org.apache.spark.unsafe.types.UTF8String
+        .fromString(s"/private/$i.html")
+      val h = org.apache.spark.unsafe.types.UTF8String.fromString("a.com")
+      assert(graft.expr.RobotsDecide.compute(p, h, table) == got(i))
+    }
+  }
+
+  test("precomputed host/path seam ≡ derived, both variants") {
+    val rules = RobotsTxt.parseRules(
+      Seq("a.com" -> robotsA, "b.com" -> robotsB).toDF("host", "robots_txt"))
+    val urls = (0L until 100L).map(i =>
+      (i, s"https://${if (i % 2 == 0) "a" else "b"}.com/private/$i.html"))
+      .toDF("id", "url")
+      .withColumn("h", UrlCuration.urlHost(col("url")))
+      .withColumn("p", RobotsTxt.urlPath(col("url")))
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "allowed").as[(Long, Boolean)].collect().toMap
+    val base = m(RobotsTxt.isAllowed(urls, "url", rules, "graftbot"))
+    assert(m(RobotsTxt.isAllowed(urls, "url", rules, "graftbot",
+      Some("h"), Some("p"))) == base)
+    assert(m(RobotsTxt.isAllowedFast(urls, "url", rules, "graftbot",
+      Some("h"), Some("p"))) == base)
   }
 
   test("partitioning invariance") {
