@@ -1028,6 +1028,17 @@ object SparkEntry {
           col("allowed"))
     }),
 
+    // Char-n-gram Naive-Bayes language ID (TextCat/langid.py-shaped):
+    // profiles trained on the every-3rd-doc labeled seed, every doc
+    // classified by exact integer NLL argmin. The oracle recomputes ALL
+    // counts/totals/vocab in SQL and imports only the two quantized-ln
+    // columns, cross-checked by joins ON the counts.
+    "q_langid_ngram" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.ops.TextAnalysis.langIdNgram(docs, "doc_id", "text",
+        docs.where(col("doc_id") % 3 === 0), "lang")
+    }),
+
     // Dataset-overlap audit: exact n-gram-set Jaccard between the even-
     // and odd-doc corpora (integer ppm) + the corpus-minhash estimate
     // (elementwise-min signatures — ≤64 rows shipped per corpus at any
@@ -3403,6 +3414,50 @@ object SparkEntry {
         |          / len(list_distinct(a.sh || b.sh)) AS jaccard
         |      FROM d a JOIN d b ON a.id < b.id)
         |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5""".stripMargin,
+
+    // Language ID: char trigrams, seed counts, per-lang totals, and the
+    // shared smoothing vocabulary all recomputed in SQL; floor/delta
+    // micro-nats import from the dumps cross-checked ON (lang, t_total,
+    // v_size) / (lang, g, cnt); the scoring identity
+    // floor·n_grams + Σ_seen delta and the (nll, lang) argmin replay
+    // relationally, incl. the <n-chars NULL arm.
+    "q_langid_ngram" ->
+      """WITH t AS (SELECT doc_id, lang, lower(text) AS lt FROM documents),
+        |gi AS (SELECT doc_id, lt,
+        |         unnest(range(1, greatest(len(lt) - 1, 1))) AS i FROM t),
+        |g AS (SELECT doc_id, substr(lt, CAST(i AS INT), 3) AS g FROM gi),
+        |sc AS (SELECT t.lang, g.g, COUNT(*) AS cnt
+        |       FROM g JOIN t ON g.doc_id = t.doc_id
+        |       WHERE g.doc_id % 3 = 0 GROUP BY t.lang, g.g),
+        |tt AS (SELECT lang, SUM(cnt) AS t_total FROM sc GROUP BY lang),
+        |vs AS (SELECT COUNT(DISTINCT g) AS v_size FROM sc),
+        |fl AS (SELECT f.lang, f.floor_micro
+        |       FROM read_parquet('__OUT__/_input_langid_floors/*.parquet') f
+        |       JOIN tt ON f.lang = tt.lang AND f.t_total = tt.t_total
+        |       JOIN vs ON f.v_size = vs.v_size),
+        |dc AS (SELECT d.g, d.lang, d.delta_micro
+        |       FROM read_parquet('__OUT__/_input_langid/*.parquet') d
+        |       JOIN sc ON d.lang = sc.lang AND d.g = sc.g
+        |         AND d.cnt = sc.cnt),
+        |seen AS (SELECT g.doc_id, dc.lang, SUM(dc.delta_micro) AS sum_delta
+        |         FROM g JOIN dc ON g.g = dc.g GROUP BY g.doc_id, dc.lang),
+        |ng AS (SELECT doc_id,
+        |         CAST(greatest(len(lt) - 2, 0) AS BIGINT) AS n_grams
+        |       FROM t),
+        |sco AS (SELECT ng.doc_id, fl.lang, ng.n_grams,
+        |          CAST(fl.floor_micro * ng.n_grams
+        |            + COALESCE(seen.sum_delta, 0) AS BIGINT) AS nll
+        |        FROM ng CROSS JOIN fl
+        |        LEFT JOIN seen ON seen.doc_id = ng.doc_id
+        |          AND seen.lang = fl.lang),
+        |rk AS (SELECT doc_id, lang, nll, ROW_NUMBER() OVER (
+        |         PARTITION BY doc_id ORDER BY nll, lang) AS rn FROM sco)
+        |SELECT ng.doc_id,
+        |  CASE WHEN ng.n_grams > 0 THEN r.lang END AS pred_lang,
+        |  CASE WHEN ng.n_grams > 0 THEN r.nll END AS nll_micro,
+        |  ng.n_grams
+        |FROM ng LEFT JOIN (SELECT * FROM rk WHERE rn = 1) r
+        |  ON ng.doc_id = r.doc_id""".stripMargin,
 
     // Corpus-overlap audit: exact side from the dumped shingle strings
     // (distinct-union arithmetic), estimate side from the per-doc sig

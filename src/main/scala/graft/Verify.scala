@@ -95,6 +95,17 @@ object Verify {
     // tokenization/tf/saturation/sums/top-k replay relationally.
     graft.ops.Bm25.idfTableWords(docs, "doc_id", "text")
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_input_bm25")
+    // Language-ID dictionaries (q_langid_ngram): counts/totals/vocab are
+    // recomputed and cross-checked by the oracle's joins; only the two
+    // quantized-ln columns import (the Bm25 idf convention).
+    locally {
+      val (lid, lfl) = graft.ops.TextAnalysis.langIdDicts(
+        docs.where(col("doc_id") % 3 === 0), "lang", "text")
+      lid.coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/_input_langid")
+      lfl.coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/_input_langid_floors")
+    }
     // Unigram-LM NLL dictionary (q_lm_score): counts recomputed and
     // cross-checked by the oracle's join ON (w, cnt); only the quantized
     // ln imports (the Bm25/DSIR convention).

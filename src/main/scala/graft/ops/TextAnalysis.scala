@@ -437,4 +437,100 @@ object TextAnalysis {
       .withColumn("n_tokens_bpe", tokenCountBpe(col(textCol)))
       .withColumn("quality", qualityScore(col(textCol)))
       .withColumn("fingerprint", fingerprint(col(textCol)))
+
+  // --------------- character-n-gram language ID (TextCat / fastText-lid
+  // shaped): add-one-smoothed Naive Bayes over char n-gram profiles
+  // trained from a labeled seed — the upgrade of the stopword-argmax
+  // heuristic in [[textProfile]] to the published technique (Cavnar &
+  // Trenkle 1994 profiles; the NB scoring is the langid.py formulation).
+
+  /** Character n-grams of the LOWERCASED text (case is not a language
+    * signal), overlapping, order preserved; fewer than `n` chars → empty.
+    */
+  def charNgrams(text: Column, n: Int = 3): Column = {
+    require(n >= 1, s"n must be >= 1: $n")
+    val t = lower(text)
+    when(length(t) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(t) - (n - 1)),
+        i => t.substr(i, lit(n))))
+  }
+
+  /** Train the classifier dictionaries from a labeled seed:
+    * `(dict, floors)` where dict = (g, lang, cnt, delta_micro) and
+    * floors = (lang, t_total, v_size, floor_micro).
+    *
+    * Scoring identity that shapes everything: with add-one smoothing over
+    * the seed's SHARED gram vocabulary V,
+    * `nll(doc | lang) = floor(lang)·|grams(doc)| + Σ_seen delta(lang, g)`
+    * where floor(lang) = −ln(1/(T_lang+|V|)) is the unseen-gram cost and
+    * delta = nll(seen) − floor ≤ 0 — so scoring only ever JOINS the
+    * grams a language has actually seen (inner join against the
+    * broadcast dict) instead of crossing every doc-gram with every
+    * language. Every `ln` quantizes ONCE per dictionary row into integer
+    * micro-nats (the Bm25 idf convention), so per-doc scores are exact
+    * long sums: order-independent, partitioning-invariant, and the
+    * oracle recomputes every count relationally, importing only the two
+    * quantized-ln columns (cross-checked by joining ON the counts).
+    */
+  def langIdDicts(seed: DataFrame, langCol: String, textCol: String,
+                  n: Int = 3): (DataFrame, DataFrame) = {
+    require(seed.columns.contains(langCol), s"missing column: $langCol")
+    require(seed.columns.contains(textCol), s"missing column: $textCol")
+    val counts = seed
+      .select(col(langCol).as("lang"),
+        explode(charNgrams(col(textCol), n)).as("g"))
+      .groupBy("lang", "g").agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy("lang").agg(sum("cnt").as("t_total"))
+    val vsize = counts.select("g").distinct()
+      .agg(count(lit(1)).as("v_size"))
+    val floors = totals.crossJoin(broadcast(vsize))
+      .select(col("lang"), col("t_total"), col("v_size"),
+        nllMicro(lit(1.0) / (col("t_total") + col("v_size")))
+          .as("floor_micro"))
+    val dict = counts.join(broadcast(floors), Seq("lang"))
+      .select(col("g"), col("lang"), col("cnt"),
+        (nllMicro((col("cnt") + 1).cast("double") /
+          (col("t_total") + col("v_size"))) - col("floor_micro"))
+          .as("delta_micro"))
+    (dict, floors)
+  }
+
+  /** Classify every document: `(doc_id, pred_lang, nll_micro, n_grams)` —
+    * argmin total NLL, ties broken by lang ascending (a total order, so
+    * the prediction is deterministic and engine-replayable); documents
+    * with fewer than `n` characters predict NULL.
+    *
+    * Scale shape: gram explode (narrow) → broadcast dict INNER join
+    * (only seen (gram, lang) rows survive — never doc-grams × languages)
+    * → one map-side-combined (doc, lang) partial aggregation → the tiny
+    * floors frame crossed on (docs × L rows) → one doc-keyed argmin
+    * aggregation. The corpus never shuffles except the per-doc partial
+    * rows.
+    */
+  def langIdNgram(df: DataFrame, idCol: String, textCol: String,
+                  seed: DataFrame, seedLangCol: String,
+                  n: Int = 3): DataFrame = {
+    require(df.columns.contains(idCol), s"missing column: $idCol")
+    require(df.columns.contains(textCol), s"missing column: $textCol")
+    val (dict, floors) = langIdDicts(seed, seedLangCol, textCol, n)
+    val seen = df
+      .select(col(idCol).as("doc_id"),
+        explode(charNgrams(col(textCol), n)).as("g"))
+      .join(broadcast(dict.select("g", "lang", "delta_micro")), Seq("g"))
+      .groupBy("doc_id", "lang").agg(sum("delta_micro").as("_sum_delta"))
+    val nGr = df.select(col(idCol).as("doc_id"),
+      greatest(length(col(textCol)) - (n - 1), lit(0)).cast("long")
+        .as("n_grams"))
+    nGr
+      .crossJoin(broadcast(floors.select("lang", "floor_micro")))
+      .join(seen, Seq("doc_id", "lang"), "left")
+      .withColumn("_nll", col("floor_micro") * col("n_grams") +
+        coalesce(col("_sum_delta"), lit(0L)))
+      .groupBy("doc_id")
+      .agg(min(when(col("n_grams") > 0,
+          struct(col("_nll"), col("lang")))).as("_b"),
+        first(col("n_grams")).as("n_grams"))
+      .select(col("doc_id"), col("_b.lang").as("pred_lang"),
+        col("_b._nll").as("nll_micro"), col("n_grams"))
+  }
 }

@@ -95,6 +95,65 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("langIdNgram ≡ driver NB replay; distinct-alphabet langs classified " +
+    "correctly; short doc → NULL; tie broken by lang; partitioning-" +
+    "invariant") {
+    // two hand languages with disjoint character distributions
+    val seed = Seq(
+      ("aa", "abba baab abab abba baba"), ("aa", "aabb bbaa abba baab"),
+      ("zz", "zyzzy yzzyz zzyzy yzyzy"), ("zz", "zzyy yyzz zyzy yzyz")
+    ).toDF("lang", "text")
+    val docs = Seq(
+      (0L, "abba abab"),          // clearly aa
+      (1L, "zyzzy zyzy"),         // clearly zz
+      (2L, "ab"),                 // < 3 chars → NULL
+      (3L, "qqqq qqqq")           // all grams unseen → pure floor, tie
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.langIdNgram(docs, "doc_id", "text", seed, "lang")
+      .as[(Long, Option[String], Option[Long], Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // driver replay of the full NB formulation incl. quantization
+    def grams(s: String): Seq[String] =
+      if (s.length < 3) Seq.empty
+      else (0 to s.length - 3).map(i => s.toLowerCase.substring(i, i + 3))
+    val seedRows = seed.as[(String, String)].collect()
+    val counts = seedRows.flatMap { case (l, t) => grams(t).map(l -> _) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val totals = counts.groupBy(_._1._1)
+      .map { case (l, m) => l -> m.values.sum }
+    val vocab = counts.keySet.map(_._2)
+    def q(p: Double): Long = math.floor(-math.log(p) * 1e6 + 0.5).toLong
+    def floorL(l: String): Long = q(1.0 / (totals(l) + vocab.size))
+    def nllOf(l: String, txt: String): Long = {
+      val gs = grams(txt)
+      floorL(l) * gs.length + gs.map { g =>
+        counts.get(l -> g)
+          .map(c => q((c + 1).toDouble / (totals(l) + vocab.size)) -
+            floorL(l))
+          .getOrElse(0L)
+      }.sum
+    }
+    for ((id, txt) <- Seq(0L -> "abba abab", 1L -> "zyzzy zyzy",
+        3L -> "qqqq qqqq")) {
+      val best = Seq("aa", "zz").map(l => (nllOf(l, txt), l)).min
+      assert(got(id) == ((id, Some(best._2), Some(best._1),
+        (txt.length - 2).toLong)), s"doc $id")
+    }
+    assert(got(0L)._2.contains("aa") && got(1L)._2.contains("zz"))
+    assert(got(2L) == ((2L, None, None, 0L)))
+    // doc 3: every gram unseen in both langs → score = floor·n_grams for
+    // each; the winner must be the deterministic (nll, lang) minimum
+    val exp3 = Seq("aa", "zz")
+      .map(l => (floorL(l) * grams("qqqq qqqq").length, l)).min
+    assert(got(3L)._2.contains(exp3._2))
+    // partitioning invariance
+    val got7 = TextAnalysis.langIdNgram(docs.repartition(7), "doc_id",
+      "text", seed.repartition(3), "lang")
+      .as[(Long, Option[String], Option[Long], Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got7 == got)
+  }
+
   test("lmScore ≡ driver replay (exact micro-nat sums + integer-div " +
     "mean); rare words score above common; empty doc zeros; " +
     "partitioning-invariant") {
