@@ -32,7 +32,9 @@ object Bench {
     "q_c4_lines", "q_gopher_rules", "q_lm_score", "q_lm2_score",
     "q_lm3_score", "q_dsir_weights", "q_bloom_decontaminate",
     "q_fuzzy_decontaminate", "q_sft_render", "q_corpus_report",
-    "q_bpe_ids", "q_pack_rows")
+    "q_bpe_ids", "q_pack_rows",
+    // round-4 close: robots decision, NB language ID, corpus overlap
+    "q_robots_allowed", "q_langid_ngram", "q_corpus_overlap")
 
   def time[A](f: => A): Double = {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9

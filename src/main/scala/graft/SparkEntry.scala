@@ -1033,9 +1033,11 @@ object SparkEntry {
     // classified by exact integer NLL argmin. The oracle recomputes ALL
     // counts/totals/vocab in SQL and imports only the two quantized-ln
     // columns, cross-checked by joins ON the counts.
+    // (the one-pass LangIdScore kernel — bit-equal to the relational
+    // formulation the oracle replays; TextAnalysisSpec parity)
     "q_langid_ngram" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      graft.ops.TextAnalysis.langIdNgram(docs, "doc_id", "text",
+      graft.ops.TextAnalysis.langIdNgramFast(docs, "doc_id", "text",
         docs.where(col("doc_id") % 3 === 0), "lang")
     }),
 

@@ -518,8 +518,11 @@ object TextAnalysis {
         explode(charNgrams(col(textCol), n)).as("g"))
       .join(broadcast(dict.select("g", "lang", "delta_micro")), Seq("g"))
       .groupBy("doc_id", "lang").agg(sum("delta_micro").as("_sum_delta"))
+    // length of the LOWERED text — the same string charNgrams counts
+    // (full case mapping may change code-point counts outside ASCII;
+    // the floor·n_grams identity needs the two to agree)
     val nGr = df.select(col(idCol).as("doc_id"),
-      greatest(length(col(textCol)) - (n - 1), lit(0)).cast("long")
+      greatest(length(lower(col(textCol))) - (n - 1), lit(0)).cast("long")
         .as("n_grams"))
     nGr
       .crossJoin(broadcast(floors.select("lang", "floor_micro")))
@@ -532,5 +535,34 @@ object TextAnalysis {
         first(col("n_grams")).as("n_grams"))
       .select(col("doc_id"), col("_b.lang").as("pred_lang"),
         col("_b._nll").as("nll_micro"), col("n_grams"))
+  }
+
+  /** [[langIdNgram]] as one codegen'd pass ([[graft.expr.LangIdScore]]):
+    * the trained dictionaries collect to the driver (seed-scale — V×L
+    * rows, the trained-artifact precedent) and ride as a reference
+    * object; every document scores in one code-point sweep with zero
+    * explode/join/aggregation — zero shuffle at any corpus size.
+    * Bit-equal output (TextAnalysisSpec parity on every corpus in the
+    * suite; the q_langid_ngram oracle replays the shared formulation).
+    */
+  def langIdNgramFast(df: DataFrame, idCol: String, textCol: String,
+                      seed: DataFrame, seedLangCol: String,
+                      n: Int = 3): DataFrame = {
+    require(df.columns.contains(idCol), s"missing column: $idCol")
+    require(df.columns.contains(textCol), s"missing column: $textCol")
+    val (dict, floors) = langIdDicts(seed, seedLangCol, textCol, n)
+    val floorRows = floors.select("lang", "floor_micro").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val deltaRows = dict.select("g", "lang", "delta_micro").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val d = graft.expr.LangIdScore.buildDict(floorRows, deltaRows)
+    // coalesce: a NULL text scores like the relational path's no-gram arm
+    // (pred NULL, n_grams 0) instead of nulling the whole struct
+    df.select(col(idCol).as("doc_id"),
+        graft.expr.LangIdScore.langid_score(
+          coalesce(col(textCol), lit("")), n, d).as("_s"))
+      .select(col("doc_id"), col("_s.pred_lang").as("pred_lang"),
+        col("_s.nll_micro").as("nll_micro"),
+        col("_s.n_grams").as("n_grams"))
   }
 }

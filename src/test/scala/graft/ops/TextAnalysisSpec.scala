@@ -152,6 +152,45 @@ class TextAnalysisSpec extends SparkTestBase {
       .as[(Long, Option[String], Option[Long], Long)].collect()
       .map(r => r._1 -> r).toMap
     assert(got7 == got)
+    // the one-pass kernel is bit-equal to the relational formulation
+    val fast = TextAnalysis.langIdNgramFast(docs, "doc_id", "text",
+      seed, "lang")
+      .as[(Long, Option[String], Option[Long], Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(fast == got, "LangIdScore kernel diverged from relational path")
+    // kernel plan: no join, no aggregation, single codegen'd projection
+    val plan = TextAnalysis.langIdNgramFast(docs, "doc_id", "text",
+      seed, "lang").queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Aggregate"), plan)
+  }
+
+  test("langIdNgramFast ≡ langIdNgram on the real corpus slice " +
+    "(five-lang dictionary, null text, unicode)") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "der schnelle braune fuchs springt"),
+      (2L, null.asInstanceOf[String]),
+      (3L, "ab"),
+      (4L, "数据 查询 引擎 the query engine 日本語テキスト"),
+      (5L, "El rápido zorro marrón salta sobre el perro")
+    ).toDF("doc_id", "text")
+    val seed = Seq(
+      ("en", "the quick brown fox and the lazy dog run"),
+      ("de", "der schnelle braune fuchs und der faule hund"),
+      ("es", "el zorro marrón rápido y el perro perezoso"),
+      ("zh", "数据 查询 引擎 表 行 列"),
+      ("ja", "日本語 テキスト 解析 処理")
+    ).toDF("lang", "text")
+    val rel = TextAnalysis.langIdNgram(docs, "doc_id", "text", seed, "lang")
+      .as[(Long, Option[String], Option[Long], Option[Long])].collect().toSet
+    val fast = TextAnalysis.langIdNgramFast(docs, "doc_id", "text",
+      seed, "lang")
+      .as[(Long, Option[String], Option[Long], Option[Long])].collect().toSet
+    assert(fast == rel)
+    val byId = rel.map(r => r._1 -> r._2).toMap
+    assert(byId(0L).contains("en") && byId(1L).contains("de") &&
+      byId(5L).contains("es"))
+    assert(byId(2L).isEmpty && byId(3L).isEmpty)
   }
 
   test("lmScore ≡ driver replay (exact micro-nat sums + integer-div " +
