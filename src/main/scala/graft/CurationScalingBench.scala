@@ -37,8 +37,12 @@ object CurationScalingBench {
     math.max(cores, (nDocs / 31250L).toInt)
 
   private def session(cores: Int, parts: Int): SparkSession = {
+    // SPARK_GRAFT_MASTER: run the SAME stages under spark-submit
+    // --master local-cluster[N,c,mem] — real separate executor JVMs (the
+    // ScalingBench multi-executor protocol); pass `cores` matching the
+    // cluster's total cores so data-sized partitions stay comparable
     val s = SparkSession.builder()
-      .master(s"local[$cores]")
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cores]"))
       .appName(s"graft-curation-scaling-$cores")
       .config("spark.sql.shuffle.partitions", parts.toString)
       .config("spark.sql.adaptive.enabled", "true")
