@@ -613,6 +613,37 @@ object SparkEntry {
           graft.ops.UrlCuration.urlDomain(col("href")).as("domain"))
     }),
 
+    // Anchor-TEXT profile per target domain (the off-page relevance
+    // signal): anchors synthesized by pure concatenation — both quote
+    // styles, attr-before-href, an embedded #fragment, a fragment-only
+    // anchor that must drop, and a nested-markup anchor the documented
+    // plain-text rule must NOT extract — so the oracle rebuilds the
+    // identical HTML and replays the two-group extraction, both domain
+    // chains, the self-domain drop, and the normWords rollup.
+    "q_anchor_terms" -> ((s, d) => {
+      val u = urlDocs(t(s, d, "documents"))
+      val k1 = col("doc_id") * 31 + 7
+      val k2 = col("doc_id") * 17 + 5
+      val html = concat(
+        lit("<html><body><a href=\"https://site"), (k1 % 7).cast("string"),
+        element_at(array(lit(".com"), lit(".org"), lit(".co.uk")),
+          (k1 % 3 + 1).cast("int")),
+        lit("/p/"), k1.cast("string"),
+        lit("\">Visit site "), (k1 % 7).cast("string"), lit(" now</a>"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("<A CLASS='b' HREF='https://www.site"),
+            (k2 % 7).cast("string"), lit(".org/q#frag'>Read More</A>")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit("<a href=\"#top\">skip</a>"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          lit("<a href=\"https://site1.net/x\"><b>bold</b></a>"))
+          .otherwise(lit("")),
+        lit("</body></html>"))
+      graft.ops.LinkGraph.anchorTerms(
+        u.withColumn("html", html), "url", "html")
+    }),
+
     // Exact-integer PageRank (domain-centrality quality signal): the edge
     // list is synthesized by pure arithmetic (two deterministic out-links
     // per doc over 53 string nodes, duplicates + self-loops included so
@@ -1885,6 +1916,69 @@ object SparkEntry {
         |         THEN array_to_string(lab[len(lab)-2:], '.')
         |       ELSE array_to_string(lab[len(lab)-1:], '.') END AS domain
         |FROM l""".stripMargin,
+
+    // Anchor-text rollup: two-group extraction (unnests of the same
+    // pattern zip positionally), dst-domain normalize chain, src-domain
+    // chain from the url synthesis, self-domain drop, normWords terms
+    "q_anchor_terms" ->
+      (urlSynthSql +
+      """, sd AS (SELECT doc_id,
+        |    CASE WHEN len(lab) <= 2 THEN host
+        |         WHEN lab[-2] IN ('co','com','net','org','ac','gov','edu')
+        |              AND len(lab[-1]) = 2
+        |           THEN array_to_string(lab[len(lab)-2:], '.')
+        |         ELSE array_to_string(lab[len(lab)-1:], '.') END AS src_dom
+        |  FROM l),
+        |hh AS (SELECT doc_id,
+        |  '<html><body><a href="https://site' ||
+        |  CAST((doc_id*31+7) % 7 AS VARCHAR) ||
+        |  (['.com','.org','.co.uk'])[((doc_id*31+7) % 3) + 1] ||
+        |  '/p/' || CAST(doc_id*31+7 AS VARCHAR) ||
+        |  '">Visit site ' || CAST((doc_id*31+7) % 7 AS VARCHAR) ||
+        |  ' now</a>' ||
+        |  CASE WHEN doc_id % 3 = 0 THEN
+        |    '<A CLASS=''b'' HREF=''https://www.site' ||
+        |    CAST((doc_id*17+5) % 7 AS VARCHAR) ||
+        |    '.org/q#frag''>Read More</A>' ELSE '' END ||
+        |  CASE WHEN doc_id % 5 = 0 THEN '<a href="#top">skip</a>'
+        |  ELSE '' END ||
+        |  CASE WHEN doc_id % 7 = 0 THEN
+        |    '<a href="https://site1.net/x"><b>bold</b></a>' ELSE '' END ||
+        |  '</body></html>' AS html
+        |  FROM documents),
+        |ax AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(html,
+        |      '(?i)<a\b[^>]*?\bhref\s*=\s*["'']([^"''#]+)[^"'']*["''][^>]*>([^<]*)</a>',
+        |      1)) AS href,
+        |    unnest(regexp_extract_all(html,
+        |      '(?i)<a\b[^>]*?\bhref\s*=\s*["'']([^"''#]+)[^"'']*["''][^>]*>([^<]*)</a>',
+        |      2)) AS anchor
+        |  FROM hh),
+        |an AS (SELECT doc_id, anchor,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(lower(trim(href)),
+        |    '^[a-z][a-z0-9+.-]*://', ''),
+        |    '#.*$', ''), '\?.*$', ''), '^[^/?#]*@', ''), '^www\d*\.', ''),
+        |    '/+$', '') AS url_norm FROM ax),
+        |ah AS (SELECT *, regexp_replace(regexp_extract(url_norm,
+        |        '^([^/]+)', 1), ':\d+$', '') AS ahost FROM an),
+        |al AS (SELECT *, string_split(ahost, '.') AS alab FROM ah),
+        |ad AS (SELECT doc_id, anchor,
+        |    CASE WHEN len(alab) <= 2 THEN ahost
+        |         WHEN alab[-2] IN ('co','com','net','org','ac','gov','edu')
+        |              AND len(alab[-1]) = 2
+        |           THEN array_to_string(alab[len(alab)-2:], '.')
+        |         ELSE array_to_string(alab[len(alab)-1:], '.') END AS domain
+        |  FROM al),
+        |fj AS (SELECT ad.domain, ad.anchor FROM ad
+        |       JOIN sd ON ad.doc_id = sd.doc_id
+        |       WHERE ad.domain <> sd.src_dom),
+        |tm AS (SELECT domain, unnest(list_filter(string_split(
+        |         regexp_replace(lower(anchor), '[^a-z0-9 ]', ' ', 'g'),
+        |         ' '), x -> x <> '')) AS term
+        |       FROM fj)
+        |SELECT domain, term, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM tm GROUP BY domain, term""".stripMargin),
 
     // PageRank: three full power-iteration rounds of the exact micro-unit
     // recurrence replayed in chained CTEs — share = (850000·r) // 1e6 //

@@ -90,6 +90,51 @@ object LinkGraph {
         .as("href"))
   }
 
+  /** `<a href=…>TEXT</a>` pairs: like [[HrefPattern]] (case-insensitive,
+    * both quote styles, fragment truncated from the capture) but the
+    * whole element must close, and group 2 is the PLAIN inner text —
+    * `[^<]*`, so anchors wrapping nested markup (`<a><b>x</b></a>`) are
+    * NOT extracted (their text is chrome more often than signal; the
+    * conservative miss is documented and spec-pinned). RE2-compatible,
+    * replayed verbatim by the oracle.
+    */
+  val AnchorPattern: String =
+    "(?i)<a\\b[^>]*?\\bhref\\s*=\\s*[\"']([^\"'#]+)[^\"']*[\"'][^>]*>([^<]*)</a>"
+
+  /** Anchor-TEXT profile per target domain — the classic off-page
+    * relevance/quality signal (what OTHER sites call a domain; the
+    * published anchor-text datasets over Common Crawl are exactly this
+    * rollup): `(domain, term, cnt)` over the normalized words of every
+    * EXTERNAL anchor pointing at the domain. Self-domain anchors (site
+    * navigation — the overwhelming majority, and pure boilerplate) are
+    * dropped, same rule as [[domainEdges]].
+    *
+    * Scale shape: extraction is a narrow codegen'd projection (two
+    * `regexp_extract_all` passes over the same pattern — group 1 and
+    * group 2 — zipped positionally, so href/text alignment is by the
+    * regex engine, not a parse); the ONE exchange is the (domain, term)
+    * partial aggregation — repeated boilerplate anchors ("click here")
+    * collapse map-side before shipping. For a bounded corpus-wide top-k
+    * instead of the full profile, feed this through
+    * [[Curation.topNgramsSketch]]'s Misra-Gries machinery.
+    */
+  def anchorTerms(df: DataFrame, urlCol: String, htmlCol: String): DataFrame = {
+    require(df.columns.contains(urlCol), s"missing input column: $urlCol")
+    require(df.columns.contains(htmlCol), s"missing input column: $htmlCol")
+    val hrefs = regexp_extract_all(col(htmlCol), lit(AnchorPattern), lit(1))
+    val texts = regexp_extract_all(col(htmlCol), lit(AnchorPattern), lit(2))
+    df.select(UrlCuration.urlDomain(col(urlCol)).as("_at_src"),
+        explode(zip_with(hrefs, texts, (h, a) =>
+          struct(h.as("href"), a.as("anchor")))).as("_at_a"))
+      .select(col("_at_src"),
+        UrlCuration.urlDomain(col("_at_a.href")).as("domain"),
+        col("_at_a.anchor").as("_at_anchor"))
+      .where(col("domain") =!= col("_at_src"))
+      .select(col("domain"),
+        explode(Curation.normWords(col("_at_anchor"))).as("term"))
+      .groupBy("domain", "term").agg(count(lit(1)).as("cnt"))
+  }
+
   /** Registrable-domain edge set from documents carrying their own URL and
     * raw HTML: `(src, dst)` distinct, self-links (intra-domain navigation
     * — the overwhelming majority of anchors on a real page) dropped.

@@ -270,6 +270,30 @@ class LinkGraphSpec extends SparkTestBase {
     }
   }
 
+  test("anchorTerms: pair extraction, self-domain drop, nested-markup " +
+    "miss, fragment handling, term rollup ≡ driver replay") {
+    import spark.implicits._
+    val rows = Seq(
+      // external anchor, double quotes; + self-link (dropped); + nested
+      // markup (not extracted, documented); + fragment-only (dropped)
+      (1L, "https://me.com/a",
+        "<a href=\"https://other.org/p\">Great Tool docs</a>" +
+          "<a href=\"https://me.com/b\">home</a>" +
+          "<a href=\"https://x.net/y\"><b>bold</b></a>" +
+          "<a href=\"#top\">skip</a>"),
+      // single quotes, uppercase tag, attr before href, #frag truncated
+      (2L, "https://me.com/c",
+        "<A CLASS='z' HREF='https://other.org/q#frag'>great TOOL!</A>"),
+      // no anchors at all
+      (3L, "https://me.com/d", "<p>nothing</p>"))
+    val df = rows.toDF("doc_id", "url", "html")
+    val got = LinkGraph.anchorTerms(df, "url", "html")
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(
+      ("other.org", "great", 2L), ("other.org", "tool", 2L),
+      ("other.org", "docs", 1L)))
+  }
+
   test("rankDocs plan gate: the rank table never broadcasts") {
     // the rank table grows with the graph (10^8–10^9 domains at crawl
     // scale) — Catalyst would happily broadcast the toy-sized frame here,
