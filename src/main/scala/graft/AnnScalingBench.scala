@@ -66,8 +66,10 @@ object AnnScalingBench {
     math.max(cores, (nVecs / 125000L).toInt)
 
   private def session(cores: Int, parts: Int): SparkSession = {
+    // SPARK_GRAFT_MASTER: the spark-submit local-cluster multi-executor
+    // protocol (see ScalingBench) — `cores` still sizes partitions
     val s = SparkSession.builder()
-      .master(s"local[$cores]")
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cores]"))
       .appName(s"graft-ann-scaling-$cores")
       .config("spark.sql.shuffle.partitions", parts.toString)
       .config("spark.sql.adaptive.enabled", "true")

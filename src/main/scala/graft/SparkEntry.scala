@@ -518,6 +518,15 @@ object SparkEntry {
       graft.ops.Dedup.clusters(docs, "doc_id", sqlPairEdges(docs))
     }),
 
+    // Quality-weighted survivor: keep the LONGEST member of each cluster
+    // (ties → min id) — the RefinedWeb/CCNet keep rule, via one
+    // max(struct(score, -id)) hash aggregation (no per-component window).
+    "q_dedup_keepby" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.ops.Dedup.clustersKeepBy(docs, "doc_id", "n_chars",
+        sqlPairEdges(docs))
+    }),
+
     // Leakage-safe splits: train/val/test decided by the near-dup CLUSTER
     // representative (same SQL-expressible pair rule as q_dedup_clusters so
     // DuckDB recomputes the components independently), so near-duplicates
@@ -3802,6 +3811,34 @@ object SparkEntry {
         |SELECT CAST(id AS BIGINT) AS doc_id, CAST(MIN(comp) AS BIGINT) AS comp,
         |  MIN(comp) = id AS keep
         |FROM walk GROUP BY id""".stripMargin,
+
+    // Same transitive closure; the winner replay is a window over the
+    // closed components ORDER BY (n_chars DESC, id) — an independent
+    // algorithm for the same argmax the engine computes as one
+    // max(struct(score, -id)) aggregation
+    "q_dedup_keepby" ->
+      """WITH RECURSIVE
+        |k1 AS (SELECT doc_id, regexp_extract(text, '^(\w+)', 1) AS k FROM documents),
+        |e AS (
+        |  SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM k1 a JOIN k1 b ON a.k = b.k AND a.doc_id <> b.doc_id
+        |  UNION
+        |  SELECT a.doc_id, b.doc_id
+        |  FROM documents a JOIN documents b
+        |    ON a.n_chars = b.n_chars AND a.doc_id <> b.doc_id
+        |),
+        |walk(id, comp) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, w.comp FROM walk w JOIN e ON e.src = w.id
+        |),
+        |cc AS (SELECT id, MIN(comp) AS comp FROM walk GROUP BY id),
+        |r AS (SELECT cc.id, cc.comp, d.n_chars, ROW_NUMBER() OVER (
+        |        PARTITION BY cc.comp ORDER BY d.n_chars DESC, cc.id) AS rn
+        |      FROM cc JOIN documents d ON cc.id = d.doc_id)
+        |SELECT CAST(id AS BIGINT) AS doc_id, CAST(comp AS BIGINT) AS comp,
+        |  rn = 1 AS keep
+        |FROM r""".stripMargin,
 
     // Incremental CC must equal the full recompute — the oracle is the
     // SAME transitive closure over ALL pairs as q_dedup_clusters

@@ -879,6 +879,37 @@ object Dedup {
         coalesce(col("comp"), col("id")).as("comp"),
         (coalesce(col("comp"), col("id")) === col("id")).as("keep"))
 
+  /** [[clusters]] with a QUALITY-WEIGHTED representative: keep the
+    * component member with the highest `scoreCol` (ties → smallest id) —
+    * the survivor rule real pipelines want (keep the longest / highest-
+    * quality / most-recent member of a near-dup cluster, not an
+    * arbitrary min id; RefinedWeb keeps by quality, CCNet by length).
+    *
+    * Skew shape (the exactKeep lesson): the winner per component is ONE
+    * partial-combining hash aggregation — `max(struct(score, -id))` —
+    * so a degenerate million-member cluster collapses map-side instead
+    * of funneling through a per-component window sort. `scoreCol` must
+    * be numeric (the negated-id tie-break rides in the same struct);
+    * a non-numeric column fails at analysis.
+    */
+  def clustersKeepBy(df: DataFrame, idCol: String, scoreCol: String,
+                     pairs: DataFrame, aCol: String = "id_a",
+                     bCol: String = "id_b"): DataFrame = {
+    require(df.columns.contains(idCol), s"missing column: $idCol")
+    require(df.columns.contains(scoreCol), s"missing column: $scoreCol")
+    val labeled = df
+      .select(col(idCol).cast("long").as("id"), col(scoreCol).as("_kb_s"))
+      .join(connectedComponentsStar(pairs, aCol, bCol), Seq("id"), "left")
+      .withColumn("comp", coalesce(col("comp"), col("id")))
+    val winners = labeled.groupBy("comp")
+      .agg(max(struct(col("_kb_s").as("s"), (-col("id")).as("negid")))
+        .as("_kb_w"))
+      .select(col("comp"), (-col("_kb_w.negid")).as("_kb_win"))
+    labeled.join(winners, Seq("comp"))
+      .select(col("id").as(idCol), col("comp"),
+        (col("id") === col("_kb_win")).as("keep"))
+  }
+
   /** The full dedup story: exact-dedup survivors → minhash near-dup pairs
     * → connected components → canonical keep set.
     */

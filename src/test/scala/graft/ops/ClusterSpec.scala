@@ -188,6 +188,42 @@ class ClusterSpec extends SparkTestBase {
     assert(got === Set((1L, "a"), (9L, "b")))
   }
 
+  test("clustersKeepBy: highest score wins, ties break to min id, " +
+    "singletons keep; no per-component Window; ≡ clusters on min-id " +
+    "score") {
+    // cluster {0,1,2}: scores 5,9,9 → winner 1 (max score, tie → min id);
+    // cluster {5,6}: winner 6 (higher score beats lower id);
+    // singleton 8 keeps itself
+    val docs = Seq((0L, 5L), (1L, 9L), (2L, 9L), (5L, 1L), (6L, 7L),
+      (8L, 0L)).toDF("doc_id", "score")
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    val m = Dedup.clustersKeepBy(docs, "doc_id", "score", pairs)
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(m.collect { case (id, (_, true)) => id }.toSet == Set(1L, 6L, 8L))
+    assert(m(0L)._1 == m(1L)._1 && m(1L)._1 == m(2L)._1)
+    // degenerate hot cluster: 20k members, one component — no Window op
+    val big = spark.range(0, 20000).select($"id".as("doc_id"),
+      ($"id" % 100).as("score"))
+    val chain = spark.range(0, 19999).select($"id".as("id_a"),
+      ($"id" + 1).as("id_b"))
+    val kb = Dedup.clustersKeepBy(big, "doc_id", "score", chain)
+    kb.count()
+    val plan = kb.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(3000))
+    // winner = max score 99, tie → min id = 99
+    assert(kb.where($"keep").select("doc_id").as[Long].collect().toSeq
+      == Seq(99L))
+    // with the id itself negated as score, keepBy(min-id) ≡ clusters
+    val viaKeepBy = Dedup.clustersKeepBy(
+      docs.withColumn("negid", -$"doc_id"), "doc_id", "negid", pairs)
+      .select("doc_id", "comp", "keep")
+      .as[(Long, Long, Boolean)].collect().toSet
+    val viaClusters = Dedup.clusters(docs, "doc_id", pairs)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(viaKeepBy == viaClusters)
+  }
+
   test("ccUpdate ≡ full recompute on randomly grown pair streams") {
     // grow a graph in 4 batches; after each, the incrementally-maintained
     // assignment must equal connectedComponentsStar over ALL pairs so far.
