@@ -518,6 +518,15 @@ object SparkEntry {
       graft.ops.Dedup.clusters(docs, "doc_id", sqlPairEdges(docs))
     }),
 
+    // Deterministic per-epoch global training order: (shard, pos) such
+    // that shard-major reading visits the corpus in the epoch's
+    // pseudorandom order — per-epoch odd multiplier (a bijection, not a
+    // rotation), shard monotone in rank so there is NO global sort.
+    "q_epoch_shuffle" -> ((s, d) =>
+      graft.ops.Packing.epochShuffle(
+        t(s, d, "documents").select(col("doc_id")), "doc_id",
+        nShards = 8, epoch = 3)),
+
     // Quality-weighted survivor: keep the LONGEST member of each cluster
     // (ties → min id) — the RefinedWeb/CCNet keep rule, via one
     // max(struct(score, -id)) hash aggregation (no per-component window).
@@ -3811,6 +3820,18 @@ object SparkEntry {
         |SELECT CAST(id AS BIGINT) AS doc_id, CAST(MIN(comp) AS BIGINT) AS comp,
         |  MIN(comp) = id AS keep
         |FROM walk GROUP BY id""".stripMargin,
+
+    // epoch-3 multiplier = (2654435761 · 7) mod 2^32 = 1401181143;
+    // rank/shard arithmetic and the per-shard position window replay
+    "q_epoch_shuffle" ->
+      """WITH r AS (SELECT doc_id,
+        |    (doc_id * 1401181143) % 4294967296 AS rk FROM documents),
+        |s AS (SELECT doc_id, CAST((rk * 8) // 4294967296 AS INT) AS shard,
+        |         rk FROM r)
+        |SELECT doc_id, shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY rk, doc_id)
+        |    AS BIGINT) AS pos
+        |FROM s""".stripMargin,
 
     // Same transitive closure; the winner replay is a window over the
     // closed components ORDER BY (n_chars DESC, id) — an independent

@@ -223,6 +223,48 @@ object Packing {
     * exchanges; row amplification is Σ n_chunks ≈ corpus_tokens/stride,
     * the output's intrinsic size.
     */
+  /** Deterministic per-EPOCH global shuffle — the reproducible training
+    * order every trainer run needs (same epoch ⇒ same order on any
+    * engine/partitioning/retry; different epoch ⇒ a genuinely different
+    * permutation, not a rotation): every row gets `(shard, pos)` such
+    * that reading shards in order, each sorted by pos, visits the corpus
+    * in the epoch's global pseudorandom order.
+    *
+    * rank_e(id) = (id · c_e) mod 2^32 with the per-epoch multiplier
+    * c_e = (2654435761 · (2·epoch+1)) mod 2^32 — odd·odd stays odd, so
+    * each epoch is a bijection on [0, 2^32) (the
+    * [[Curation.sampleRank]] family; id ∈ [0, 2^31) enforced the same
+    * way, and c_e < 2^32 keeps the product overflow-free in either
+    * engine). The multiplier must differ MULTIPLICATIVELY per epoch: an
+    * additive tweak (c + 2·epoch) perturbs ranks by only 2·epoch·id,
+    * which cannot reorder a small-id corpus — caught by the spec's
+    * epochs-differ case. shard = ⌊rank_e · nShards / 2^32⌋ is MONOTONE
+    * in rank_e, so (shard asc, pos asc) ≡ global (rank_e, id) order — a
+    * total order with NO global sort: one hash exchange on shard + a
+    * per-shard window bounded by corpus/nShards (the [[packChunks]]
+    * shard discipline).
+    */
+  def epochShuffle(df: DataFrame, idCol: String, nShards: Int,
+                   epoch: Int): DataFrame = {
+    require(df.columns.contains(idCol), s"missing column: $idCol")
+    require(nShards >= 1 && nShards <= (1 << 20),
+      s"nShards out of [1, 2^20]: $nShards")
+    require(epoch >= 0 && epoch < (1 << 30), s"epoch out of range: $epoch")
+    import org.apache.spark.sql.expressions.Window
+    val idL = col(idCol).cast("long")
+    val mult = (2654435761L * (2L * epoch + 1L)) % 4294967296L
+    val rank = when(idL.between(0L, (1L << 31) - 1),
+      pmod(idL * lit(mult), lit(4294967296L)))
+      .otherwise(raise_error(concat(
+        lit("epochShuffle id out of [0, 2^31): "), idL.cast("string"))))
+    val w = Window.partitionBy("shard").orderBy(col("_es_rank"), col(idCol))
+    df.withColumn("_es_rank", rank)
+      .withColumn("shard",
+        expr(s"(_es_rank * $nShards) div 4294967296").cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("_es_rank")
+  }
+
   def slidingChunks(df: DataFrame, idCol: String, textCol: String,
                     window: Int, stride: Int): DataFrame = {
     require(window >= 1, s"window must be >= 1: $window")

@@ -476,7 +476,9 @@ object TextAnalysis {
                   n: Int = 3): (DataFrame, DataFrame) = {
     require(seed.columns.contains(langCol), s"missing column: $langCol")
     require(seed.columns.contains(textCol), s"missing column: $textCol")
-    val counts = seed
+    // unlabeled seed rows train nothing (a NULL lang would otherwise
+    // become a NULL "language" in the profile set)
+    val counts = seed.where(col(langCol).isNotNull)
       .select(col(langCol).as("lang"),
         explode(charNgrams(col(textCol), n)).as("g"))
       .groupBy("lang", "g").agg(count(lit(1)).as("cnt"))

@@ -206,6 +206,42 @@ class PackingSpec extends SparkTestBase {
     assert(decoded === norm)
   }
 
+  test("epochShuffle: bijection, dense per-shard positions, shard-major ≡ " +
+    "global rank order, epochs genuinely differ, partitioning-invariant, " +
+    "id-domain guard") {
+    import spark.implicits._
+    val ids = (0L until 1000L)
+    val df = ids.toDF("doc_id")
+    val out = Packing.epochShuffle(df, "doc_id", nShards = 8, epoch = 3)
+      .as[(Long, Int, Long)].collect()
+    // bijection: every id exactly once
+    assert(out.map(_._1).sorted.toSeq == ids.toSeq)
+    // dense positions per shard starting at 1
+    out.groupBy(_._2).values.foreach { rows =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // shard-major order ≡ the global (rank, id) order, replayed
+    def rank(id: Long, epoch: Int): Long =
+      java.lang.Math.floorMod(
+        id * ((2654435761L * (2L * epoch + 1L)) % 4294967296L), 4294967296L)
+    val shardMajor = out.sortBy(r => (r._2, r._3)).map(_._1).toSeq
+    val expected = ids.sortBy(id => (rank(id, 3), id)).toSeq
+    assert(shardMajor == expected)
+    // epoch 0 and epoch 1 produce different global orders (and each is
+    // itself correct vs its replay)
+    val e0 = Packing.epochShuffle(df, "doc_id", 8, 0)
+      .as[(Long, Int, Long)].collect().sortBy(r => (r._2, r._3)).map(_._1)
+    assert(e0.toSeq == ids.sortBy(id => (rank(id, 0), id)).toSeq)
+    assert(e0.toSeq != shardMajor)
+    // partitioning invariance
+    val out7 = Packing.epochShuffle(df.repartition(7), "doc_id", 8, 3)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(out7 == out.toSet)
+    // out-of-domain id raises (the sampleRank convention)
+    val bad = Packing.epochShuffle(Seq(-1L).toDF("doc_id"), "doc_id", 8, 0)
+    assertThrows[Exception](bad.collect())
+  }
+
   test("packGreedy fails fast on null / non-integral ids") {
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
