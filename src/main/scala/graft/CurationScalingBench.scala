@@ -256,12 +256,20 @@ object CurationScalingBench {
         object robotsFix {
           val id = col("doc_id")
           val mega = id % 7 === 0
+          // |1 applies to the DEFAULT only — a pinned value is used
+          // verbatim (an even pin silently becoming odd was a review
+          // finding); site's TLD derives from the SITE id on both the
+          // URL and the robots side, so every URL host has a robots row
+          // (the first cut derived the URL TLD from doc_id%4 and
+          // silently measured 75% no-robots default-allow lookups)
           val nSites = sys.env.get("SPARK_GRAFT_ROBOTS_HOSTS")
-            .map(_.toLong).getOrElse(math.max(3L, nDocs / 250L)) | 1L
+            .map(_.toLong)
+            .getOrElse(math.max(3L, nDocs / 250L) | 1L)
+          require(nSites >= 1, s"SPARK_GRAFT_ROBOTS_HOSTS: $nSites")
           val site = when(mega, lit(0L)).otherwise(id % nSites)
           val tld = when(mega, lit(".com")).otherwise(
             element_at(array(lit(".com"), lit(".org"), lit(".co.uk"),
-              lit(".de")), (id % 4 + 1).cast("int")))
+              lit(".de")), (site % 4 + 1).cast("int")))
           val path = concat(lit("/p/"), id.cast("string"),
             when(id % 6 === 0, "?utm=1").otherwise(""))
           def urls = docs.select(id, concat(

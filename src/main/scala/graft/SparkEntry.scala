@@ -1057,6 +1057,7 @@ object SparkEntry {
         graft.ops.UrlCuration.urlHost(col("url")).as("host")).distinct()
       val robots = hosts.withColumn("robots_txt", robotsFor(col("host")))
       graft.ops.RobotsTxt.parseRules(robots)
+        .where(col("pattern").isNotNull) // rule-less-group marker rows
         .select("host", "agent", "allow", "pattern")
     }),
 
@@ -3195,7 +3196,8 @@ object SparkEntry {
     // the whole RFC 9309 parse grammar replayed relationally
     "q_robots_rules" ->
       (urlSynthSql + robotsParseSql +
-      "SELECT host, agent, allow, pattern FROM rules"),
+      "SELECT host, agent, allow, pattern FROM rules " +
+      "WHERE pattern IS NOT NULL"),
 
     // agent selection + pattern→regex translation (same escape chain) +
     // longest-match/Allow-tie decision replayed; default allow on both
@@ -3215,7 +3217,7 @@ object SparkEntry {
         |       FROM (SELECT *, regexp_replace(regexp_replace(pattern,
         |               '([\\.\[\]{}()+?^$|*])', '\\\1', 'g'),
         |               '\\\*', '.*', 'g') AS s2
-        |             FROM eff)),
+        |             FROM eff WHERE pattern IS NOT NULL)),
         |up AS (SELECT doc_id, host,
         |         CASE WHEN p2 = '' THEN '/' ELSE p2 END AS path
         |       FROM (SELECT doc_id, host,
@@ -4211,7 +4213,8 @@ object SparkEntry {
       |    ELSE 'Disallow: /' || chr(10) || 'User-agent: *' || chr(10) ||
       |      'Disallow:' || chr(10) END AS txt
       |  FROM (SELECT DISTINCT host FROM l)),
-      |sp AS (SELECT host, string_split(txt, chr(10)) AS ls FROM robots),
+      |sp AS (SELECT host,
+      |         string_split_regex(txt, '\r?\n') AS ls FROM robots),
       |rlines AS (SELECT host, unnest(ls) AS raw,
       |             generate_subscripts(ls, 1) AS line_idx FROM sp),
       |fv AS (SELECT host, line_idx,
@@ -4233,7 +4236,8 @@ object SparkEntry {
       |rr AS (SELECT host, grp, (field = 'allow') AS allow, value AS pattern
       |       FROM g2 WHERE field <> 'user-agent' AND value <> ''),
       |rules AS (SELECT a.host, a.agent, r.allow, r.pattern
-      |          FROM agents a JOIN rr r ON a.host = r.host AND a.grp = r.grp)
+      |          FROM agents a LEFT JOIN rr r
+      |            ON a.host = r.host AND a.grp = r.grp)
       |""".stripMargin
 
   /** The exact-BM25 replay (shared by q_bm25_topk and the

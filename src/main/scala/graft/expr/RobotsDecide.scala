@@ -100,9 +100,13 @@ object RobotsDecide {
   def buildTable(rules: Seq[(String, String, Boolean)]): Table =
     new Table(rules.groupBy(_._1).map { case (host, rs) =>
       host -> rs.map { case (_, pat, allow) =>
+        // specificity counts CODE POINTS — the relational fold uses
+        // Spark's length(pattern), which is code-point based; UTF-16
+        // units would diverge on supplementary-plane patterns
+        val spec = pat.codePointCount(0, pat.length)
         if (!pat.contains("*") && !pat.endsWith("$"))
-          new Rule(pat, null, pat.length, allow)
-        else new Rule(null, toRegexString(pat), pat.length, allow)
+          new Rule(pat, null, spec, allow)
+        else new Rule(null, toRegexString(pat), spec, allow)
       }.toArray
     })
 

@@ -61,9 +61,12 @@ object RobotsTxt {
     require(robots.columns.contains(hostCol), s"missing column: $hostCol")
     require(robots.columns.contains(txtCol), s"missing column: $txtCol")
     import org.apache.spark.sql.expressions.Window
+    // \r?\n: CRLF robots.txt files are the common real-world case, and
+    // Spark's trim() strips only spaces — an unsplit \r would corrupt
+    // every agent token and pattern (review finding; CRLF spec fixture)
     val lines = robots
       .select(col(hostCol).as("host"),
-        posexplode(split(col(txtCol), "\n")).as(Seq("line_idx", "raw")))
+        posexplode(split(col(txtCol), "\r?\n")).as(Seq("line_idx", "raw")))
       .withColumn("clean", trim(regexp_replace(col("raw"), "#.*$", "")))
       .withColumn("field",
         lower(trim(regexp_extract(col("clean"), "^([^:]+):", 1))))
@@ -89,9 +92,15 @@ object RobotsTxt {
       .select(col("host"), col("grp"),
         (col("field") === "allow").as("allow"),
         col("value").as("pattern"), col("line_idx").as("rule_idx"))
-    // The join drops orphan rules (grp with no User-agent line = grp 0
-    // before any UA run) per the RFC.
-    agents.join(ruleRows, Seq("host", "grp"))
+    // LEFT join: orphan rules (grp 0, before any UA run) still drop per
+    // the RFC, but a group with NO rules must SURVIVE as one
+    // (agent, NULL-pattern) marker row — RFC 9309: a matched group with
+    // no applicable rules means ALLOW, so the group must still win agent
+    // selection in [[effectiveRules]] (a rule-less specific group that
+    // vanished here would wrongly hand its crawler to the `*` group —
+    // review finding). Null-pattern markers never match anything
+    // downstream; callers listing rules filter `pattern IS NOT NULL`.
+    agents.join(ruleRows, Seq("host", "grp"), "left")
       .select("host", "agent", "allow", "pattern", "rule_idx")
   }
 
@@ -147,11 +156,14 @@ object RobotsTxt {
                 precomputedHost: Option[String] = None,
                 precomputedPath: Option[String] = None): DataFrame = {
     require(urls.columns.contains(urlCol), s"missing column: $urlCol")
-    Seq("_rb_host", "_rb_rules", "_rb_win").foreach(c => require(
+    Seq("_rb_host", "_rb_rules", "_rb_win", "_rb_path").foreach(c => require(
       !urls.columns.contains(c), s"input may not contain internal column $c"))
     (precomputedHost.toSeq ++ precomputedPath).foreach(c => require(
       urls.columns.contains(c), s"missing precomputed column: $c"))
+    // agent selection runs on the FULL frame (rule-less marker rows must
+    // count); the markers themselves match nothing and are dropped here
     val eff = effectiveRules(rules, agent)
+      .where(col("pattern").isNotNull)
       .withColumn("_rb_rx", patternRegex(col("pattern")))
       .withColumn("_rb_lit",
         !col("pattern").contains("*") && !col("pattern").endsWith("$"))
@@ -214,6 +226,7 @@ object RobotsTxt {
     (precomputedHost.toSeq ++ precomputedPath).foreach(c => require(
       urls.columns.contains(c), s"missing precomputed column: $c"))
     val eff = effectiveRules(rules, agent)
+      .where(col("pattern").isNotNull) // rule-less-group markers
       .select("host", "pattern", "allow").collect()
       .map(r => (r.getString(0), r.getString(1), r.getBoolean(2))).toSeq
     val table = graft.expr.RobotsDecide.buildTable(eff)

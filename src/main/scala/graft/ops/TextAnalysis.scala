@@ -477,11 +477,16 @@ object TextAnalysis {
     require(seed.columns.contains(langCol), s"missing column: $langCol")
     require(seed.columns.contains(textCol), s"missing column: $textCol")
     // unlabeled seed rows train nothing (a NULL lang would otherwise
-    // become a NULL "language" in the profile set)
+    // become a NULL "language" in the profile set). localCheckpoint: the
+    // totals / vocab-size / delta branches AND both driver collects in
+    // langIdNgramFast consume this frame — without it the seed gram
+    // explode+aggregation recomputes per consumer (the
+    // bigramNllDict/pairCountRows convention).
     val counts = seed.where(col(langCol).isNotNull)
       .select(col(langCol).as("lang"),
         explode(charNgrams(col(textCol), n)).as("g"))
       .groupBy("lang", "g").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val totals = counts.groupBy("lang").agg(sum("cnt").as("t_total"))
     val vsize = counts.select("g").distinct()
       .agg(count(lit(1)).as("v_size"))
@@ -515,6 +520,8 @@ object TextAnalysis {
     require(df.columns.contains(idCol), s"missing column: $idCol")
     require(df.columns.contains(textCol), s"missing column: $textCol")
     val (dict, floors) = langIdDicts(seed, seedLangCol, textCol, n)
+    require(!floors.isEmpty, "language-ID seed trained no languages " +
+      "(empty, unlabeled, or every text shorter than the gram size)")
     val seen = df
       .select(col(idCol).as("doc_id"),
         explode(charNgrams(col(textCol), n)).as("g"))
@@ -555,6 +562,8 @@ object TextAnalysis {
     val (dict, floors) = langIdDicts(seed, seedLangCol, textCol, n)
     val floorRows = floors.select("lang", "floor_micro").collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
+    require(floorRows.nonEmpty, "language-ID seed trained no languages " +
+      "(empty, unlabeled, or every text shorter than the gram size)")
     val deltaRows = dict.select("g", "lang", "delta_micro").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
     val d = graft.expr.LangIdScore.buildDict(floorRows, deltaRows)

@@ -13,8 +13,11 @@ class RobotsTxtSpec extends SparkTestBase {
   // ---- independent reference implementation (plain Scala, no Spark) ----
   private case class RefRule(allow: Boolean, pattern: String)
 
-  private def refParse(txt: String): Seq[(String, RefRule)] = {
-    val kept = txt.split("\n", -1).toSeq
+  /** Groups: (agents, rules) — a rule-less group is kept (it must still
+    * win agent selection per RFC 9309).
+    */
+  private def refParse(txt: String): Seq[(Set[String], Seq[RefRule])] = {
+    val kept = txt.split("\r?\n", -1).toSeq
       .map(l => l.replaceAll("#.*$", "").trim)
       .map { l =>
         val i = l.indexOf(':')
@@ -30,12 +33,13 @@ class RobotsTxtSpec extends SparkTestBase {
       prevUa = isUa
       (grp, f, v)
     }
-    val agents = rows.collect { case (g, "user-agent", v) => (g, v.toLowerCase) }
-    val rules = rows.collect {
-      case (g, f, v) if f != "user-agent" && v.nonEmpty =>
-        (g, RefRule(f == "allow", v))
+    (1 to grp).map { g =>
+      (rows.collect { case (`g`, "user-agent", v) => v.toLowerCase }.toSet,
+        rows.collect {
+          case (`g`, f, v) if f != "user-agent" && v.nonEmpty =>
+            RefRule(f == "allow", v)
+        })
     }
-    for ((g, a) <- agents.distinct; (rg, r) <- rules if rg == g) yield (a, r)
   }
 
   private def refMatch(path: String, pattern: String): Boolean = {
@@ -50,13 +54,14 @@ class RobotsTxtSpec extends SparkTestBase {
                          agent: String): Boolean = txt match {
     case None => true
     case Some(t) =>
-      val all = refParse(t)
-      val mine0 = all.filter(_._1 == agent.toLowerCase)
-      val mine = if (mine0.nonEmpty) mine0 else all.filter(_._1 == "*")
-      val matched = mine.map(_._2).filter(r => refMatch(path, r.pattern))
+      val groups = refParse(t)
+      val mine0 = groups.filter(_._1.contains(agent.toLowerCase))
+      val mine = if (mine0.nonEmpty) mine0 else groups.filter(_._1("*"))
+      val matched = mine.flatMap(_._2).filter(r => refMatch(path, r.pattern))
       if (matched.isEmpty) true
       else {
-        val best = matched.maxBy(r => (r.pattern.length, r.allow))
+        val best = matched.maxBy(r =>
+          (r.pattern.codePointCount(0, r.pattern.length), r.allow))
         best.allow
       }
   }
@@ -169,10 +174,6 @@ class RobotsTxtSpec extends SparkTestBase {
       "url", rules, "graftbot")
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
-    // the url-side chain must not shuffle: every Exchange in the plan is
-    // a broadcast (rules prep) — no ShuffleExchange feeding the probe side
-    val shuffles = "Exchange hashpartitioning".r
-      .findAllIn(plan).size
     // rules prep may shuffle its host-scale frame; assert the probe side
     // (Range scan → join) is direct: Range appears without an Exchange
     // between it and the join in the formatted plan
@@ -210,6 +211,23 @@ class RobotsTxtSpec extends SparkTestBase {
       val h = org.apache.spark.unsafe.types.UTF8String.fromString("a.com")
       assert(graft.expr.RobotsDecide.compute(p, h, table) == got(i))
     }
+  }
+
+  test("RFC corners: CRLF files parse, a rule-less specific group still " +
+    "wins selection, code-point specificity ties (review findings)") {
+    // CRLF + a graftbot group whose only directive is the empty Disallow
+    // (= no restriction): graftbot must get ITS group (allow all), not
+    // fall through to the star Disallow-all
+    val robots = Seq("a.com" ->
+      "User-agent: graftbot\r\nDisallow:\r\n\r\nUser-agent: *\r\nDisallow: /\r\n")
+    assert(decide(Seq(1L -> "https://a.com/x"), robots, "graftbot")(1L))
+    assert(!decide(Seq(1L -> "https://a.com/x"), robots, "otherbot")(1L))
+    // CRLF patterns must not keep a trailing \r (it would unmatch
+    // everything): the star rule above DID match, q.e.d.; and specificity
+    // counts code points — "/a*" (3) ties "/a😀" (3 cp, 4 UTF-16 units),
+    // tie → Allow, on the kernel path too (decide cross-checks both)
+    val emoji = Seq("b.com" -> "User-agent: *\nAllow: /a*\nDisallow: /a😀\n")
+    assert(decide(Seq(1L -> "https://b.com/a😀x"), emoji, "bot")(1L))
   }
 
   test("precomputed host/path seam ≡ derived, both variants") {
