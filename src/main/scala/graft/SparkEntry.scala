@@ -1091,6 +1091,22 @@ object SparkEntry {
         docs.where(col("doc_id") % 3 === 0), "lang")
     }),
 
+    // Crawl snapshot diff: the previous snapshot is derived from the
+    // current one by pure arithmetic (every-7th doc missing → added,
+    // every-5th text suffixed → changed, synthetic 10M+ ids → removed),
+    // so the oracle rebuilds it and replays the full-outer status CASE
+    // on the TEXTS — an engine-side hash collision goes red.
+    "q_snapshot_diff" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val prev = docs.where(col("doc_id") % 7 =!= 3)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" OLD"))).otherwise(col("text")))
+        .unionByName(docs.where(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            lit("gone").as("text")))
+      graft.ops.Curation.snapshotDiff(prev, docs, "doc_id", "text")
+    }),
+
     // Dataset-overlap audit: exact n-gram-set Jaccard between the even-
     // and odd-doc corpora (integer ppm) + the corpus-minhash estimate
     // (elementwise-min signatures — ≤64 rows shipped per corpus at any
@@ -3574,6 +3590,27 @@ object SparkEntry {
         |  ng.n_grams
         |FROM ng LEFT JOIN (SELECT * FROM rk WHERE rn = 1) r
         |  ON ng.doc_id = r.doc_id""".stripMargin,
+
+    // snapshot diff: identical prev-snapshot synthesis + the full-outer
+    // status CASE on raw texts (engine compares xxhash64 digests — a
+    // collision would surface here as a hash mismatch)
+    "q_snapshot_diff" ->
+      """WITH prev AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' OLD'
+        |           ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, 'gone' FROM documents
+        |  WHERE doc_id % 11 = 0),
+        |j AS (SELECT COALESCE(p.doc_id, c.doc_id) AS doc_id,
+        |        p.text AS pt, c.text AS ct,
+        |        p.doc_id IS NULL AS pn, c.doc_id IS NULL AS cn
+        |      FROM prev p FULL OUTER JOIN documents c
+        |        ON p.doc_id = c.doc_id)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CASE WHEN pn THEN 'added' WHEN cn THEN 'removed'
+        |       WHEN pt = ct THEN 'unchanged' ELSE 'changed' END AS status
+        |FROM j""".stripMargin,
 
     // Corpus-overlap audit: exact side from the dumped shingle strings
     // (distinct-union arithmetic), estimate side from the per-doc sig

@@ -860,4 +860,43 @@ object Curation {
         sum(col("_rep_nw")).as("n_norm_words"),
         sum(col("_rep_ndw")).as("n_distinct_words"))
   }
+
+  /** Crawl snapshot diff — the incremental-recrawl driver signal: which
+    * documents of the NEW snapshot are `added` / `changed` / `unchanged`
+    * vs the previous one, and which previous documents were `removed`.
+    * Everything downstream keys off it: only added/changed docs need
+    * re-extraction, re-scoring, and an incremental-dedup pass
+    * ([[graft.ops.Dedup.minhashNearDupsAgainst]]); removed ids feed
+    * index compaction.
+    *
+    * One full-outer join on the id — the minimal possible shape. Change
+    * detection compares xxhash64(content) so the join ships 8-byte
+    * digests, not document bodies; a real crawl store keeps a persisted
+    * content digest, passed via `precomputedHash` on either side (the
+    * UrlCuration precomputed seam). The oracle compares the TEXTS
+    * directly — an engine-side hash collision goes red rather than
+    * silently passing (the paragraphDedup convention).
+    */
+  def snapshotDiff(prev: DataFrame, cur: DataFrame, idCol: String,
+                   textCol: String,
+                   precomputedHashPrev: Option[String] = None,
+                   precomputedHashCur: Option[String] = None): DataFrame = {
+    for ((df, side) <- Seq(prev -> "prev", cur -> "cur"))
+      require(df.columns.contains(idCol), s"$side missing column: $idCol")
+    def hashed(df: DataFrame, pre: Option[String], out: String) = {
+      pre.foreach(c => require(df.columns.contains(c),
+        s"missing precomputed hash column: $c"))
+      if (pre.isEmpty) require(df.columns.contains(textCol),
+        s"missing column: $textCol")
+      df.select(col(idCol).cast("long").as(idCol),
+        pre.map(col).getOrElse(xxhash64(col(textCol))).as(out))
+    }
+    hashed(prev, precomputedHashPrev, "_sd_prev")
+      .join(hashed(cur, precomputedHashCur, "_sd_cur"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("_sd_prev").isNull, "added")
+          .when(col("_sd_cur").isNull, "removed")
+          .when(col("_sd_prev") === col("_sd_cur"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
 }

@@ -434,4 +434,25 @@ class CurationSpec extends SparkTestBase {
     // and eval ids themselves never appear as contaminated docs
     assert(!got.exists(_._1 >= 100L))
   }
+
+  test("snapshotDiff: all four statuses, full-outer completeness, " +
+    "precomputed-hash seam ≡ derived") {
+    val prev = Seq((0L, "same"), (1L, "old text"), (3L, "dropped"))
+      .toDF("doc_id", "text")
+    val cur = Seq((0L, "same"), (1L, "new text"), (2L, "brand new"))
+      .toDF("doc_id", "text")
+    val got = Curation.snapshotDiff(prev, cur, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(0L -> "unchanged", 1L -> "changed",
+      2L -> "added", 3L -> "removed"))
+    // every id from either side appears exactly once
+    assert(got.keySet == Set(0L, 1L, 2L, 3L))
+    // precomputed digests on either side give the identical diff
+    val ph = prev.withColumn("h", xxhash64(col("text")))
+    val ch = cur.withColumn("h", xxhash64(col("text")))
+    val viaPre = Curation.snapshotDiff(ph, ch, "doc_id", "text",
+      precomputedHashPrev = Some("h"), precomputedHashCur = Some("h"))
+      .as[(Long, String)].collect().toMap
+    assert(viaPre == got)
+  }
 }
