@@ -167,9 +167,13 @@ object GraftFunctions {
   val urlDomain = columnFn("url_domain", 1,
     cs => graft.ops.UrlCuration.urlDomain(cs.head))
 
+  // the robots match target (path + query, fragment stripped, "" → "/")
+  val urlPath = columnFn("url_path", 1,
+    cs => graft.ops.RobotsTxt.urlPath(cs.head))
+
   private def all = Seq(grokExtract, topkByScore, wordShingles, minhashSig,
     simhash, normWords, pseudonymize, sampleRank, shardAssign, redactPii,
-    dupWordRatio, urlNormalize, urlHost, urlDomain, rpProject)
+    dupWordRatio, urlNormalize, urlHost, urlDomain, urlPath, rpProject)
 
   /** Register every function on an existing session (the `Main`/test
     * path; temp functions live for the session).

@@ -114,15 +114,18 @@ class ExtensionsSpec extends SparkTestBase {
       .toDF("url").createOrReplaceTempView("ext_urls")
     val viaSql = spark.sql(
       """SELECT url_normalize(url) AS n, url_host(url) AS h,
-        |  url_domain(url) AS d
+        |  url_domain(url) AS d, url_path(url) AS p
         |FROM ext_urls ORDER BY url""".stripMargin).collect().toSeq
     val viaCol = spark.table("ext_urls")
       .select(graft.ops.UrlCuration.urlNormalize($"url").as("n"),
         graft.ops.UrlCuration.urlHost($"url").as("h"),
-        graft.ops.UrlCuration.urlDomain($"url").as("d"))
+        graft.ops.UrlCuration.urlDomain($"url").as("d"),
+        graft.ops.RobotsTxt.urlPath($"url").as("p"))
       .orderBy($"url").collect().toSeq
     assert(viaSql === viaCol)
     assert(viaSql.head.getString(2) === "example.co.uk") // the ccSLD rule
+    // url_path keeps case + query, strips the fragment, and "" → "/"
+    assert(viaSql.head.getString(3) === "/A/B/?q=1")
   }
 
   test("registerAll: SQL rp_project_micro ≡ Column API; literal guards") {
