@@ -301,6 +301,10 @@ object CurationScalingBench {
           lazy val table: graft.expr.RobotsDecide.Table =
             graft.expr.RobotsDecide.buildTable(
               graft.ops.RobotsTxt.effectiveRules(rules, "graftbot")
+                // rule-less groups surface as null-pattern marker rows
+                // (isAllowedFast filters them the same way) — buildTable
+                // would NPE on them
+                .where(col("pattern").isNotNull)
                 .select("host", "pattern", "allow").collect()
                 .map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
                 .toSeq)

@@ -1994,7 +1994,9 @@ object SparkEntry {
         |    regexp_replace(regexp_replace(lower(trim(href)),
         |    '^[a-z][a-z0-9+.-]*://', ''),
         |    '#.*$', ''), '\?.*$', ''), '^[^/?#]*@', ''), '^www\d*\.', ''),
-        |    '/+$', '') AS url_norm FROM ax),
+        |    '/+$', '') AS url_norm FROM ax
+        |  WHERE regexp_matches(href, '^(?i)[a-z][a-z0-9+.-]*://')
+        |     OR href LIKE '//%'),
         |ah AS (SELECT *, regexp_replace(regexp_extract(url_norm,
         |        '^([^/]+)', 1), ':\d+$', '') AS ahost FROM an),
         |al AS (SELECT *, string_split(ahost, '.') AS alab FROM ah),
@@ -2007,7 +2009,8 @@ object SparkEntry {
         |  FROM al),
         |fj AS (SELECT ad.domain, ad.anchor FROM ad
         |       JOIN sd ON ad.doc_id = sd.doc_id
-        |       WHERE ad.domain <> sd.src_dom),
+        |       WHERE ad.domain <> sd.src_dom AND ad.domain <> ''
+        |         AND ad.domain IS NOT NULL),
         |tm AS (SELECT domain, unnest(list_filter(string_split(
         |         regexp_replace(lower(anchor), '[^a-z0-9 ]', ' ', 'g'),
         |         ' '), x -> x <> '')) AS term

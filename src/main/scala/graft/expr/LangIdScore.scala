@@ -74,13 +74,23 @@ object LangIdScore {
                    val deltas: java.util.HashMap[String, Array[Long]])
       extends Serializable {
     require(langs.length == floors.length, "langs/floors length mismatch")
-    require((1 until langs.length).forall(i => langs(i - 1) < langs(i)),
-      "langs must be strictly ascending")
+    require((1 until langs.length).forall(i =>
+        utf8Lt(langs(i - 1), langs(i))),
+      "langs must be strictly ascending in UTF8String (byte) order")
   }
+
+  /** The relational path's `min(struct(nll, lang))` tie-break orders lang
+    * by UTF8String BYTE order, which diverges from Java UTF-16 String
+    * order for code points >= U+E000 vs supplementary-plane chars — so
+    * the kernel's first-strict-min scan must index langs in the same
+    * byte order, not `String.<`.
+    */
+  private def utf8Lt(a: String, b: String): Boolean =
+    UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0
 
   def buildDict(floorRows: Seq[(String, Long)],
                 deltaRows: Seq[(String, String, Long)]): Dict = {
-    val sorted = floorRows.sortBy(_._1)
+    val sorted = floorRows.sortWith((a, b) => utf8Lt(a._1, b._1))
     val langs = sorted.map(_._1).toArray
     val floors = sorted.map(_._2).toArray
     val idx = langs.zipWithIndex.toMap

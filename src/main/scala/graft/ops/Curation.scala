@@ -888,7 +888,15 @@ object Curation {
         s"missing precomputed hash column: $c"))
       if (pre.isEmpty) require(df.columns.contains(textCol),
         s"missing column: $textCol")
-      df.select(col(idCol).cast("long").as(idCol),
+      // NULL ids would become never-matching full-outer join keys, so the
+      // same logical document surfaces as both added and removed — raise
+      // instead (the packGreedy null-id convention; non-numeric strings
+      // already raise at the ANSI cast).
+      val guardedId = when(col(idCol).isNull, raise_error(lit(
+          s"snapshotDiff id column '$idCol' is NULL — ids must be non-null integral"))
+          .cast("long"))
+        .otherwise(col(idCol).cast("long"))
+      df.select(guardedId.as(idCol),
         pre.map(col).getOrElse(xxhash64(col(textCol))).as(out))
     }
     hashed(prev, precomputedHashPrev, "_sd_prev")

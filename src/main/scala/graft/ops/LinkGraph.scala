@@ -126,10 +126,19 @@ object LinkGraph {
     df.select(UrlCuration.urlDomain(col(urlCol)).as("_at_src"),
         explode(zip_with(hrefs, texts, (h, a) =>
           struct(h.as("href"), a.as("anchor")))).as("_at_a"))
+      // Per HTML resolution rules an href without a scheme and without a
+      // protocol-relative "//" prefix is RELATIVE — same-site navigation
+      // by construction. Without this gate "/x" derives an empty target
+      // domain (and rolls terms up under domain "") and "page.html"
+      // derives a bogus host-shaped domain; both must drop with the
+      // self-domain anchors.
+      .where(col("_at_a.href").rlike("^(?i)[a-z][a-z0-9+.-]*://") ||
+        substring(col("_at_a.href"), 1, 2) === "//")
       .select(col("_at_src"),
         UrlCuration.urlDomain(col("_at_a.href")).as("domain"),
         col("_at_a.anchor").as("_at_anchor"))
-      .where(col("domain") =!= col("_at_src"))
+      .where(col("domain").isNotNull && col("domain") =!= "" &&
+        col("domain") =!= col("_at_src"))
       .select(col("domain"),
         explode(Curation.normWords(col("_at_anchor"))).as("term"))
       .groupBy("domain", "term").agg(count(lit(1)).as("cnt"))

@@ -285,7 +285,13 @@ class LinkGraphSpec extends SparkTestBase {
       (2L, "https://me.com/c",
         "<A CLASS='z' HREF='https://other.org/q#frag'>great TOOL!</A>"),
       // no anchors at all
-      (3L, "https://me.com/d", "<p>nothing</p>"))
+      (3L, "https://me.com/d", "<p>nothing</p>"),
+      // relative + scheme-less hrefs derive an empty target domain —
+      // same-site navigation by construction, must NOT accumulate terms
+      // under domain ""
+      (4L, "https://me.com/e",
+        "<a href=\"/rel/path\">relative nav</a>" +
+          "<a href=\"page.html\">bare nav</a>"))
     val df = rows.toDF("doc_id", "url", "html")
     val got = LinkGraph.anchorTerms(df, "url", "html")
       .as[(String, String, Long)].collect().toSet

@@ -200,6 +200,7 @@ class RobotsTxtSpec extends SparkTestBase {
     assert(plan.trim.startsWith("*(1)"), plan)
     // interpreted eval (the nullSafeEval path) agrees with codegen
     val eff = RobotsTxt.effectiveRules(rules, "graftbot")
+      .where(col("pattern").isNotNull) // rule-less-group markers
       .select("host", "pattern", "allow").collect()
       .map(r => (r.getString(0), r.getString(1), r.getBoolean(2))).toSeq
     val table = graft.expr.RobotsDecide.buildTable(eff)
