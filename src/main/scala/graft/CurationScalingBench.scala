@@ -129,6 +129,17 @@ object CurationScalingBench {
           forceAll(graft.ops.Dedup.paragraphDedup(chunked, "doc_id", "text"))
         }
 
+        def spanRemovalRun(): Unit = {
+          // char-level exact-substring span removal (Lee et al.) over the
+          // full corpus: DocGen's template clusters (~10% exact + ~10%
+          // 1-in-50-mutated near-dups) share long raw runs, so the
+          // shared-ngram set, per-doc island merge, and kept-word
+          // reassembly all do real work. forceAll: clean_text must
+          // materialize, not just the run counts.
+          forceAll(graft.ops.Curation.removeDupSpans(docs, "doc_id",
+            "text"))
+        }
+
         def qualityRun(): Unit = {
           // the three narrow pre-dedup filters (C4 lines, Gopher rules,
           // sliding chunks) over the q_c4_lines-style constructed line
@@ -500,12 +511,52 @@ object CurationScalingBench {
         // the 2-stage default, and extra stages between them would change
         // JVM/page-cache state for the curation timing and double the
         // calm-window length this box's protocol depends on
+        // degenerate hot-bucket cap stress (opt-in): 5/6 of the rows in
+        // ONE bucket — the population the cap exists to defuse. The
+        // sort-free threshold cap must finish with bounded per-task work;
+        // capstress_window replays the retired row_number shape for the
+        // A/B (it funnels the hot bucket into a single sorting task, so
+        // its wall is flat in cores — the measured reason it was retired).
+        val nCap = sys.env.get("SPARK_GRAFT_CAPSTRESS_ROWS").map(_.toLong)
+          .getOrElse(12000000L)
+        def capDf = spark.range(nCap).select(
+          when(col("id") % 6 =!= 0, lit(0L))
+            .otherwise(pmod(xxhash64(col("id")), lit(1000000L)) + 1L)
+            .as("bucket"),
+          xxhash64(col("id"), lit(7)).as("rid"),
+          col("id").as("payload"))
+        def capCheck(kept: DataFrame): Unit = {
+          val a = kept.agg(count(lit(1)).as("n"),
+            count_if(col("bucket") === 0L).as("hot")).head()
+          require(a.getLong(1) == 2048L,
+            s"hot bucket kept ${a.getLong(1)} rows, expected cap 2048")
+          require(a.getLong(0) < nCap, "cap did not drop anything")
+        }
+        def capstressRun(): Unit =
+          capCheck(graft.ops.Dedup.capBucketsBy(
+            capDf, Seq("bucket"), "rid", 2048, None))
+        def capstressWindowRun(): Unit = {
+          import org.apache.spark.sql.expressions.Window
+          capCheck(capDf.withColumn("_bn", row_number().over(
+              Window.partitionBy(col("bucket")).orderBy(col("rid"))))
+            .where(col("_bn") <= 2048).drop("_bn"))
+        }
+        def capstressShuffleRun(): Unit = {
+          // bandwidth control: the SAME rows through a uniform-key
+          // exchange with no cap logic at all — isolates the box's
+          // shuffle-bandwidth floor from the cap's own work
+          val a = capDf.repartition(col("rid"))
+            .agg(count(lit(1)).as("n"), sum(col("payload")).as("s")).head()
+          require(a.getLong(0) == nCap, "control lost rows")
+        }
+
         val default = Set("minhash", "curation")
         val stages = Seq("minhash" -> (() => minhashRun()),
           "jaccard" -> (() => jaccardRun()),
           "bm25" -> (() => bm25Run()),
           "curation" -> (() => curationRun()),
           "paragraph" -> (() => paragraphRun()),
+          "spanremoval" -> (() => spanRemovalRun()),
           "quality" -> (() => qualityRun()),
           "dsir" -> (() => dsirRun()),
           "bpe" -> (() => bpeRun()),
@@ -514,12 +565,20 @@ object CurationScalingBench {
           "url" -> (() => urlRun()),
           "robots" -> (() => robotsRun()),
           "robots_fast" -> (() => robotsRun(fast = true)),
+          // the size-routed single entry point (kernel ≤ 10^5 hosts,
+          // relational above — the measured cache-ceiling cut line)
+          "robots_auto" -> (() => robotsCheck(
+            graft.ops.RobotsTxt.isAllowedAuto(robotsFix.urls, "url",
+              robotsFix.rules, "graftbot"))),
           "robots_pre" -> (() => robotsPreRun()),
           "pagerank" -> (() => pagerankRun()),
           "crawl" -> (() => crawlRun()),
           "warc" -> (() => warcRun()),
           "hotngrams" -> (() => hotNgramsRun()),
-          "hotngrams_exact" -> (() => hotNgramsExactRun()))
+          "hotngrams_exact" -> (() => hotNgramsExactRun()),
+          "capstress" -> (() => capstressRun()),
+          "capstress_window" -> (() => capstressWindowRun()),
+          "capstress_shuffle" -> (() => capstressShuffleRun()))
           .filter { case (name, _) =>
             if (stageSet.isEmpty) default(name) else stageSet(name) }
         require(stages.nonEmpty, s"no stage matches $stageSet")

@@ -1030,6 +1030,33 @@ object SparkEntry {
         graft.ops.UrlCuration.urlDomain(col("url")).as("domain"))
     }),
 
+    // PSL registrable domains over PSL-hard hosts (hosting suffixes,
+    // multi-label ccSLDs, the *.ck wildcard + !www.ck exception, unknown
+    // TLDs, suffix-only hosts). The engine resolves via the codegen'd
+    // PslDomain kernel; the oracle replays the FULL PSL algorithm in SQL
+    // (candidate-suffix join against the dumped rule table, exception >
+    // longest, wildcard arity check) — any kernel/table divergence goes
+    // red.
+    "q_url_domain_psl" -> ((s, d) => {
+      val id = col("doc_id")
+      val ids = id.cast("string")
+      val host = element_at(array(
+        concat(lit("blog"), ids, lit(".github.io")),
+        concat(lit("shop"), ids, lit(".example.co.uk")),
+        concat(lit("www.site"), ids, lit(".com.au")),
+        concat(lit("a.b.site"), ids, lit(".co.jp")),
+        concat(lit("site"), ids, lit(".de")),
+        concat(lit("foo"), ids, lit(".ck")),
+        lit("www.ck"),
+        concat(lit("x.y.foo"), ids, lit(".ck")),
+        concat(lit("site"), ids, lit(".unknowntld")),
+        lit("localhost"),
+        lit("s3.amazonaws.com")), (id % 11 + 1).cast("int"))
+      t(s, d, "documents").select(id, host.as("host"))
+        .select(id, col("host"),
+          graft.ops.UrlCuration.domainOfHostPsl(col("host")).as("domain"))
+    }),
+
     // The composed URL-curation stage: blocklist anti-join (broadcast)
     // then the per-domain contribution cap (bounded TopK partials +
     // (domain, id)-keyed semi-join — no per-domain sort anywhere).
@@ -1300,6 +1327,19 @@ object SparkEntry {
       graft.ops.Curation.dupRuns(t(s, d, "documents"), "doc_id", "text",
         n = 5)),
 
+    // Char-level exact-substring spans + removal (Lee et al. ExactSubstr):
+    // RAW split(" ") tokenization, engine keys hashed n-grams while the
+    // oracle replays on the strings — a collision goes red, not silent.
+    "q_dup_run_spans" -> ((s, d) =>
+      graft.ops.Curation.dupRunSpans(t(s, d, "documents"), "doc_id",
+          "text", n = 5)
+        .select(col("doc_id"), col("start_word").cast("long"),
+          col("end_word").cast("long"), col("start_char").cast("long"),
+          col("end_char").cast("long"), col("run_words"))),
+    "q_dup_span_removal" -> ((s, d) =>
+      graft.ops.Curation.removeDupSpans(t(s, d, "documents"), "doc_id",
+        "text", n = 5)),
+
     // Incremental connected components: pairs split into an "old" corpus
     // ([0,350) endpoints only) and a "new" batch (any pair touching
     // [350,∞)); ccUpdate merges the new edges into the old assignment
@@ -1445,6 +1485,19 @@ object SparkEntry {
       graft.ops.Multimodal.decodeAndFeaturize(media).toDF()
         .select(col("media_id"), col("kind"), col("width"), col("height"),
           col("n_frames"))
+    }),
+
+    // REAL decode round trip: genuine PNG/JPEG/GIF bytes built from
+    // id-arithmetic dims, parsed back by the pure-JVM header codec; the
+    // oracle recomputes the dims arithmetically — builder or parser
+    // drift goes red. (Audio/video stay on the documented stub seam.)
+    "q_media_decode_real" -> ((s, _) => {
+      import s.implicits._
+      graft.ops.Multimodal.syntheticEncodedImages(s, 300).map { r =>
+        val (w, h, f) =
+          graft.ops.Multimodal.ImageHeaderCodec.decode(r.payload, "image")
+        (r.media_id, r.format, w, h, f)
+      }.toDF("media_id", "format", "width", "height", "n_frames")
     }),
 
     "q_media_framesample" -> ((s, _) => {
@@ -3027,6 +3080,95 @@ object SparkEntry {
         |  COALESCE(pd.covered_words, 0) AS covered_words
         |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
 
+    // Exact-substring char spans: the q_dup_runs island replay on RAW
+    // split(' ') words (empties kept — removal must round-trip the text),
+    // then char offsets rebuilt from word-prefix joins and the substring
+    // extracted — any engine hash collision or off-by-one goes red.
+    "q_dup_run_spans" ->
+      """WITH w AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS words
+        |  FROM documents
+        |), cng AS (
+        |  SELECT doc_id, i, array_to_string(words[i:i+4], ' ') AS ng
+        |  FROM w, LATERAL (SELECT unnest(range(1, len(words) - 3)) AS i) t
+        |  WHERE len(words) >= 5
+        |), sh AS (
+        |  SELECT ng FROM cng GROUP BY ng HAVING COUNT(DISTINCT doc_id) >= 2
+        |), hits AS (
+        |  SELECT DISTINCT c.doc_id, c.i FROM cng c JOIN sh USING (ng)
+        |), isl AS (
+        |  SELECT doc_id, i, CASE WHEN i > COALESCE(
+        |      LAG(i) OVER (PARTITION BY doc_id ORDER BY i), -1000000) + 5
+        |    THEN 1 ELSE 0 END AS nw
+        |  FROM hits
+        |), rn AS (
+        |  SELECT doc_id, i, SUM(nw) OVER (PARTITION BY doc_id ORDER BY i
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM isl
+        |), runs AS (
+        |  SELECT doc_id, MIN(i) - 1 AS s, MAX(i) + 3 AS e
+        |  FROM rn GROUP BY doc_id, run)
+        |SELECT r.doc_id, CAST(r.s AS BIGINT) AS start_word,
+        |  CAST(r.e AS BIGINT) AS end_word,
+        |  CAST(CASE WHEN r.s = 0 THEN 0
+        |    ELSE len(array_to_string(w.words[1:r.s], ' ')) + 1
+        |  END AS BIGINT) AS start_char,
+        |  CAST(len(array_to_string(w.words[1:r.e+1], ' ')) AS BIGINT)
+        |    AS end_char,
+        |  CAST(r.e - r.s + 1 AS BIGINT) AS run_words
+        |FROM runs r JOIN w USING (doc_id)""".stripMargin,
+
+    // Span REMOVAL: same islands, then the kept-word reassembly — docs
+    // with no shared run pass through BYTE-IDENTICAL (empties from double
+    // spaces preserved), cut docs rebuild as the ordered join of
+    // uncovered words
+    "q_dup_span_removal" ->
+      """WITH w AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS words
+        |  FROM documents
+        |), cng AS (
+        |  SELECT doc_id, i, array_to_string(words[i:i+4], ' ') AS ng
+        |  FROM w, LATERAL (SELECT unnest(range(1, len(words) - 3)) AS i) t
+        |  WHERE len(words) >= 5
+        |), sh AS (
+        |  SELECT ng FROM cng GROUP BY ng HAVING COUNT(DISTINCT doc_id) >= 2
+        |), hits AS (
+        |  SELECT DISTINCT c.doc_id, c.i FROM cng c JOIN sh USING (ng)
+        |), isl AS (
+        |  SELECT doc_id, i, CASE WHEN i > COALESCE(
+        |      LAG(i) OVER (PARTITION BY doc_id ORDER BY i), -1000000) + 5
+        |    THEN 1 ELSE 0 END AS nw
+        |  FROM hits
+        |), rn AS (
+        |  SELECT doc_id, i, SUM(nw) OVER (PARTITION BY doc_id ORDER BY i
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM isl
+        |), runs AS (
+        |  SELECT doc_id, MIN(i) - 1 AS s, MAX(i) + 3 AS e
+        |  FROM rn GROUP BY doc_id, run
+        |), rstats AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_runs,
+        |    CAST(SUM(e - s + 1) AS BIGINT) AS removed_words
+        |  FROM runs GROUP BY doc_id
+        |), ww AS (
+        |  SELECT doc_id, unnest(words) AS word,
+        |    unnest(range(0, len(words))) AS idx
+        |  FROM w
+        |), kw AS (
+        |  SELECT ww.doc_id, ww.idx, ww.word FROM ww
+        |  WHERE NOT EXISTS (SELECT 1 FROM runs r
+        |    WHERE r.doc_id = ww.doc_id AND ww.idx BETWEEN r.s AND r.e)
+        |), ct AS (
+        |  SELECT doc_id, string_agg(word, ' ' ORDER BY idx) AS clean
+        |  FROM kw GROUP BY doc_id)
+        |SELECT w.doc_id,
+        |  CASE WHEN rstats.doc_id IS NULL THEN w.text
+        |       ELSE COALESCE(ct.clean, '') END AS clean_text,
+        |  COALESCE(rstats.n_runs, 0) AS n_runs,
+        |  COALESCE(rstats.removed_words, 0) AS removed_words
+        |FROM w LEFT JOIN rstats USING (doc_id)
+        |     LEFT JOIN ct ON w.doc_id = ct.doc_id""".stripMargin,
+
     // Sequence packing: shard hash (q_corpus_shards arithmetic), per-shard
     // running token offset, 512-token chunk ids
     "q_pack_chunks" ->
@@ -3178,6 +3320,50 @@ object SparkEntry {
     "q_asof_join" -> SparkEntry.asofOracle,
     "q_asof_broadcast" -> SparkEntry.asofOracle,
 
+    // PSL domains: full algorithm replayed relationally over the dumped
+    // rule table — candidate suffixes per host via LATERAL k, exception
+    // (flag 4) prevails with ps = k-1, else longest of normal (flag 1,
+    // ps = k) / arity-checked wildcard (flag 2, ps = k+1) / the implicit
+    // '*' rule (ps = 1); registrable = last ps+1 labels, suffix-only
+    // hosts pass through.
+    "q_url_domain_psl" ->
+      """WITH p AS (SELECT sfx, flags
+        |  FROM read_parquet('__OUT__/_input_psl/*.parquet')),
+        |h AS (SELECT doc_id, CASE doc_id % 11
+        |  WHEN 0 THEN 'blog' || CAST(doc_id AS VARCHAR) || '.github.io'
+        |  WHEN 1 THEN 'shop' || CAST(doc_id AS VARCHAR) || '.example.co.uk'
+        |  WHEN 2 THEN 'www.site' || CAST(doc_id AS VARCHAR) || '.com.au'
+        |  WHEN 3 THEN 'a.b.site' || CAST(doc_id AS VARCHAR) || '.co.jp'
+        |  WHEN 4 THEN 'site' || CAST(doc_id AS VARCHAR) || '.de'
+        |  WHEN 5 THEN 'foo' || CAST(doc_id AS VARCHAR) || '.ck'
+        |  WHEN 6 THEN 'www.ck'
+        |  WHEN 7 THEN 'x.y.foo' || CAST(doc_id AS VARCHAR) || '.ck'
+        |  WHEN 8 THEN 'site' || CAST(doc_id AS VARCHAR) || '.unknowntld'
+        |  WHEN 9 THEN 'localhost'
+        |  ELSE 's3.amazonaws.com' END AS host
+        |  FROM documents),
+        |l AS (SELECT doc_id, host, string_split(host, '.') AS labs FROM h),
+        |cand AS (SELECT doc_id, len(labs) AS n, t.k,
+        |    array_to_string(labs[len(labs)-t.k+1:], '.') AS sfx
+        |  FROM l, LATERAL (SELECT unnest(range(1, 9)) AS k) t
+        |  WHERE t.k <= len(labs)),
+        |m AS (SELECT c.doc_id, c.n, c.k, p.flags
+        |  FROM cand c JOIN p USING (sfx)),
+        |r AS (SELECT doc_id,
+        |    MAX(CASE WHEN flags & 4 != 0 THEN k - 1 END) AS exc,
+        |    MAX(CASE WHEN flags & 1 != 0 THEN k END) AS nrm,
+        |    MAX(CASE WHEN flags & 2 != 0 AND n >= k + 1 THEN k + 1 END)
+        |      AS wld
+        |  FROM m GROUP BY doc_id),
+        |f AS (SELECT l.doc_id, l.host, l.labs, len(l.labs) AS n,
+        |    COALESCE(r.exc,
+        |      GREATEST(1, COALESCE(r.nrm, 1), COALESCE(r.wld, 1))) AS ps
+        |  FROM l LEFT JOIN r USING (doc_id))
+        |SELECT doc_id, host,
+        |  CASE WHEN n <= ps THEN host
+        |       ELSE array_to_string(labs[n-ps:], '.') END AS domain
+        |FROM f""".stripMargin,
+
     // URL curation: the synthesis, the anchored normalize regex chain,
     // and the registrable-domain CASE all replay verbatim (DuckDB's
     // first-match-only regexp_replace ≡ Spark's replace-all because every
@@ -3277,6 +3463,17 @@ object SparkEntry {
         |       WHEN 'audio' THEN 1 + ((base >> 24) % 4096)
         |       ELSE 1 + ((base >> 24) % 240) END AS INT) AS n_frames
         |FROM read_parquet('__OUT__/_input_media/*.parquet')""".stripMargin,
+
+    // the REAL header-codec round trip needs no dump at all: the engine
+    // must recover the arithmetic dims by PARSING the bytes it encoded
+    "q_media_decode_real" ->
+      """SELECT media_id,
+        |  CASE media_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |       ELSE 'gif' END AS format,
+        |  CAST(16 + media_id % 1904 AS INT) AS width,
+        |  CAST(16 + (media_id * 31) % 1064 AS INT) AS height,
+        |  CAST(1 AS INT) AS n_frames
+        |FROM range(0, 300) t(media_id)""".stripMargin,
 
     // downstream media stages verified from the dumped decode output
     // (the codec itself is the documented sandbox stub)

@@ -6,7 +6,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional 3rd arg: comma-separated query-name subset (fast local
+    // iteration; the driver always runs the full board with 2 args)
+    val only: Option[Set[String]] =
+      args.lift(2).map(_.split(",").map(_.trim).toSet)
+    def selected(name: String): Boolean = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -198,12 +203,21 @@ object Verify {
     graft.ops.Pq.lutFrame(emb.where(col("vec_id") < 5),
         "vec_id", "embedding", cbPq)
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_input_pqlut")
+    // PSL rule table dump (same dump-the-primitive trick): the parsed
+    // (suffix, kind-bitmask) rows, so the oracle replays the FULL PSL
+    // resolution algorithm in SQL independently of the kernel.
+    locally {
+      import spark.implicits._
+      graft.expr.PslDomain.loadDefault.m.toSeq.toDF("sfx", "flags")
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_input_psl")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name.parquet")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      if (selected(name))
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name.parquet")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -223,6 +237,7 @@ object Verify {
     // passing on re-check. __OUT__ in the SQL is replaced with the absolute
     // outDir so DuckDB can read the dumped pipeline input.
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => selected(k) }
       .map { case (k, v) =>
         s"${q(k + ".parquet")}: ${q(v.replace("__OUT__", outDir))}" }
       .mkString("{", ",", "}")

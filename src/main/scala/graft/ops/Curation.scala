@@ -376,6 +376,138 @@ object Curation {
         coalesce(col("covered_words"), lit(0L)).as("covered_words"))
   }
 
+  /** Shared hit-window machinery of the RAW-text exact-substring span
+    * family ([[dupRunSpans]] / [[removeDupSpans]]): per document, the
+    * maximal cross-document duplicated word runs as 0-based INCLUSIVE
+    * word-index ranges (doc_id, s, e) over `split(text, " ")` — raw
+    * tokenization, NOT [[normWords]], because span removal must cut and
+    * reassemble the original text byte-exactly
+    * (`array_join(split(text, " "), " ") == text` for space-separated
+    * text, including empty tokens from repeated spaces).
+    *
+    * `keepFirst = false` (default) removes EVERY occurrence of a
+    * duplicated window — the policy of the published exact-substring
+    * pipeline (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better", §4.1 ExactSubstr; their released tool cuts
+    * all copies). `keepFirst = true` exempts the corpus-wide first
+    * occurrence of each window (min (doc_id, pos)) — the "all but one
+    * copy" variant the paper discusses.
+    *
+    * Scale shape: identical to [[dupRuns]] — one shingling exchange, a
+    * partial-agg'd groupBy(ng) for the shared set (a boilerplate n-gram
+    * shared by millions of docs never funnels), and a gaps-and-islands
+    * window strictly PER DOCUMENT (bounded by one document's window
+    * count, never by corpus-wide key frequency).
+    */
+  private def rawDupWordRuns(corpus: DataFrame, idCol: String,
+                             textCol: String, n: Int,
+                             keepFirst: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ng = corpus
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("_w"))
+      .select(col("doc_id"), col("_w"),
+        explode(when(size(col("_w")) >= n,
+          sequence(lit(1), size(col("_w")) - (n - 1)))
+          .otherwise(array().cast("array<int>"))).as("_i"))
+      .select(col("doc_id"), col("_i"),
+        xxhash64(array_join(slice(col("_w"), col("_i"), lit(n)), " "))
+          .as("ng"))
+    val hits =
+      if (!keepFirst) {
+        val shared = ng.groupBy(col("ng"))
+          .agg(count_distinct(col("doc_id")).as("nd"))
+          .where(col("nd") >= 2)
+          .select(col("ng"))
+        ng.join(shared, Seq("ng"), "left_semi")
+          .select(col("doc_id"), col("_i")).distinct()
+      } else {
+        // one owner row per shared n-gram joins the stream — the same
+        // no-funnel shape as the semi join (build side: 1 row per key)
+        val owners = ng.groupBy(col("ng"))
+          .agg(min(struct(col("doc_id"), col("_i"))).as("_own"),
+            count_distinct(col("doc_id")).as("nd"))
+          .where(col("nd") >= 2)
+          .select(col("ng"), col("_own"))
+        ng.join(owners, Seq("ng"))
+          .where(!(col("doc_id") === col("_own.doc_id") &&
+            col("_i") === col("_own._i")))
+          .select(col("doc_id"), col("_i")).distinct()
+      }
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("_i"))
+    hits
+      // island start: the previous hit window's interval does not touch
+      // this one's ⇔ i > p + n (same merge rule as dupRuns)
+      .withColumn("_new",
+        when(col("_i") > coalesce(lag(col("_i"), 1).over(w),
+          lit(Int.MinValue)) + n, 1).otherwise(0))
+      .withColumn("_run", sum(col("_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("_run"))
+      // 1-based window starts [_i, _i + n - 1] → 0-based inclusive word
+      // range [s, e]
+      .agg((min(col("_i")) - 1).as("s"), (max(col("_i")) + n - 2).as("e"))
+      .select(col("doc_id"), col("s"), col("e"))
+  }
+
+  /** Character-level exact-substring duplicate SPANS (the per-occurrence
+    * report of Lee et al.'s ExactSubstr pass, at word-window resolution):
+    * one row per maximal cross-document duplicated run with both the
+    * word-index range and the exact character range in the ORIGINAL text.
+    * `start_char`/`end_char` are a 0-based [start, end) substring range:
+    * `substring(text, start_char + 1, end_char - start_char)` is the
+    * duplicated substring.
+    *
+    * Char offsets derive from word prefixes (`length(array_join(slice(
+    * words, 1, s), " ")) + 1`) — exact for space-separated text and
+    * computed only at run boundaries, so the per-run cost is one bounded
+    * slice of the owning document, never a corpus-wide position index.
+    */
+  def dupRunSpans(corpus: DataFrame, idCol: String, textCol: String,
+                  n: Int = 13, keepFirst: Boolean = false): DataFrame = {
+    val runs = rawDupWordRuns(corpus, idCol, textCol, n, keepFirst)
+    runs.join(corpus.select(col(idCol).as("doc_id"),
+        split(col(textCol), " ").as("_w")), Seq("doc_id"))
+      .select(col("doc_id"),
+        col("s").as("start_word"), col("e").as("end_word"),
+        when(col("s") === 0, 0)
+          .otherwise(length(array_join(slice(col("_w"), lit(1), col("s")),
+            " ")) + 1).as("start_char"),
+        length(array_join(slice(col("_w"), lit(1), col("e") + 1), " "))
+          .as("end_char"),
+        (col("e") - col("s") + 1).cast("long").as("run_words"))
+  }
+
+  /** Exact-substring span REMOVAL — the rewrite the published curation
+    * pipelines actually apply (Lee et al. 2022): cut every maximal
+    * duplicated run from the text and reassemble the remainder
+    * (flag-don't-drop: every input document survives, possibly empty).
+    * Output: (doc_id, clean_text, n_runs, removed_words).
+    *
+    * Reassembly is the [[graft.ops.Dedup.paragraphDedup]] pattern one
+    * level down: per-doc kept-word filter + `array_join` — pure array
+    * lambdas over the already-merged run list, zero exchange beyond the
+    * run computation itself (runs per doc are bounded by document
+    * length, so the collect_list is bounded state, not corpus state).
+    */
+  def removeDupSpans(corpus: DataFrame, idCol: String, textCol: String,
+                     n: Int = 13, keepFirst: Boolean = false): DataFrame = {
+    val runsByDoc = rawDupWordRuns(corpus, idCol, textCol, n, keepFirst)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e"))))
+        .as("_runs"))
+    corpus.select(col(idCol).as("doc_id"), col(textCol).as("_t"))
+      .join(runsByDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("_runs").isNull, col("_t"))
+          .otherwise(array_join(filter(split(col("_t"), " "),
+            (_, i) => !exists(col("_runs"),
+              r => i >= r("s") && i <= r("e"))), " ")).as("clean_text"),
+        coalesce(size(col("_runs")), lit(0)).cast("long").as("n_runs"),
+        coalesce(aggregate(col("_runs"), lit(0L),
+          (acc, r) => acc + r("e") - r("s") + 1), lit(0L))
+          .as("removed_words"))
+  }
+
   /** Leakage-safe train/val/test assignment: split membership is decided
     * by the near-dup CLUSTER representative, not the document id, so two
     * near-duplicates can never straddle train and test (the eval-leakage

@@ -216,19 +216,60 @@ object Dedup {
     * contract (rows = pre-cap total, dropped = overflow) shared by the
     * minhash band join and [[Similarity.knnGraphLsh]] — ObsMetrics
     * harvesting and the spec suites depend on it not drifting.
-    * The window shuffles on the same key as the downstream join, so the
-    * join reuses its partitioning instead of adding an exchange.
+    *
+    * SORT-FREE: the retained set is "the `bucketCap` smallest ids per
+    * bucket", computed as a bounded [[graft.expr.MinKThreshold]]
+    * aggregate (partial buffers ≤ cap longs, so the hottest bucket never
+    * concentrates in one task) joined back co-partitioned on the bucket
+    * key and applied as a filter. The earlier
+    * `row_number().over(partitionBy(bucket).orderBy(id))` form kept the
+    * IDENTICAL rows but sorted the whole bucket in a single task first —
+    * the cap's own defense became an O(n log n) single-task stall on
+    * exactly the degenerate bucket it exists to defuse. Cost of the new
+    * shape: the input is scanned twice (threshold pass + join pass);
+    * every call site feeds either a localCheckpoint or a cheap
+    * projection/explode of a persisted signature frame, so the second
+    * scan is bounded while the removed per-bucket sort was not. The join
+    * shuffles on the same key as the downstream self-join, which reuses
+    * its partitioning.
     */
-  private[ops] def capBucketsBy(df: DataFrame, keyCols: Seq[String],
-                                idCol: String, bucketCap: Int,
-                                obsTag: Option[String]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val ranked = df.withColumn("_bn", row_number().over(
-      Window.partitionBy(keyCols.map(col): _*).orderBy(col(idCol))))
-    val tagged = obsTag.map(t => ranked.observe(t,
-      count(lit(1)).as("rows"),
-      count_if(col("_bn") > bucketCap).as("dropped"))).getOrElse(ranked)
-    tagged.where(col("_bn") <= bucketCap).drop("_bn")
+  private[graft] def capBucketsBy(df: DataFrame, keyCols: Seq[String],
+                                  idCol: String, bucketCap: Int,
+                                  obsTag: Option[String]): DataFrame = {
+    // threshold key: integral ids rank by value (bit-identical retained
+    // set vs the old orderBy(id) window); other types (string conv ids)
+    // rank by xxhash64 — a different but equally arbitrary deterministic
+    // overflow policy, chosen because the bounded heap needs longs
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    val idKey = df.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        col(idCol).cast("long")
+      case _ => xxhash64(col(idCol))
+    }
+    val th = df.groupBy(keyCols.map(col): _*).agg(
+      graft.expr.MinKThreshold.mink_threshold(idKey, bucketCap)
+        .as("_cap_th"),
+      count(lit(1)).as("_cap_n"))
+    // same totals as the row-level form: rows = pre-cap count,
+    // dropped = per-bucket overflow (coalesced so an empty frame reads 0);
+    // observed BEFORE the overflow filter so every bucket is counted
+    val tagged = obsTag.map(t => th.observe(t,
+      coalesce(sum(col("_cap_n")), lit(0L)).as("rows"),
+      coalesce(sum(greatest(col("_cap_n") - bucketCap, lit(0L))),
+        lit(0L)).as("dropped"))).getOrElse(th)
+    // Join ONLY the overflowing buckets (rare by the cap's premise): a
+    // left join whose build side AQE sizes at runtime — small (the normal
+    // case, ≤ rows/cap buckets even adversarially) converts to broadcast
+    // and the corpus side never concentrates; a degenerate flood of
+    // overflow buckets falls back to the shuffled join on its own. The
+    // first co-partitioned cut shipped EVERY row to the hot bucket's one
+    // reducer just to filter it — measured flat in cores (5.9→5.3 s,
+    // 8→32) on a 12M-row single-bucket stress while this shape scales.
+    val over = tagged.where(col("_cap_n") > bucketCap)
+      .select((keyCols.map(col) :+ col("_cap_th")): _*)
+    df.join(over, keyCols, "left")
+      .where(col("_cap_th").isNull || idKey <= col("_cap_th"))
+      .drop("_cap_th")
   }
 
   private def capBuckets(banded: DataFrame, idCol: String, bucketCap: Int,
@@ -523,20 +564,17 @@ object Dedup {
                         seed: Long = 7L,
                         bucketCap: Int = DefaultBucketCap,
                         obsTag: Option[String] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // hot-bucket guard (same rationale as minhashCandidates), with the
-    // same rows/dropped observability so overflow is never silent
-    val ranked = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // same rows/dropped observability so overflow is never silent; the
+    // sort-free capBucketsBy re-scans the frame, which the checkpoint
+    // makes a local block read
+    val assigned = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("bucket", Similarity.hyperplaneBucket(col("v"), planes, seed))
       .localCheckpoint(true) // both join sides; blocks released on GC
-      .withColumn("_bn", row_number().over(
-        Window.partitionBy(col("bucket")).orderBy(col("id"))))
-    val tagged = obsTag.map(t => ranked.observe(t,
-      count(lit(1)).as("rows"),
-      count_if(col("_bn") > bucketCap).as("dropped"))).getOrElse(ranked)
     // norms hoisted per side (bit-identical values — cosinePre's note);
     // the naive per-pair cosine recomputes both norms per candidate
-    val bucketed = tagged.where(col("_bn") <= bucketCap).drop("_bn")
+    val bucketed = capBucketsBy(assigned, Seq("bucket"), "id", bucketCap,
+        obsTag)
       .withColumn("_nv", Similarity.norm(col("v")))
     val a = bucketed.select(col("id").as("id_a"), col("v").as("v_a"),
       col("_nv").as("_na"), col("bucket"))
@@ -578,7 +616,6 @@ object Dedup {
                     kmeansIters: Int = 2, seed: Long = 11L,
                     cellCap: Int = DefaultBucketCap,
                     obsTag: Option[String] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cents = Ivf.kmeansCentroids(df, idCol, vecCol, nCells, kmeansIters,
       seed)
     // computed once, feeds the capped self-join AND the output join back
@@ -586,17 +623,13 @@ object Dedup {
         df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")),
         "id", "v", cents)
       .localCheckpoint(true)
-    val ranked = assigned.withColumn("_cn", row_number().over(
-      Window.partitionBy(col("cell")).orderBy(col("id"))))
-    val tagged = obsTag.map(t => ranked.observe(t,
-      count(lit(1)).as("rows"),
-      count_if(col("_cn") > cellCap).as("dropped"))).getOrElse(ranked)
     // norms hoisted per SIDE (Similarity.cosinePre): the in-cell join
     // evaluates O(members²/2) cosines per cell, and the naive form would
     // recompute both row norms per PAIR — 3× the dot products for the
     // same bit-identical values (the IEEE sequence is unchanged; see
-    // cosinePre's note)
-    val capped = tagged.where(col("_cn") <= cellCap).drop("_cn")
+    // cosinePre's note). Cell cap is the shared sort-free capBucketsBy —
+    // a dominant kmeans cell must not become a single-task sort.
+    val capped = capBucketsBy(assigned, Seq("cell"), "id", cellCap, obsTag)
       .withColumn("_nv", Similarity.norm(col("v")))
     val a = capped.select(col("id").as("id_a"), col("v").as("v_a"),
       col("_nv").as("_na"), col("cell"))

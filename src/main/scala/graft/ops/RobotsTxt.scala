@@ -235,4 +235,39 @@ object RobotsTxt {
       precomputedHost.map(col).getOrElse(UrlCuration.urlHost(col(urlCol))),
       table))
   }
+
+  /** Measured cut line between the two evaluation strategies: the kernel's
+    * reference-object rule table degrades past ~10^5 hosts (the
+    * BASELINE.md 128k-host row reads eff 0.67 — per-row hash probes into
+    * a table that no longer fits the cache hierarchy), while the
+    * relational broadcast join's per-host array rows stay partitioned
+    * state. Default sits just under the measured ceiling.
+    */
+  val KernelHostCeiling: Long = 100000L
+
+  /** ONE entry point that picks the evaluation strategy by rule-table
+    * size: hosts ≤ `hostThreshold` → the join-free codegen'd
+    * [[isAllowedFast]] kernel (the steady-state winner at real-world
+    * host counts); above it → the relational [[isAllowed]] broadcast
+    * join, whose memory/cache footprint scales with Spark's own
+    * broadcast machinery instead of a per-executor reference object.
+    * The two are decision-identical (RobotsTxtSpec asserts equality on
+    * every fixture matrix, and parity through THIS switch on both sides
+    * of the threshold), so the choice is purely a performance route.
+    * The host count is one aggregate over the HOST-scale rules frame —
+    * never the corpus.
+    */
+  def isAllowedAuto(urls: DataFrame, urlCol: String, rules: DataFrame,
+                    agent: String,
+                    precomputedHost: Option[String] = None,
+                    precomputedPath: Option[String] = None,
+                    hostThreshold: Long = KernelHostCeiling): DataFrame = {
+    val nHosts = rules.select(col("host")).distinct().count()
+    if (nHosts <= hostThreshold)
+      isAllowedFast(urls, urlCol, rules, agent, precomputedHost,
+        precomputedPath)
+    else
+      isAllowed(urls, urlCol, rules, agent, precomputedHost,
+        precomputedPath)
+  }
 }

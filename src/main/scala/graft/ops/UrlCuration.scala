@@ -99,6 +99,26 @@ object UrlCuration {
         .otherwise(array_join(slice(labels, n - 1, lit(2)), "."))
     }), 1)
 
+  /** Registrable domain under a REAL Public Suffix List rule table — the
+    * data-correct upgrade over [[domainOfHost]]'s 2-label + ccSLD
+    * heuristic, which mis-groups `github.io` / multi-label-ccSLD hosts
+    * (every user of a shared hosting suffix collapses into one "domain",
+    * so a domain cap would throttle all of github.io as one site). The
+    * heuristic stays as the dependency-free fallback; this is the same
+    * contract (bare/short hosts pass through) driven by
+    * [[graft.expr.PslDomain]] — full PSL algorithm (wildcards,
+    * exceptions), bundled curated rule subset, swap-in seam for the
+    * complete public file.
+    */
+  def domainOfHostPsl(host: Column,
+      table: graft.expr.PslDomain.Table = graft.expr.PslDomain.loadDefault): Column =
+    graft.expr.PslDomain.psl_domain(host, table)
+
+  /** [[urlDomain]] with PSL resolution — see [[domainOfHostPsl]]. */
+  def urlDomainPsl(url: Column,
+      table: graft.expr.PslDomain.Table = graft.expr.PslDomain.loadDefault): Column =
+    domainOfHostPsl(urlHost(url), table)
+
   /** Drop every row whose registrable domain appears in `blocked` (one
     * string column named `domainCol`). Broadcast LEFT ANTI — the corpus
     * side never shuffles. When several URL stages compose, derive the

@@ -455,4 +455,83 @@ class CurationSpec extends SparkTestBase {
       .as[(Long, String)].collect().toMap
     assert(viaPre == got)
   }
+
+  test("dupRunSpans: exact char ranges — substring(start_char, end_char) " +
+    "IS the duplicated run") {
+    // n = 3. "bb cc dd" shared between docs 10/11 (single window);
+    // "q1 q2 q3 q4" shared between 12/13 (two overlapping windows merge).
+    // Vocabularies of the two pairs are disjoint so no window crosses.
+    val corpus = Seq(
+      (10L, "aa bb cc dd ee ff gg"),
+      (11L, "xx bb cc dd yy zz hh"),
+      (12L, "m1 m2 q1 q2 q3 q4 m3"),
+      (13L, "n1 q1 q2 q3 q4 n2 n3")
+    ).toDF("doc_id", "text")
+    val spans = Curation.dupRunSpans(corpus, "doc_id", "text", n = 3)
+      .as[(Long, Int, Int, Int, Int, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 10: words 1..3 = chars [3, 11) = "bb cc dd"
+    assert(spans(10L) === ((10L, 1, 3, 3, 11, 3L)))
+    assert(spans(11L) === ((11L, 1, 3, 3, 11, 3L)))
+    // docs 12/13: merged 4-word run "q1 q2 q3 q4"
+    assert(spans(12L) === ((12L, 2, 5, 6, 17, 4L)))
+    assert(spans(13L) === ((13L, 1, 4, 3, 14, 4L)))
+    // the char range extracts the run text verbatim
+    val texts = corpus.as[(Long, String)].collect().toMap
+    for ((id, (_, _, _, sc, ec, _)) <- spans)
+      assert(texts(id).substring(sc, ec).split(" ").length ===
+        spans(id)._6, s"doc $id span text mismatch")
+    assert(texts(10L).substring(3, 11) === "bb cc dd")
+    assert(texts(12L).substring(6, 17) === "q1 q2 q3 q4")
+  }
+
+  test("removeDupSpans: known cut boundaries, remove-all vs keep-first, " +
+    "untouched docs byte-identical") {
+    val corpus = Seq(
+      (10L, "aa bb cc dd ee ff gg"),
+      (11L, "xx bb cc dd yy zz qq"),
+      // doc with repeated spaces and NO shared run: must round-trip
+      // byte-exactly through the isNull branch
+      (12L, "uu  vv   ww unique only here"),
+      (13L, "hh ii")
+    ).toDF("doc_id", "text")
+    val all = Curation.removeDupSpans(corpus, "doc_id", "text", n = 3)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(all(10L) === ((10L, "aa ee ff gg", 1L, 3L)))
+    assert(all(11L) === ((11L, "xx yy zz qq", 1L, 3L)))
+    assert(all(12L) === ((12L, "uu  vv   ww unique only here", 0L, 0L)))
+    assert(all(13L) === ((13L, "hh ii", 0L, 0L)))
+    // keep-first: the corpus-wide first occurrence (min (doc_id, pos))
+    // survives — doc 10 intact, doc 11 still cut
+    val kf = Curation.removeDupSpans(corpus, "doc_id", "text", n = 3,
+      keepFirst = true)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(kf(10L) === ((10L, "aa bb cc dd ee ff gg", 0L, 0L)))
+    assert(kf(11L) === ((11L, "xx yy zz qq", 1L, 3L)))
+  }
+
+  test("removeDupSpans ≡ dupRunSpans accounting; whole-doc run → empty " +
+    "clean_text; per-doc window only (no corpus-key window)") {
+    import org.apache.spark.sql.functions.{sum => fsum}
+    val boiler = "b1 b2 b3 b4 b5"
+    val corpus = Seq(
+      (0L, boiler), (1L, boiler), (2L, boiler), // identical whole docs
+      (3L, s"head $boiler tail extra words here")
+    ).toDF("doc_id", "text")
+    val removed = Curation.removeDupSpans(corpus, "doc_id", "text", n = 5)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    for (id <- 0L to 2L) assert(removed(id)._2 === "")
+    assert(removed(3L)._2 === "head tail extra words here")
+    // removed_words agrees with the span report
+    val spanSum = Curation.dupRunSpans(corpus, "doc_id", "text", n = 5)
+      .groupBy($"doc_id").agg(fsum($"run_words").as("rw"))
+      .as[(Long, Long)].collect().toMap
+    for ((id, (_, _, _, rw)) <- removed if rw > 0)
+      assert(spanSum(id) === rw, s"doc $id accounting mismatch")
+    // the only Window in the plan partitions by doc_id (gaps-and-islands),
+    // never by the n-gram key
+    val plan = Curation.removeDupSpans(corpus, "doc_id", "text", n = 5)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("partitionBy: [ng"), plan.take(2000))
+  }
 }

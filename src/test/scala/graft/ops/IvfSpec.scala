@@ -269,4 +269,59 @@ class IvfSpec extends SparkTestBase {
       s"hash aggregates fell out of whole-stage codegen:\n${aggLines.mkString("\n")}")
     assert(got.nonEmpty && got.forall(_._2.length === 512))
   }
+
+  test("drift lifecycle: in-distribution appends stay flat, a drifted " +
+    "batch trips the statistic, retrain restores assignment quality") {
+    import spark.implicits._
+    val dir = tmpDir("ivf-drift")
+    val base = graft.VecGen.vecs(spark, 2000, dim = 16, nClusters = 8,
+      seed = 13L)
+    Ivf.writeIndex(base, "vec_id", "embedding", dir, nCells = 8,
+      kmeansIters = 1)
+    // in-distribution batch: the SAME generator, later ids
+    val inDist = graft.VecGen.vecs(spark, 2400, dim = 16, nClusters = 8,
+      seed = 13L).where($"vec_id" >= 2000)
+    assert(Ivf.appendToIndex(spark, dir, inDist, "vec_id", "embedding", 1L))
+    // drifted batch: a different seed → entirely different cluster
+    // structure, far from the frozen coarse quantizer
+    val drifted = graft.VecGen.vecs(spark, 400, dim = 16, nClusters = 8,
+        seed = 99L)
+      .select(($"vec_id" + 10000L).as("vec_id"), $"embedding")
+    assert(Ivf.appendToIndex(spark, dir, drifted, "vec_id", "embedding", 2L))
+    val rep = Ivf.driftReport(spark, dir).orderBy("batch_id")
+      .select("batch_id", "mean_drop_micro", "ref_mean_cos_micro",
+        "ref_p10_cos_micro")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rep.map(_._1).toSeq === Seq(1L, 2L))
+    val (dropIn, dropDrift) = (rep(0)._2, rep(1)._2)
+    val refSpread = rep(0)._3 - rep(0)._4 // build mean − build p10
+    // the documented trigger: in-distribution drop stays well inside the
+    // build corpus's own spread; the drifted batch's drop exceeds it
+    assert(math.abs(dropIn) < refSpread,
+      s"in-dist batch tripped the trigger: drop $dropIn vs spread $refSpread")
+    assert(dropDrift > refSpread,
+      s"drifted batch missed the trigger: drop $dropDrift vs spread $refSpread")
+    // retrain-and-swap: same live rows, quantizer refit to the drifted
+    // population — the drifted rows' assigned quality must recover
+    val liveBefore = Ivf.liveRows(spark, dir).count()
+    Ivf.retrainIndex(spark, dir, nCells = 8, kmeansIters = 1)
+    assert(Ivf.liveRows(spark, dir).count() === liveBefore)
+    // per-batch drift rows were cleared with the old reference
+    assert(!new java.io.File(s"$dir/drift").exists())
+    // re-append the SAME drifted vectors as a fresh batch against the
+    // RETRAINED quantizer: the drop must come back inside the trigger
+    val again = drifted.select(($"vec_id" + 20000L).as("vec_id"),
+      $"embedding")
+    assert(Ivf.appendToIndex(spark, dir, again, "vec_id", "embedding", 1L))
+    val rep2 = Ivf.driftReport(spark, dir)
+      .select("mean_drop_micro", "ref_mean_cos_micro", "ref_p10_cos_micro")
+      .as[(Long, Long, Long)].head()
+    assert(rep2._1 < rep2._2 - rep2._3,
+      s"retrain did not recover the drifted population: $rep2")
+    // probes still serve the full live set after the swap
+    val queries = drifted.where($"vec_id" < 10005)
+    val got = Ivf.probeIndex(spark, dir, queries, "vec_id", "embedding",
+      k = 3, nProbe = 8).select("query_id").distinct().count()
+    assert(got === 5L)
+  }
 }

@@ -39,4 +39,47 @@ class MultimodalSpec extends SparkTestBase {
           ($"width".cast("double") / $"height") - 1.0) > 0.10).count()
     assert(ratioOff === 0)
   }
+
+  test("ImageHeaderCodec: real PNG/JPEG/GIF headers parse to exact dims; " +
+    "format sniffed from magic bytes; garbage flags (0,0,0)") {
+    import Multimodal.{ImageEncode, ImageHeaderCodec}
+    for ((w, h) <- Seq((1, 1), (16, 1064), (1904, 16), (65535, 65535))) {
+      assert(ImageHeaderCodec.decode(ImageEncode.png(w, h), "image") ===
+        ((w, h, 1)), s"png $w x $h")
+      assert(ImageHeaderCodec.decode(ImageEncode.gif(w, h), "image") ===
+        ((w, h, 1)), s"gif $w x $h")
+    }
+    // JPEG dims are 16-bit
+    for ((w, h) <- Seq((1, 1), (640, 480), (65535, 65535)))
+      assert(ImageHeaderCodec.decode(ImageEncode.jpeg(w, h), "image") ===
+        ((w, h, 1)), s"jpeg $w x $h")
+    // sniffing ignores the declared kind's mime lie — bytes decide
+    assert(ImageHeaderCodec.decode(ImageEncode.png(10, 20), "image") ===
+      ((10, 20, 1)))
+    // corrupt / truncated payloads flag, never throw
+    assert(ImageHeaderCodec.decode(Array[Byte](1, 2, 3), "image") ===
+      ((0, 0, 0)))
+    assert(ImageHeaderCodec.decode(
+      ImageEncode.jpeg(640, 480).take(6), "image") === ((0, 0, 0)))
+    assert(ImageHeaderCodec.decode(Array.empty[Byte], "image") ===
+      ((0, 0, 0)))
+    // audio/video stay on the stub seam — same values as StubCodec
+    val p = ImageEncode.png(10, 20)
+    assert(ImageHeaderCodec.decode(p, "video") ===
+      Multimodal.StubCodec.decode(p, "video"))
+  }
+
+  test("encoded-image corpus round-trips encoder → parser distributed") {
+    val got = Multimodal.syntheticEncodedImages(spark, 90).map { r =>
+      val (w, h, f) = Multimodal.ImageHeaderCodec.decode(r.payload, "image")
+      (r.media_id, r.format, w, h, f)
+    }.collect()
+    assert(got.length === 90)
+    for ((id, fmt, w, h, f) <- got) {
+      assert(w === 16 + (id % 1904L).toInt, s"id $id ($fmt)")
+      assert(h === 16 + ((id * 31L) % 1064L).toInt, s"id $id ($fmt)")
+      assert(f === 1)
+    }
+    assert(got.map(_._2).toSet === Set("png", "jpeg", "gif"))
+  }
 }

@@ -260,4 +260,26 @@ class RobotsTxtSpec extends SparkTestBase {
       .select("id", "allowed").as[(Long, Boolean)].collect().toMap
     assert(a == b)
   }
+
+  test("isAllowedAuto: identical decisions on both sides of the host " +
+    "threshold; kernel below (join-free), relational above (broadcast)") {
+    val robots = Seq("a.com" -> robotsA, "b.com" -> robotsB)
+    val urls = (0L until 100L).map(i =>
+      (i, s"https://${if (i % 2 == 0) "a" else "b"}.com/private/$i.html"))
+    val rules = RobotsTxt.parseRules(robots.toDF("host", "robots_txt"))
+    val expect = decide(urls, robots, "graftbot")
+    // 2 hosts ≤ threshold 10 → kernel route: no join node in the plan
+    val viaKernel = RobotsTxt.isAllowedAuto(urls.toDF("id", "url"), "url",
+      rules, "graftbot", hostThreshold = 10L)
+    assert(!viaKernel.queryExecution.executedPlan.toString.contains("Join"))
+    assert(viaKernel.select("id", "allowed").as[(Long, Boolean)]
+      .collect().toMap == expect)
+    // 2 hosts > threshold 1 → relational route: the rules broadcast join
+    val viaRel = RobotsTxt.isAllowedAuto(urls.toDF("id", "url"), "url",
+      rules, "graftbot", hostThreshold = 1L)
+    assert(viaRel.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+    assert(viaRel.select("id", "allowed").as[(Long, Boolean)]
+      .collect().toMap == expect)
+  }
 }

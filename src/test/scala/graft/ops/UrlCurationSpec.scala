@@ -138,4 +138,65 @@ class UrlCurationSpec extends SparkTestBase {
         Seq("x").toDF("not_domain"))
     }
   }
+
+  test("PSL domains: hosting suffixes, multi-label ccSLDs, wildcard + " +
+    "exception rules, suffix-only hosts pass through") {
+    val cases = Seq(
+      // private-section hosting suffixes: each user is its own domain
+      // (the heuristic collapses ALL of github.io into one)
+      "alice.github.io" -> "alice.github.io",
+      "www.alice.github.io" -> "alice.github.io",
+      "mysite.blogspot.com" -> "mysite.blogspot.com",
+      "bucket.s3.amazonaws.com" -> "bucket.s3.amazonaws.com",
+      // classic ccSLDs
+      "www.example.co.uk" -> "example.co.uk",
+      "a.b.example.com.au" -> "example.com.au",
+      "shop.example.co.jp" -> "example.co.jp",
+      "www.example.de" -> "example.de",
+      // wildcard *.ck: any 2-label .ck host is itself a public suffix
+      "foo.ck" -> "foo.ck",
+      "bar.foo.ck" -> "bar.foo.ck",
+      "x.bar.foo.ck" -> "bar.foo.ck",
+      // exception !www.ck: www.ck IS registrable
+      "www.ck" -> "www.ck",
+      "sub.www.ck" -> "www.ck",
+      // unknown TLD → implicit * rule (last label is the suffix)
+      "site.unknowntld" -> "site.unknowntld",
+      "a.b.site.unknowntld" -> "site.unknowntld",
+      // host == suffix (or shorter) passes through unchanged
+      "github.io" -> "github.io",
+      "co.uk" -> "co.uk",
+      "com" -> "com",
+      "localhost" -> "localhost")
+    val got = cases.map(_._1).toDF("host")
+      .select($"host", UrlCuration.domainOfHostPsl($"host").as("dom"))
+      .as[(String, String)].collect().toMap
+    for ((h, expect) <- cases)
+      assert(got(h) === expect, s"host $h")
+    // codegen'd kernel ≡ interpreted compute on every case
+    val table = graft.expr.PslDomain.loadDefault
+    for ((h, expect) <- cases)
+      assert(graft.expr.PslDomain.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(h), table)
+        .toString === expect, s"interpreted $h")
+  }
+
+  test("PSL parse: grammar (comments, sections, whitespace), custom " +
+    "table via the swap-in seam; urlDomainPsl end to end") {
+    val table = graft.expr.PslDomain.parse(Iterator(
+      "// comment", "", "  zz  trailing-junk", "*.wild", "!ok.wild",
+      "two.zz"))
+    def d(h: String) = graft.expr.PslDomain.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(h), table).toString
+    assert(d("a.zz") === "a.zz")          // normal rule "zz"
+    assert(d("a.two.zz") === "a.two.zz")  // longer rule wins
+    assert(d("b.a.wild") === "b.a.wild")  // wildcard
+    assert(d("x.ok.wild") === "ok.wild")  // exception beats wildcard
+    // full-url path: normalize → host → PSL
+    val got = Seq((1L, "HTTPS://WWW.Alice.GitHub.IO/p/1?q=2#f"))
+      .toDF("id", "url")
+      .select(UrlCuration.urlDomainPsl($"url").as("d"))
+      .as[String].head()
+    assert(got === "alice.github.io")
+  }
 }
