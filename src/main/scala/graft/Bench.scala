@@ -34,7 +34,10 @@ object Bench {
     "q_fuzzy_decontaminate", "q_sft_render", "q_corpus_report",
     "q_bpe_ids", "q_pack_rows",
     // round-4 close: robots decision, NB language ID, corpus overlap
-    "q_robots_allowed", "q_langid_ngram", "q_corpus_overlap")
+    "q_robots_allowed", "q_langid_ngram", "q_corpus_overlap",
+    // round-5: exact-substring span removal (clean-text reassembly is
+    // the cost center) and PSL registrable-domain resolution
+    "q_dup_span_removal", "q_url_domain_psl")
 
   def time[A](f: => A): Double = {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9

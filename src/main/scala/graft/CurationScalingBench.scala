@@ -584,10 +584,17 @@ object CurationScalingBench {
         require(stages.nonEmpty, s"no stage matches $stageSet")
         stages.map { case (name, f) =>
           f() // full-size warm: codegen + classloading outside the timing
+          // release the finished run's shuffle files NOW (ContextCleaner
+          // acts on GC): at 10M docs each minhash/curation execution
+          // leaves tens of GB of shuffle files that otherwise accumulate
+          // until the app exits — measured OOM-killing the paired 10M run
+          // when spark.local.dir sat on tmpfs
+          System.gc()
           io.reset()
           val s1 = time(f())
           org.apache.spark.sql.GraftBridge.waitListenerBusEmpty(spark.sparkContext)
           val bytes = (io.input.get, io.shufWrite.get, io.shufRead.get)
+          System.gc()
           val s2 = time(f())
           name -> (math.min(s1, s2), bytes)
         }.toMap

@@ -171,9 +171,16 @@ object GraftFunctions {
   val urlPath = columnFn("url_path", 1,
     cs => graft.ops.RobotsTxt.urlPath(cs.head))
 
+  // PSL registrable domain over the BUNDLED rule table (SQL surface can't
+  // carry a table object; callers needing a custom table use the Column
+  // API seam)
+  val pslDomain = columnFn("psl_domain", 1,
+    cs => graft.ops.UrlCuration.domainOfHostPsl(cs.head))
+
   private def all = Seq(grokExtract, topkByScore, wordShingles, minhashSig,
     simhash, normWords, pseudonymize, sampleRank, shardAssign, redactPii,
-    dupWordRatio, urlNormalize, urlHost, urlDomain, urlPath, rpProject)
+    dupWordRatio, urlNormalize, urlHost, urlDomain, urlPath, pslDomain,
+    rpProject)
 
   /** Register every function on an existing session (the `Main`/test
     * path; temp functions live for the session).
@@ -206,6 +213,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.urlNormalize)
     ext.injectFunction(GraftFunctions.urlHost)
     ext.injectFunction(GraftFunctions.urlDomain)
+    ext.injectFunction(GraftFunctions.urlPath)
+    ext.injectFunction(GraftFunctions.pslDomain)
     ext.injectFunction(GraftFunctions.rpProject)
   }
 }

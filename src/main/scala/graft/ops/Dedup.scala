@@ -280,22 +280,45 @@ object Dedup {
   /** Candidates from a precomputed/persisted `(id, sig)` frame — at real
     * scale the signature frame is a durable index table reused across
     * dedup runs; the caller owns its lifecycle.
+    *
+    * WIRE SHAPE (the 10M-doc scale row's finding): the banded self-join
+    * ships ONLY (id, band_idx, band_hash) — the numHashes-long signature
+    * array (the dominant bytes, ~8·numHashes per row × bands copies)
+    * stays out of the exchange. The agreement estimate is computed AFTER
+    * pair dedup by two id-keyed joins back to the signature frame: pairs
+    * are orders of magnitude fewer than banded rows, so the sig bytes
+    * cross the wire O(pairs) times instead of O(docs × bands). The
+    * sig-carrying form measured ~17 bytes/row → ~550 bytes/row on a 10M
+    * corpus — ~170 GB of banded shuffle that exhausted both tmpfs and
+    * disk; this shape ships ~13 GB. The signature frame is eagerly
+    * localCheckpointed because three consumers read it (band explode +
+    * both estimate joins) — recomputing shingle→signature per consumer
+    * would triple the family's dominant compute (and a persisted index
+    * caller pays only a cheap re-materialization).
     */
   def minhashCandidatesFromSig(sig0: DataFrame,
                                numHashes: Int = 64, bands: Int = 16,
                                bucketCap: Int = DefaultBucketCap,
                                obsTag: Option[String] = None): DataFrame = {
-    val sig = bandExplode(sig0.select(col("id"), col("sig")), numHashes, bands)
-    val capped = capBuckets(sig, "id", bucketCap, obsTag)
-    val a = capped.select(col("id").as("id_a"), col("sig").as("sig_a"),
-      col("band_idx"), col("band_hash"))
-    val b = capped.select(col("id").as("id_b"), col("sig").as("sig_b"),
-      col("band_idx"), col("band_hash"))
-    a.join(b, Seq("band_idx", "band_hash"))
+    val sigs = sig0.select(col("id"), col("sig")).localCheckpoint(true)
+    val banded = bandExplode(sigs, numHashes, bands)
+      .select(col("id"), col("band_idx"), col("band_hash"))
+    val capped = capBuckets(banded, "id", bucketCap, obsTag)
+    val a = capped.select(col("id").as("id_a"), col("band_idx"),
+      col("band_hash"))
+    val b = capped.select(col("id").as("id_b"), col("band_idx"),
+      col("band_hash"))
+    val pairs = a.join(b, Seq("band_idx", "band_hash"))
       .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")),
+        Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")),
+        Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         sigAgreementEst(col("sig_a"), col("sig_b"), numHashes).as("jaccard_est"))
-      .distinct()
   }
 
   /** Signature-agreement Jaccard estimate (matching positions /

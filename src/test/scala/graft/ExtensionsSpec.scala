@@ -128,6 +128,23 @@ class ExtensionsSpec extends SparkTestBase {
     assert(viaSql.head.getString(3) === "/A/B/?q=1")
   }
 
+  test("registerAll: SQL psl_domain ≡ Column API (bundled rule table)") {
+    GraftFunctions.registerAll(spark)
+    Seq("alice.github.io", "www.example.co.uk", "bar.foo.ck",
+        "site.unknowntld", "co.uk")
+      .toDF("host").createOrReplaceTempView("ext_hosts")
+    val viaSql = spark.sql(
+      "SELECT psl_domain(host) AS d FROM ext_hosts ORDER BY host")
+      .collect().toSeq
+    val viaCol = spark.table("ext_hosts")
+      .select(graft.ops.UrlCuration.domainOfHostPsl($"host").as("d"))
+      .orderBy($"host").collect().toSeq
+    assert(viaSql === viaCol)
+    assert(viaSql.map(_.getString(0)).toSet ===
+      Set("alice.github.io", "example.co.uk", "bar.foo.ck",
+        "site.unknowntld", "co.uk"))
+  }
+
   test("registerAll: SQL rp_project_micro ≡ Column API; literal guards") {
     GraftFunctions.registerAll(spark)
     Seq((1L, Seq(0.5f, -1.25f, 2f)), (2L, Seq(0f, 0f, 0f)))
